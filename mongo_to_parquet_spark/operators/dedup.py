@@ -1,0 +1,244 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.3 N★).
+
+Four families, each with an exact (oracle-checkable) path and a scale path:
+
+  exact         — content-hash groupBy; one shuffle on the hash, map-side
+                  partial agg. At 100 TB: shuffle carries (hash, doc_id)
+                  only, never the text.
+  ngram Jaccard — exact pairwise similarity via token/shingle-set
+                  intersection. Quadratic within candidate sets — the
+                  correctness baseline for the scalable variants.
+  MinHash + LSH — signature → bands → bucket join → exact verify of
+                  candidates. Linear-ish: the only join is on (band,
+                  bucket-hash), candidates are verified with JVM
+                  array_intersect. All hashing is xxhash64 (JVM, codegen).
+  SimHash       — 64-bit sign-sum fingerprint; pigeonhole bucketing on
+                  16-bit chunks finds all pairs within hamming ≤ 3;
+                  verify via bit_count(xor).
+
+No Python UDFs anywhere — every step is built-in expressions, so the hot
+path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions.textfns import shingles, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: sha256, surviving (min) id, copy count."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("doc_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly the min-id row of each duplicate group (deterministic,
+    unlike dropDuplicates which keeps an arbitrary row)."""
+    keep = exact_groups(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (correctness baseline for fuzzy dedup)
+# --------------------------------------------------------------------------
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """All (id1 < id2) pairs with shingle-set Jaccard ≥ threshold.
+
+    Exact algorithm: explode distinct shingles, self-join on shingle to
+    count intersections, join per-doc set sizes, filter. The shingle join
+    is the scale hazard (hot shingles explode) — use :func:`minhash_pairs`
+    beyond small candidate sets.
+    """
+    sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")
+    )
+    sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = doc_sh.alias("a"), doc_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "doc1")
+        .join(sz2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (scale path for fuzzy dedup)
+# --------------------------------------------------------------------------
+def minhash_signature(shingle_arr, num_hashes: int):
+    """k minhashes of a shingle array: sig[i] = min over shingles of
+    xxhash64(shingle, i). Pure expression — evaluated in codegen."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash LSH, then EXACT Jaccard verify.
+
+    b=16, r=4 → s-curve threshold (1/b)^(1/r) ≈ 0.5; near-certain recall at
+    Jaccard ≥ 0.8. The bucket join shuffles only (band, hash64, id) — at
+    100 TB the texts never move; verification re-joins shingle sets for the
+    (small) candidate pair set only.
+    """
+    k = bands * rows_per_band
+    sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"))
+        .distinct()
+    )
+    s1 = base.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(text_col) -> F.Column:
+    """64-bit SimHash of the whitespace tokens, as a signed long.
+
+    bit i = sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
+    Composition of aggregate/transform — no UDF.
+    """
+    toks = tokens(text_col)
+
+    def vote(i: int):  # Σ ±1 over tokens for bit i (shift amounts literal)
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(vote(i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (id1 < id2) pairs within hamming distance ≤ max_hamming (≤3).
+
+    Pigeonhole: split the 64-bit fingerprint into 4 16-bit chunks; any pair
+    with hamming ≤ 3 shares at least one chunk exactly → bucket-join on
+    (chunk_idx, chunk_value), verify with bit_count(xor). Shuffles only
+    (chunk, id, sig) — scales linearly in corpus size for random data.
+    """
+    sigs = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("ci"),
+                        F.shiftright(F.col("sig"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.ci", "c.cv")
+    return (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc1"),
+            F.col("y.doc").alias("doc2"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

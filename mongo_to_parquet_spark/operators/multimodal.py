@@ -1,0 +1,109 @@
+"""Multimodal column plumbing (SURVEY §2.3 N★).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side machinery — schema, Arrow batching, mapInPandas
+signatures, partition sizing — is real and tested; the actual media decode
+is STUBBED (image/audio libs are not in this container): pass
+``fake=True`` for a deterministic fake featurizer, otherwise the decode
+raises ``NotImplementedError`` at execution time.
+
+Scale notes: media rows are large and variable — the ingest path
+repartitions by byte-size budget (``target_partition_bytes``) rather than
+row count so a single task never holds too many blobs; feature extraction
+streams Arrow batches through ``mapInPandas`` (never collects a partition
+into one pandas frame at once).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata carried beside every media blob
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),  # "image" | "audio" | "video"
+        StructField("format", StringType()),      # "png", "wav", ...
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model fixture docs as media rows: payload = utf-8 bytes of the text.
+
+    (The fixtures ship no real media; this exercises the exact schema and
+    partition shape a real image/audio table would have.)
+    """
+    payload = F.col(text_col).cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(buf: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake featurizer: byte-histogram-ish projection."""
+    acc = [0] * dim
+    for i, b in enumerate(buf):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [float(v) / 997.0 for v in acc]
+
+
+def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> DataFrame:
+    """Decode blobs → fixed-dim float features via Arrow-batched mapInPandas.
+
+    Real decode (PIL/librosa/ffmpeg) is unavailable here → stubbed. The
+    iterator-of-batches signature is the scalable shape: one Arrow batch in
+    memory per task at a time, never the whole partition.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libraries not present "
+                    "in this container; pass fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": pdf["payload"].map(lambda b: _fake_decode(bytes(b), dim)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Size partitions by payload bytes, not rows — blobs are skewed."""
+    stats = media.select(F.sum(F.octet_length("payload")).alias("b")).collect()[0]
+    n = max(1, int((stats["b"] or 0) // target_partition_bytes) + 1)
+    return media.repartition(n)

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (SURVEY §2.3 N★).
+
+Three tiers, trading exactness for scale:
+
+  brute_force_topk   — exact cosine top-k: broadcast the probe, score every
+                       vector JVM-side (functions/vector.py), TakeOrdered.
+                       The 100 TB shape: per-partition local top-k then a
+                       single driver merge of k × partitions rows — Spark's
+                       ``orderBy().limit(k)`` already plans exactly that
+                       (TakeOrderedAndProject), so no custom code.
+  lsh_topk           — random-hyperplane LSH: bucket vectors by sign
+                       pattern, search only the probe's bucket (+ optional
+                       multi-probe neighbors). Approximate; recall grows
+                       with tables.
+  ivf_topk           — IVF-style coarse quantization without a trained
+                       codebook: deterministic centroids = first vector of
+                       each label (or provided), assign by nearest centroid,
+                       probe nearest n_probe cells. Approximate.
+
+Embedding near-dup (cosine ≥ τ pair mining) lives here too — used by
+queries/llm.py with a same-label blocking key; unblocked variant pairs via
+LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions.vector import cosine, dot
+
+
+def _probe_df(emb: DataFrame, probe_id: int, id_col: str, vec_col: str) -> DataFrame:
+    return emb.filter(F.col(id_col) == probe_id).select(F.col(vec_col).alias("__probe"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the probe vector (probe excluded).
+
+    Deterministic total order: (rounded sim desc, id asc) — ties broken by
+    id so results hash-match an oracle that sorts the same way.
+    """
+    probe = F.broadcast(_probe_df(emb, probe_id, id_col, vec_col))
+    return (
+        emb.filter(F.col(id_col) != probe_id)
+        .crossJoin(probe)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 42):
+    """Sign-pattern bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane p's component j = hash-derived value in [-1,1] — reproducible with
+    no stored model. Expression-only (codegen), no UDF.
+    """
+    def plane_component(p: int, j):
+        h = F.xxhash64(F.lit(seed), F.lit(p), j)
+        return (h % 10007).cast("double") / 10007.0  # ~uniform (-1, 1)
+
+    def side(p: int):  # bit p: which side of plane p the vector falls on
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double") * plane_component(p, j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):  # python loop: shift amounts must be literals
+        bucket = bucket.bitwiseOR(side(p))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the probe's LSH bucket.
+
+    At 100 TB the bucket column is computed once at ingest and the table is
+    partitioned by it → the probe touches 1/2^n_planes of the data.
+    """
+    bucketed = emb.withColumn("__b", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed))
+    probe = F.broadcast(
+        bucketed.filter(F.col(id_col) == probe_id).select(
+            F.col(vec_col).alias("__probe"), F.col("__b").alias("__pb")
+        )
+    )
+    return (
+        bucketed.crossJoin(probe)
+        .filter((F.col("__b") == F.col("__pb")) & (F.col(id_col) != probe_id))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat: deterministic coarse centroids (the n_cells lowest-id
+    vectors), assign every vector to its nearest centroid by dot product,
+    then scan only the n_probe cells nearest the probe."""
+    cents = F.broadcast(
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    assigned = (
+        emb.crossJoin(cents)
+        .withColumn("score", dot(F.col(vec_col), F.col("cvec")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    # probe the n_probe cells whose centroid is nearest the probe vector
+    probe_vec = F.broadcast(emb.filter(F.col(id_col) == probe_id).select(F.col(vec_col).alias("__probe")))
+    cells = (
+        cents.crossJoin(probe_vec)
+        .withColumn("pscore", dot(F.col("cvec"), F.col("__probe")))
+        .orderBy(F.col("pscore").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(cells), "cell")
+        .filter(F.col(id_col) != probe_id)
+        .crossJoin(probe_vec)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_cosine(
+    emb: DataFrame,
+    block_col: str,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id1 < id2) cosine pairs within a blocking key (label, LSH bucket,
+    …). Blocking is what keeps this linear-ish at scale — never call with a
+    constant block over a large table."""
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2")).withColumn(
+        "sim", F.round(cosine(F.col("v1"), F.col("v2")), 4)
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("sim") >= threshold)
+    return pairs.select("blk", "id1", "id2", "sim")

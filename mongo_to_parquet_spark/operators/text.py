@@ -1,0 +1,87 @@
+"""Text analysis operators (SURVEY §2.3 N★): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure column expressions (JVM codegen) — these run per-document over
+100 TB corpora, so no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions.textfns import mean_word_len, token_count, tokens
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def lang_id_score(text, lang: str) -> Column:
+    """Fraction of tokens that are stopword markers of ``lang``."""
+    toks = tokens(text)
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id(text) -> Column:
+    """argmax over language marker scores; 'und' when nothing matches.
+
+    Deterministic tie-break: languages compared in sorted key order, strict
+    ``>`` keeps the earlier winner.
+    """
+    out = F.lit("und")
+    best = F.lit(0.0)
+    for lang in sorted(_LANG_MARKERS):
+        s = lang_id_score(text, lang)
+        out = F.when(s > best, F.lit(lang)).otherwise(out)
+        best = F.greatest(s, best)
+    return out
+
+
+def quality_score(text) -> Column:
+    """[0,1] quality heuristic: length band + punctuation ratio + mean word
+    length band + repetition (distinct-token ratio). Weighted mean of four
+    deterministic subscores."""
+    n = F.length(text).cast("double")
+    toks = tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.0)
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / n
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.0)
+    mwl = mean_word_len(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return F.round(
+        0.25 * len_ok + 0.25 * punct_ok + 0.25 * mwl_ok + 0.25 * distinct_ratio, 4
+    )
+
+
+def fingerprint(text, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint: min rolling-window hash over the
+    token stream (robust to suffix/prefix edits, unlike a full-text hash)."""
+    toks = tokens(text)
+    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    return F.array_min(window_hashes)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set to a documents table."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,43 @@
+"""The driver-checked query registry (SURVEY §2.3 — the t2 contract).
+
+Each family module exposes ``QUERIES: dict[str, callable(spark, sf_dir) ->
+DataFrame]`` and ``ORACLE: dict[str, str]`` (DuckDB SQL). Keys without an
+oracle entry get the driver's weaker rows-only check (approximate /
+side-effecting / hash-function-dependent ops only).
+
+Determinism rules applied throughout (SURVEY §2.3 header):
+  - every computed column aliased identically in Spark and SQL
+  - floating aggregates ROUND-wrapped (2dp money, 4dp ratios/similarity)
+  - every LIMIT carries a total order with an id tiebreak
+  - integer-ish result columns cast so Spark and DuckDB dtypes agree
+    (DuckDB: year()->BIGINT, count->BIGINT, sum(BIGINT)->HUGEINT, ...)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_to_parquet_spark.queries import llm, relational, scalars, sinks, stream, udf, windows
+
+_MODULES = (relational, windows, scalars, stream, udf, llm, sinks)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        assert not overlap, f"duplicate query keys: {overlap}"
+        out.update(m.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    qk = queries().keys()
+    stray = out.keys() - qk
+    assert not stray, f"oracle without query: {stray}"
+    return out

@@ -1,0 +1,298 @@
+"""LLM-data-pipeline queries (SURVEY §2.3 N★): dedup, text analysis,
+similarity search, multimodal join.
+
+Oracle-checked where exactly expressible in SQL; the hash-function-
+dependent scale paths (MinHash LSH, SimHash, hyperplane LSH, fingerprint,
+lang-ID) are rows-only — their correctness is pinned by unit tests against
+the exact variants instead (tests/test_dedup.py, test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions.textfns import mean_word_len, token_count
+from mongo_to_parquet_spark.functions.vector import cosine, norm
+from mongo_to_parquet_spark.operators import dedup, similarity, text
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key, sql=None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# ----------------------------------------------------------------- dedup ---
+@q(
+    "q_dedup_exact",
+    """
+    SELECT sha256(text) AS doc_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf):
+    return dedup.exact_groups(T(spark, sf, "documents"))
+
+
+@q(
+    "q_dedup_fuzzy",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM tok GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.8
+    """,
+)
+def q_dedup_fuzzy(spark, sf):
+    return dedup.jaccard_pairs(T(spark, sf, "documents"), threshold=0.8)
+
+
+@q("q_dedup_minhash")  # rows-only: LSH recall is probabilistic by design
+def q_dedup_minhash(spark, sf):
+    return dedup.minhash_pairs(T(spark, sf, "documents"), threshold=0.8)
+
+
+@q("q_dedup_simhash")  # rows-only: depends on xxhash64 (no DuckDB equivalent)
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash_pairs(T(spark, sf, "documents"), max_hamming=3)
+
+
+@q(
+    "q_dedup_embed",
+    """
+    SELECT l.label AS blk, l.vec_id AS id1, r.vec_id AS id2,
+           ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                        CAST(r.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                       CAST(r.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
+def q_dedup_embed(spark, sf):
+    # embedding near-dup mining, blocked by label (the scale-safe shape:
+    # block → pairs within block only). τ=0.4 because the synthetic fixture
+    # vectors are near-orthogonal (max intra-label cosine ≈ 0.47) — a real
+    # corpus would use ≥0.95.
+    return similarity.pairwise_cosine(
+        T(spark, sf, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+# ------------------------------------------------------------ text stats ---
+@q(
+    "q_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf):
+    # integer sums are exact in both engines → identical quotient doubles,
+    # no ROUND needed (and none of its cross-engine tie hazards).
+    d = T(spark, sf, "documents")
+    cnt = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / cnt).alias("avg_chars"),
+        (F.sum(token_count(F.col("text")).cast("long")).cast("double") / cnt).alias("avg_tokens"),
+    )
+
+
+@q(
+    "q_text_quality_filter",
+    """
+    SELECT doc_id, lang, n_chars,
+           ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_wl
+    FROM documents
+    WHERE n_chars BETWEEN 60 AND 2000
+      AND lang IN ('en', 'es', 'fr', 'de')
+      AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2.0 AND 8.0
+    """,
+)
+def q_text_quality_filter(spark, sf):
+    d = T(spark, sf, "documents")
+    mwl = mean_word_len(F.col("text"))
+    return (
+        d.filter(
+            F.col("n_chars").between(60, 2000)
+            & F.col("lang").isin("en", "es", "fr", "de")
+            & mwl.between(2.0, 8.0)
+        )
+        .select("doc_id", "lang", "n_chars", F.round(mwl, 4).alias("mean_wl"))
+    )
+
+
+@q(
+    "q_text_tokenize",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_tokenize(spark, sf):
+    from mongo_to_parquet_spark.functions.textfns import regex_token_count
+
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@q("q_text_langid")  # rows-only: heuristic marker profile, not SQL-portable
+def q_text_langid(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("q_text_fingerprint")  # rows-only: xxhash64-based rolling fingerprint
+def q_text_fingerprint(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------------- similarity --
+@q(
+    "q_sim_topk",
+    """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(p AS DOUBLE[])), 4) AS sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark, sf):
+    # ordered by the ROUNDED sim on both sides — otherwise sub-4dp ties
+    # could select different rows in each engine.
+    return similarity.brute_force_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
+
+
+@q("q_sim_topk_lsh")  # rows-only: hyperplane-bucket approximate variant
+def q_sim_topk_lsh(spark, sf):
+    return similarity.lsh_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
+
+
+@q("q_sim_topk_ivf")  # rows-only: IVF coarse-quantization approximate variant
+def q_sim_topk_ivf(spark, sf):
+    return similarity.ivf_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
+
+
+@q(
+    "q_sim_pairs_label",
+    """
+    SELECT l.label,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                            CAST(r.embedding AS DOUBLE[]))), 4) AS avg_sim
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    GROUP BY l.label
+    """,
+)
+def q_sim_pairs_label(spark, sf):
+    e = T(spark, sf, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cosine(F.col("v1"), F.col("v2"))), 4).alias("avg_sim"),
+        )
+    )
+
+
+# -------------------------------------------------------------- multimodal -
+@q(
+    "q_mm_join_docs",
+    """
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+           e.label,
+           ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 4) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_mm_join_docs(spark, sf):
+    d = T(spark, sf, "documents")
+    e = T(spark, sf, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            "label",
+            F.round(norm(F.col("embedding")), 4).alias("vec_norm"),
+        )
+    )
+
+
+@q(
+    "q_mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'image' AS media_type
+    FROM documents
+    """,
+)
+def q_mm_binary_meta(spark, sf):
+    # binary-column plumbing: blob payload + typed metadata struct
+    from mongo_to_parquet_spark.operators.multimodal import attach_binary
+
+    m = attach_binary(T(spark, sf, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+@q("q_mm_features")  # rows-only: deterministic fake featurizer via mapInPandas
+def q_mm_features(spark, sf):
+    from mongo_to_parquet_spark.operators.multimodal import attach_binary, extract_features
+
+    m = attach_binary(T(spark, sf, "documents"))
+    feats = extract_features(m, fake=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0")
+    )

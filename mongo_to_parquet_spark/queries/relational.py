@@ -1,0 +1,526 @@
+"""Scans, filters, joins, aggregations, sorts, set ops (SURVEY §2.3).
+
+Generalizes the reference's scan/filter/project surface (R1-R3,
+reference main.py:288-303,107) to the full relational core. Physical-plan
+intent per query is noted where it matters at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+# the reference's only predicate: inclusive-both-ends date range
+# (main.py:291,293) — reused as this module's canonical range.
+DATE_START = "1996-01-01"
+DATE_END = "1997-12-31"
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------- scans ----
+@q("q_scan_full", "SELECT * FROM region")
+def q_scan_full(spark, sf):
+    # R1: full collection scan. Trivially parallel; nothing to optimize.
+    return T(spark, sf, "region")
+
+
+@q("q_scan_project", "SELECT l_orderkey, l_extendedprice FROM lineitem")
+def q_scan_project(spark, sf):
+    # R3 done right: projection reaches the parquet scan (ReadSchema shows
+    # 2 of 11 columns) instead of the reference's client-side pop (main.py:107).
+    return T(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@q(
+    "q_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+)
+def q_json_extract(spark, sf):
+    # Mongo-document analog: JSON prop extraction, JVM-side.
+    return T(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# -------------------------------------------------------------- filters ----
+@q(
+    "q_filter_daterange",
+    f"SELECT * FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '{DATE_START}' AND TIMESTAMP '{DATE_END}'",
+)
+def q_filter_daterange(spark, sf):
+    # R2 exactly: inclusive bounds both ends; Catalyst pushes to the scan.
+    return T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(F.lit(DATE_START).cast("timestamp_ntz"),
+                                    F.lit(DATE_END).cast("timestamp_ntz"))
+    )
+
+
+@q(
+    "q_filter_compound",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F') AND o_totalprice > 150000.0)
+       OR (NOT o_orderpriority = '1-URGENT' AND o_totalprice <= 30000.0)
+    """,
+)
+def q_filter_compound(spark, sf):
+    o = T(spark, sf, "orders")
+    cond = (F.col("o_orderstatus").isin("O", "F") & (F.col("o_totalprice") > 150000.0)) | (
+        (~(F.col("o_orderpriority") == "1-URGENT")) & (F.col("o_totalprice") <= 30000.0)
+    )
+    return o.filter(cond).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@q(
+    "q_filter_like",
+    r"""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%bolt%' OR regexp_matches(p_name, '^(red|blue) ')
+    """,
+)
+def q_filter_like(spark, sf):
+    p = T(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").like("%bolt%") | F.col("p_name").rlike("^(red|blue) ")
+    ).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------- joins ----
+@q(
+    "q_join_broadcast",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast(spark, sf):
+    # small dim → explicit broadcast: no shuffle of the fact side.
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@q(
+    "q_join_sortmerge",
+    """
+    SELECT o_orderkey, o_custkey, l_linenumber, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def q_join_sortmerge(spark, sf):
+    # large×large equi-join → shuffle on the key (SMJ/SHJ, AQE decides).
+    o, l = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    return o.join(l, o.o_orderkey == l.l_orderkey, "inner").select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@q(
+    "q_join_multiway",
+    f"""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '{DATE_START}' AND TIMESTAMP '{DATE_END}'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multiway(spark, sf):
+    # TPC-H-style chain: facts shuffle on their keys, dims broadcast.
+    c, o, l = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    s, n, r = T(spark, sf, "supplier"), T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        c.join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit(DATE_START).cast("timestamp_ntz"), F.lit(DATE_END).cast("timestamp_ntz")
+                )
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            # exact DECIMAL aggregation, cast to double at the end: the fixture
+            # prices/discounts are 2-decimal values, so decimal math makes the
+            # sum a single exact rational in BOTH engines → bit-identical
+            # doubles, no ROUND boundary hazard (see tools/parity.py notes).
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q_join_left",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@q(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "q_join_theta_range",
+    """
+    SELECT a.event_id AS id1, b.event_id AS id2,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) <= 300000000
+    """,
+)
+def q_join_theta_range(spark, sf):
+    # equi on user_id + range residual: stays a shuffled equi-join with a
+    # post-condition, NOT a nested-loop — the 100 TB-safe shape.
+    e = T(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.us") > F.col("a.us"))
+            & (F.col("b.us") - F.col("a.us") <= 300_000_000),
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id").alias("id2"),
+            (F.col("b.us") - F.col("a.us")).alias("delta_us"),
+        )
+    )
+
+
+@q(
+    "q_join_asof",
+    """
+    SELECT e.event_id, e.user_id, s.ts AS signup_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def q_join_asof(spark, sf):
+    from mongo_to_parquet_spark.operators.asof import asof_join
+
+    e = T(spark, sf, "events")
+    left = e.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = asof_join(left, right, on="user_id", left_time="ts", right_time="ts", carry=["ts"])
+    return out.select("event_id", "user_id", F.col("ts_asof").alias("signup_ts"))
+
+
+# ----------------------------------------------------------------- aggs ----
+@q(
+    "q_agg_global",
+    """
+    SELECT COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf):
+    return T(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@q(
+    "q_agg_groupby",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{DATE_END}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark, sf):
+    # TPC-H Q1 shape: partial (map-side) + final hash agg on 2 low-card keys.
+    l = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(DATE_END).cast("timestamp_ntz")
+    )
+    # DECIMAL-exact money aggregation (see q_join_multiway note); averages as
+    # exact-sum / count so both engines divide bit-identical numerators.
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(8,2)")
+    dec_tax = F.col("l_tax").cast("decimal(8,2)")
+    cnt = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.sum(dec_price * (F.lit(1) - dec_disc)).cast("double").alias("sum_disc_price"),
+        F.sum(dec_price * (F.lit(1) - dec_disc) * (F.lit(1) + dec_tax))
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec_price).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec_disc).cast("double") / cnt).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q_agg_distinct",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@q("q_agg_approx_distinct")  # rows-only: HLL++ ≠ DuckDB's approx sketch
+def q_agg_approx_distinct(spark, sf):
+    return T(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@q(
+    "q_agg_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT))
+    """,
+)
+def q_agg_rollup(spark, sf):
+    o = T(spark, sf, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        "o_totalprice",
+    )
+    return o.rollup("yr", "mo").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@q(
+    "q_agg_cube",
+    """
+    SELECT event_type, CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS yr,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(CAST(ts AS TIMESTAMP)) AS INT))
+    """,
+)
+def q_agg_cube(spark, sf):
+    e = T(spark, sf, "events").select(
+        "event_type", F.year("ts").cast("int").alias("yr"), "value"
+    )
+    return e.cube("event_type", "yr").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val")
+    )
+
+
+@q(
+    "q_agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf):
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
+    "q_agg_having",
+    """
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 500000.0
+    """,
+)
+def q_agg_having(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("_spend_raw"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_spend_raw") > 500000.0)  # HAVING on the unrounded sum
+        .select(
+            "o_custkey", F.round("_spend_raw", 2).alias("spend"), "n_orders"
+        )
+    )
+
+
+# -------------------------------------------------------- sorts / top-k ----
+@q(
+    "q_sort_multi",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def q_sort_multi(spark, sf):
+    # global range-partitioned sort (sample → range exchange → local sort)
+    return (
+        T(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+
+
+@q(
+    "q_topk_global",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+)
+def q_topk_global(spark, sf):
+    # planned as TakeOrderedAndProject: per-partition top-10 + driver merge —
+    # no global sort, the right plan at any scale.
+    return (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------- set ops ----
+_SLICE_O = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+_SLICE_F = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+
+
+@q("q_set_union_all", f"{_SLICE_O} UNION ALL {_SLICE_F}")
+def q_set_union_all(spark, sf):
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.unionByName(b)
+
+
+@q("q_set_intersect", f"{_SLICE_O} INTERSECT {_SLICE_F}")
+def q_set_intersect(spark, sf):
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@q("q_set_except", f"{_SLICE_O} EXCEPT ALL {_SLICE_F}")
+def q_set_except(spark, sf):
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)

@@ -1,0 +1,86 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.3).
+
+Python crosses the boundary ONLY as Arrow-batched pandas UDFs — the
+10-100× rule vs row-at-a-time Python UDFs (pyspark guide). The UDTF row
+is deliberately the built-in explode(split(...)) composition: when a
+built-in expresses the semantics, the UDTF is the wrong tool at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key, sql=None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+@F.pandas_udf(DoubleType())
+def _charge(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # vectorized IEEE double math — bit-identical to the SQL expression
+    return ext * (1.0 - disc) * (1.0 + tax)
+
+
+@q(
+    "q_udf_scalar_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q_udf_scalar_pandas(spark, sf):
+    # no ROUND: both sides run the identical left-associated IEEE sequence,
+    # so the doubles are bit-equal; rounding would only ADD tie hazards.
+    l = T(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _stddev(v: pd.Series) -> float:
+    # grouped-agg pandas UDF; ddof=1 == stddev_samp
+    return float(v.std(ddof=1))
+
+
+@q(
+    "q_udaf_grouped",
+    """
+    SELECT event_type, ROUND(stddev_samp(value), 4) AS value_std
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped(spark, sf):
+    e = T(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(_stddev("value"), 4).alias("value_std")
+    )
+
+
+@q(
+    "q_udtf_split",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+)
+def q_udtf_split(spark, sf):
+    # UDTF-equivalent: one row per token. explode(split()) stays JVM-side;
+    # a Python UDTF would pay the Arrow round-trip for no expressiveness gain.
+    return T(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )

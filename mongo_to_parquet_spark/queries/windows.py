@@ -1,0 +1,159 @@
+"""Window-function queries (SURVEY §2.3).
+
+All single-shuffle: one exchange on the partition key, then sorted runs.
+Every ranking carries a deterministic tiebreak so the oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key, sql=None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+_ORD = "ORDER BY o_totalprice DESC, o_orderkey ASC"
+
+
+@q(
+    "q_win_rank",
+    f"""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank()       OVER (PARTITION BY o_custkey {_ORD}) AS INT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey {_ORD}) AS INT) AS drnk,
+           CAST(row_number() OVER (PARTITION BY o_custkey {_ORD}) AS INT) AS rn
+    FROM orders
+    """,
+)
+def q_win_rank(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    )
+
+
+@q(
+    "q_win_topk_group",
+    f"""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey {_ORD}) AS INT) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_win_topk_group(spark, sf):
+    # top-3 per group via rank-filter: Spark pushes a per-partition limit
+    # into the window sort (WindowGroupLimit) — no full materialization.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "q_win_lag_lead",
+    """
+    SELECT event_id, user_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 4) AS delta
+    FROM events
+    """,
+)
+def q_win_lag_lead(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@q(
+    "q_win_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+    FROM orders
+    """,
+)
+def q_win_running(spark, sf):
+    # DECIMAL window sums → bit-identical doubles in both engines (frame avgs
+    # over tiny counts sit ON round-tie boundaries constantly otherwise).
+    ww = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = ww.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(run).cast("double").alias("running_total"),
+        (F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias("moving_avg3"),
+    )
+
+
+@q(
+    "q_win_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS cum_share
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark, sf):
+    ww = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec).over(run).cast("double") / F.sum(dec).over(total).cast("double")).alias(
+            "cum_share"
+        ),
+    )
