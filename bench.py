@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect overhead), timed wall-clock after a warmup scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongo_to_parquet_spark import get_spark  # noqa: E402
+from mongo_to_parquet_spark.queries import queries  # noqa: E402
+
+#: headline set: one per operator family that matters at scale
+HEADLINE = [
+    "q_agg_groupby",        # TPC-H Q1 shape: scan + hash agg
+    "q_join_multiway",      # 6-table join chain + agg
+    "q_join_sortmerge",     # large-large shuffle join
+    "q_join_asof",          # union + window as-of idiom
+    "q_win_topk_group",     # window rank + group limit
+    "q_topk_global",        # TakeOrderedAndProject
+    "q_stream_tumbling",    # time-bucketed agg
+    "q_dedup_exact",        # hash groupBy dedup
+    "q_dedup_minhash",      # MinHash-LSH near-dup (the scale path; the
+                            # exact token-join variant is quadratic by
+                            # nature and benched only at oracle scale)
+    "q_sim_topk",           # brute-force cosine top-k
+    "q_udf_scalar_pandas",  # Arrow-batched pandas UDF
+    "q_text_quality_filter",  # per-row text heuristics
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # warmup: JVM + fixture file listing
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

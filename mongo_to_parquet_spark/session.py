@@ -24,6 +24,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # CAST(ts AS TIMESTAMP) truncation — verified in tests).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # hive partition values stay strings: the reference's `year=` column is
+    # a string that can hold both "2020" and "unknown" (main.py:110-117)
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

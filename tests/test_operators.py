@@ -1,0 +1,172 @@
+"""Unit tests for the custom operators: as-of join, dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.operators import dedup, multimodal, similarity, text
+from mongo_to_parquet_spark.operators.asof import asof_join
+
+
+# ------------------------------------------------------------------ as-of --
+def _t(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s)
+
+
+def test_asof_basic_and_equal_ts(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k="u", t=_t(5)), Row(id=2, k="u", t=_t(10)), Row(id=3, k="u", t=_t(1))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", t=_t(2), v="early"), Row(k="u", t=_t(10), v="exact")]
+    )
+    out = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(left, right, "k", "t", "t", carry=["v"]).collect()
+    }
+    assert out[3] is None          # before any right row
+    assert out[1] == "early"       # most recent prior
+    assert out[2] == "exact"       # equal timestamps match (<=, ASOF semantics)
+
+
+def test_asof_no_cross_key_leak(spark):
+    left = spark.createDataFrame([Row(id=1, k="a", t=_t(5))])
+    right = spark.createDataFrame([Row(k="b", t=_t(1), v="other-key")])
+    out = asof_join(left, right, "k", "t", "t", carry=["v"]).collect()
+    assert out[0]["v_asof"] is None
+
+
+# ------------------------------------------------------------------ dedup --
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"),            # exact dup of 1
+            Row(doc_id=3, text="a b c d e g"),            # near dup (J=5/7)
+            Row(doc_id=4, text="x y z w q r"),            # unrelated
+        ]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = {r["doc_id"] for r in dedup.exact_dedup(_docs(spark)).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_jaccard_pairs_exact_values(spark):
+    pairs = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert abs(pairs[(1, 3)] - round(5 / 7, 4)) < 1e-9
+    assert abs(pairs[(2, 3)] - round(5 / 7, 4)) < 1e-9
+    assert len(pairs) == 3
+
+
+def test_minhash_finds_exact_dups_and_verifies(spark):
+    # exact dups share every band → always candidates; verification is the
+    # true Jaccard, so reported pairs are a SUBSET of the exact pairs with
+    # identical scores.
+    exact = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    mh = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.minhash_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in mh and mh[(1, 2)] == 1.0
+    for pair, j in mh.items():
+        assert exact[pair] == j
+
+
+def test_simhash_exact_dups_distance_zero(spark):
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in dedup.simhash_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+# -------------------------------------------------------------- similarity --
+def _emb(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0], label=0),   # closest
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0], label=0),   # orthogonal
+            Row(vec_id=3, embedding=[-1.0, 0.0, 0.0], label=1),  # opposite
+        ]
+    )
+
+
+def test_brute_force_topk_order(spark):
+    got = [r["vec_id"] for r in similarity.brute_force_topk(_emb(spark), probe_id=0, k=3).collect()]
+    assert got == [1, 2, 3]  # by descending cosine
+
+
+def test_pairwise_cosine_blocked(spark):
+    rows = similarity.pairwise_cosine(_emb(spark), block_col="label").collect()
+    pairs = {(r["id1"], r["id2"]) for r in rows}
+    # only intra-label pairs exist
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"]: r["sim"] for r in similarity.brute_force_topk(emb, 0, k=100).collect()}
+    approx = similarity.lsh_topk(emb, 0, k=10).collect()
+    assert len(approx) > 0
+    for r in approx:  # approximate scores must agree with exact scores
+        assert exact[r["vec_id"]] == r["sim"]
+
+
+# -------------------------------------------------------------------- text --
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat and the dog is here"), Row(t="el que la de los"), Row(t="qq ww ee")]
+    )
+    got = [r["p"] for r in df.select(text.lang_id(F.col("t")).alias("p")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_range_and_repetition(spark):
+    df = spark.createDataFrame([Row(t="word " * 50), Row(t="a diverse set of many different words here")])
+    s = [r["q"] for r in df.select(text.quality_score(F.col("t")).alias("q")).collect()]
+    assert all(0.0 <= x <= 1.0 for x in s)
+    assert s[1] > s[0]  # repetitive text scores lower
+
+
+def test_fingerprint_properties(spark):
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame([Row(t=base), Row(t=base), Row(t=base + " nine"), Row(t="totally different words")])
+    fps = [r["f"] for r in df.select(text.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]       # deterministic: same text → same fingerprint
+    assert fps[2] <= fps[0]       # superset of windows can only lower the min
+    assert fps[0] != fps[3]
+
+
+# -------------------------------------------------------------- multimodal --
+def test_multimodal_feature_stub(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc"), Row(doc_id=2, text="abcdef")])
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.extract_features(media, fake=True, dim=4).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 3 and by_id[2]["n_bytes"] == 6
+    assert len(by_id[1]["feature"]) == 4
+    # deterministic: same payload → same feature
+    again = multimodal.extract_features(media, fake=True, dim=4).collect()
+    assert {r["doc_id"]: r["feature"] for r in again} == {r["doc_id"]: r["feature"] for r in feats}
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    media = multimodal.attach_binary(docs)
+    import pytest
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.extract_features(media, fake=False).collect()

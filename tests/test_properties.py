@@ -1,0 +1,86 @@
+"""Property-based algebraic invariants (SURVEY §5.4), hypothesis-driven on
+small in-memory tables so each property runs many random cases quickly."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.operators import dedup
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 5), st.floats(0, 100, allow_nan=False)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, data):
+    if not data:
+        return spark.createDataFrame([], "id: bigint, k: bigint, v: double")
+    return spark.createDataFrame([Row(id=i, k=k, v=v) for i, k, v in data])
+
+
+@given(rows_strategy, st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_filter_composition(spark, data, split):
+    # filter(p) ∘ filter(q) ≡ filter(p ∧ q)
+    df = _df(spark, data)
+    a = df.filter(F.col("k") >= split).filter(F.col("v") < 50.0).count()
+    b = df.filter((F.col("k") >= split) & (F.col("v") < 50.0)).count()
+    assert a == b
+
+
+@given(rows_strategy, rows_strategy)
+@settings(**_SETTINGS)
+def test_union_all_count_additive(spark, d1, d2):
+    a, b = _df(spark, d1), _df(spark, d2)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+@given(rows_strategy)
+@settings(**_SETTINGS)
+def test_semi_join_equals_inner_distinct_project(spark, data):
+    df = _df(spark, data)
+    other = df.filter(F.col("v") > 30.0).select(F.col("k").alias("kk"))
+    semi = df.join(other, df.k == other.kk, "left_semi").count()
+    inner = (
+        df.join(other.distinct(), df.k == other.kk, "inner")
+        .select("id", "k", "v")
+        .distinct()
+        .count()
+    )
+    assert semi == inner
+
+
+@given(st.lists(st.sampled_from(["a b c", "a b", "x y z", "a b c d"]), min_size=0, max_size=12))
+@settings(**_SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    if not texts:
+        return
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    once = dedup.exact_dedup(df)
+    twice = dedup.exact_dedup(once)
+    assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+        r["doc_id"] for r in twice.collect()
+    )
+    # one survivor per distinct text
+    assert once.count() == len(set(texts))
+
+
+@given(rows_strategy)
+@settings(**_SETTINGS)
+def test_groupby_sum_partition_invariant(spark, data):
+    # aggregation result independent of physical partitioning
+    df = _df(spark, data)
+    a = sorted(df.groupBy("k").agg(F.count("*").alias("c")).collect())
+    b = sorted(df.repartition(7, "k").groupBy("k").agg(F.count("*").alias("c")).collect())
+    assert a == b

@@ -1,0 +1,100 @@
+"""Pin the reference's edge semantics (SURVEY §2.1 traps; FIXTURES.md
+micro-fixtures): inclusive date bounds, year=unknown routing, _id drop,
+schema policy, config behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.config import JobConfig
+from mongo_to_parquet_spark.sources.export import (
+    UNKNOWN_BUCKET,
+    export_partitioned,
+    filter_date_range,
+    with_date_parts,
+)
+
+
+def _mongo_docs(spark):
+    # FIXTURES.md `mongo_docs` micro-fixture
+    return spark.createDataFrame(
+        [
+            Row(_id="a", created_at=dt.datetime(2020, 5, 17), payload=Row(k=1), tags=["x"]),
+            Row(_id="b", created_at=dt.datetime(2021, 1, 1), payload=Row(k=2), tags=[]),
+            Row(_id="c", created_at=None, payload=Row(k=3), tags=["y", "z"]),
+        ]
+    )
+
+
+def test_inclusive_bounds_both_ends(spark):
+    # reference main.py:291,293 — $gte AND $lte
+    df = spark.createDataFrame(
+        [Row(d=dt.datetime(2020, 1, 1)), Row(d=dt.datetime(2020, 6, 1)), Row(d=dt.datetime(2020, 12, 31))]
+    )
+    got = filter_date_range(df, "d", dt.datetime(2020, 1, 1), dt.datetime(2020, 12, 31)).count()
+    assert got == 3  # rows exactly ON both bounds are kept
+
+
+def test_no_filter_when_bounds_none(spark):
+    df = spark.createDataFrame([Row(d=dt.datetime(2020, 1, 1)), Row(d=None)])
+    assert filter_date_range(df, "d", None, None).count() == 2
+
+
+def test_year_unknown_bucket(spark):
+    # reference main.py:110 — missing/invalid date → year="unknown"
+    out = with_date_parts(_mongo_docs(spark), "created_at")
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows["a"]["year"] == "2020" and rows["a"]["month"] == 5 and rows["a"]["day"] == 17
+    assert rows["c"]["year"] == UNKNOWN_BUCKET
+    assert rows["c"]["month"] is None and rows["c"]["day"] is None
+
+
+def test_export_partition_layout(spark, tmp_path):
+    out = str(tmp_path / "exp")
+    export_partitioned(_mongo_docs(spark), out, "created_at")
+    back = spark.read.parquet(out)
+    # _id dropped (reference main.py:107), hive year= dirs incl. unknown
+    assert "_id" not in back.columns
+    years = {r["year"] for r in back.select("year").distinct().collect()}
+    assert years == {"2020", "2021", UNKNOWN_BUCKET}
+    # schema is uniform across partitions (NOT the reference's per-partition
+    # frozen inference, main.py:120-127)
+    assert back.filter(F.col("year") == UNKNOWN_BUCKET).columns == back.columns
+
+
+def test_export_respects_date_range(spark, tmp_path):
+    out = str(tmp_path / "exp2")
+    export_partitioned(
+        _mongo_docs(spark), out, "created_at",
+        start=dt.datetime(2020, 1, 1), end=dt.datetime(2020, 12, 31),
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 1 and back.collect()[0]["year"] == "2020"
+
+
+def test_config_include_exclude_xor():
+    # reference main.py:35-36
+    with pytest.raises(ValueError):
+        JobConfig(include_databases=["a"], exclude_databases=["b"])
+
+
+def test_config_batch_size_typo_fixed(tmp_path):
+    # the reference only honors the misspelled "bacth_size" (main.py:31);
+    # we honor both, preferring the correct spelling
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"bacth_size": 123}))
+    assert JobConfig.from_json(p).batch_size == 123
+    p.write_text(json.dumps({"batch_size": 456, "bacth_size": 123}))
+    assert JobConfig.from_json(p).batch_size == 456
+
+
+def test_config_db_selection():
+    cfg = JobConfig(include_databases=["a", "b"])
+    assert cfg.select_databases(["a", "c"]) == ["a"]
+    cfg2 = JobConfig(exclude_databases=["c"])
+    assert cfg2.select_databases(["a", "c"]) == ["a"]

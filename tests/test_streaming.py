@@ -1,0 +1,55 @@
+"""Streaming parity: the readStream plans converge to the batch answers
+(SURVEY §5.5), plus watermark late-data and streaming-dedup behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from mongo_to_parquet_spark.queries.stream import QUERIES as BATCH_Q
+from mongo_to_parquet_spark.streaming import windows as sw
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["cnt"], r["sum_val"])
+        for r in BATCH_Q["q_stream_tumbling"](spark, sf_dir).collect()
+    }
+    # replay files are not time-ordered → watermark must exceed the replay
+    # disorder for an exact-parity run (late-drop is tested separately)
+    stream = sw.tumbling_counts(sw.replay_events(spark, sf_dir), watermark="35 days")
+    rows = sw.run_to_completion(stream, mode="complete")
+    got = {(r["bucket_start"], r["event_type"]): (r["cnt"], r["sum_val"]) for r in rows}
+    assert got == batch
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    batch = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in BATCH_Q["q_stream_sessionize"](spark, sf_dir).collect()
+    }
+    stream = sw.sessionized(sw.replay_events(spark, sf_dir), watermark="35 days")
+    rows = sw.run_to_completion(stream, mode="complete")
+    got = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"]) for r in rows}
+    assert got == batch
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    # two files so the duplicate arrives in a later micro-batch
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    f1 = spark.createDataFrame(
+        [Row(event_id=1, ts=base, v=1.0), Row(event_id=2, ts=base + dt.timedelta(minutes=1), v=2.0)]
+    )
+    f2 = spark.createDataFrame(
+        [Row(event_id=1, ts=base + dt.timedelta(minutes=2), v=9.9),  # dup id within watermark
+         Row(event_id=3, ts=base + dt.timedelta(minutes=3), v=3.0)]
+    )
+    d = str(tmp_path / "stream_in")
+    f1.coalesce(1).write.mode("append").parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(f1.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sw.run_to_completion(sw.dedup_within_watermark(stream, watermark="1 hour"))
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
