@@ -22,6 +22,8 @@ path stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,13 +77,20 @@ def jaccard_pairs(
         self-join on shingle to count intersections, join per-doc sizes,
         filter. Hot shingles are the scale hazard — beyond small candidate
         sets use :func:`minhash_pairs`.
+
+    Strategy probes are deliberately cheap: the corpus size comes from the
+    Parquet footer (``docs.count()`` is metadata-only on a scan) and the
+    vocabulary probe is a ``limit(cap+1).collect()`` that short-circuits as
+    soon as the cap is exceeded — the collected vocabulary doubles as the
+    bit dictionary, so the bitset path never shuffles to assign bits.
     """
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
-    vocab = base.select(F.explode("sh").alias("s")).distinct()
     # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
-    if vocab.count() <= min(bitmask_max_vocab, 64) and base.count() <= bitmask_max_docs:
-        return _jaccard_pairs_bitset(base, vocab, threshold)
+    cap = min(bitmask_max_vocab, 64)
+    vocab_rows = base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
+    if len(vocab_rows) <= cap and docs.count() <= bitmask_max_docs:
+        return _jaccard_pairs_bitset(base, sorted(r["s"] for r in vocab_rows), threshold)
     doc_sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")
     )
@@ -107,21 +116,34 @@ def jaccard_pairs(
     )
 
 
-def _jaccard_pairs_bitset(base: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard via 64-bit set masks (see jaccard_pairs docstring)."""
-    from pyspark.sql import Window
+def _jaccard_pairs_bitset(base: DataFrame, vocab: list, threshold: float) -> DataFrame:
+    """Exact Jaccard via 64-bit set masks (see jaccard_pairs docstring).
 
-    bits = vocab.select(
-        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("bit")
+    ``vocab`` is the full (≤64-entry) shingle dictionary, already collected
+    by the caller's probe. Encoding it as a literal map makes the mask a
+    pure scan-side expression — the whole plan is two scans and the
+    pair join, zero shuffles. The stream side is repartitioned so the
+    quadratic pair loop parallelizes even when the source is one small
+    Parquet file (docs with an empty shingle set get mask 0; their
+    0/0 Jaccard is NULL and never passes the threshold, matching the
+    explode-join path which drops them before pairing).
+    """
+    bitmap = F.create_map(
+        *itertools.chain.from_iterable(
+            (F.lit(s), F.lit(i)) for i, s in enumerate(vocab)
+        )
     )
-    masks = (
-        base.select("doc", F.explode("sh").alias("s"))
-        .join(F.broadcast(bits), "s")
-        .groupBy("doc")
-        .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    one = F.lit(1).cast("long")
+    mask = F.aggregate(
+        F.col("sh"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseOR(F.call_function("shiftleft", one, bitmap[s])),
     )
-    # distinct bits → the per-doc sum of powers of two IS the bitwise OR
-    a = masks.select(F.col("doc").alias("doc1"), F.col("mask").alias("m1"))
+    masks = base.select("doc", mask.alias("mask"))
+    spark = base.sparkSession
+    a = masks.select(F.col("doc").alias("doc1"), F.col("mask").alias("m1")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = masks.select(F.col("doc").alias("doc2"), F.col("mask").alias("m2"))
     return (
         a.join(F.broadcast(b), F.col("doc1") < F.col("doc2"))

@@ -35,6 +35,35 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """The hand-written applyInPandasWithState sessionizer agrees with the
+    batch gap-and-island answer: every emitted session matches exactly, and
+    every session that can be closed (all but each user's final one, which
+    may still be open at the final watermark) IS emitted."""
+    from mongo_to_parquet_spark.streaming import stateful
+
+    batch = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in BATCH_Q["q_stream_sessionize"](spark, sf_dir).collect()
+    }
+    stream = stateful.sessionize_stateful(
+        sw.replay_events(spark, sf_dir), gap_minutes=30, watermark="1 minute"
+    )
+    rows = sw.run_to_completion(stream, mode="append")
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in rows
+    }
+    assert len(got) == len(rows), "a session was emitted twice"
+    for k, v in got.items():
+        assert batch[k] == v, f"session {k}: stream={v} batch={batch[k]}"
+    last_start = {}
+    for u, s in batch:
+        last_start[u] = max(last_start.get(u, s), s)
+    required = {(u, s) for (u, s) in batch if s != last_start[u]}
+    assert required <= set(got)
+
+
 def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     # two files so the duplicate arrives in a later micro-batch
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
