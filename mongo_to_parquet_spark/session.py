@@ -39,7 +39,7 @@ def builder_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # --- shuffle sizing: ~1 partition per core locally; a real cluster
-        # run would size this to total cores × 2-3 (see plans/scale_notes) ---
+        # run would size this to total cores × 2-3 (see SCALE.md) ---
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
         # --- sink heritage from the reference (BASELINE.md) ---
         "spark.sql.parquet.compression.codec": "zstd",
