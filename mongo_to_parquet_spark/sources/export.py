@@ -8,7 +8,7 @@ one declarative statement:
     read (pushdown) → drop("_id") → withColumn(year/month/day) →
     write.partitionBy("year")
 
-Semantics preserved exactly (unit-tested in tests/test_export.py):
+Semantics preserved exactly (unit-tested in tests/test_reference_semantics.py):
   - date-range filter inclusive on BOTH ends (main.py:291,293)
   - year/month/day added as data columns only when the date field is a
     valid timestamp (main.py:92-100)
@@ -95,3 +95,32 @@ def export_partitioned(
     if coalesce_partitions:
         df = df.coalesce(coalesce_partitions)
     df.write.mode(mode).partitionBy("year").parquet(out_dir)
+
+
+def export_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    num_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted layout for shuffle-free co-located joins (SCALE.md).
+
+    A recurring pipeline that repeatedly joins two big fact tables on the
+    same key (orders ⋈ lineitem) pays the shuffle once at write time: when
+    both sides are bucketed by the join key into the same bucket count,
+    the join is a SortMergeJoin with NO Exchange on either side (asserted
+    in tests/test_reference_semantics.py). At 100 TB that turns the dominant recurring
+    shuffle into a one-time layout decision. Bucketing requires the table
+    catalog (``saveAsTable``) — pass ``path`` for an external location.
+    """
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_key)
+        .sortBy(bucket_key)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from mongo_to_parquet_spark.config import JobConfig
 from mongo_to_parquet_spark.sources.export import (
     UNKNOWN_BUCKET,
+    export_bucketed,
     export_partitioned,
     filter_date_range,
     with_date_parts,
@@ -75,6 +76,40 @@ def test_export_respects_date_range(spark, tmp_path):
     )
     back = spark.read.parquet(out)
     assert back.count() == 1 and back.collect()[0]["year"] == "2020"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located layout (SCALE.md): orders and lineitem bucketed by the
+    join key into the same bucket count, joined as SortMergeJoin with no
+    Exchange on either side — the recurring shuffle is paid once at write
+    time."""
+    from mongo_to_parquet_spark.plans.checks import formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    export_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey",
+        num_buckets=8, path=str(tmp_path / "orders_b"),
+    )
+    export_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey",
+        num_buckets=8, path=str(tmp_path / "lineitem_b"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the result is right: every lineitem finds its order
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
 def test_config_include_exclude_xor():
