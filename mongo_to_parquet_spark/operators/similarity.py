@@ -59,6 +59,42 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for MANY probes in ONE corpus scan.
+
+    The per-probe ``brute_force_topk`` costs a full scan each; at 100 TB
+    the right shape is to broadcast the whole probe batch, score every
+    (vector, probe) combination in a single pass, and take per-probe top-k
+    through a rank window — which Spark short-circuits to
+    ``WindowGroupLimit`` (asserted in tests/test_plans.py), so each
+    partition only keeps k rows per probe. Scan cost is paid once no
+    matter how many probes.
+    """
+    probes = F.broadcast(
+        emb.filter(F.col(id_col).isin(list(probe_ids))).select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        emb.crossJoin(probes)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def hyperplane_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 42):
     """Sign-pattern bucket id from deterministic pseudo-random hyperplanes.
 

@@ -202,6 +202,36 @@ def q_sim_topk(spark, sf):
     return similarity.brute_force_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
 
 
+@q(
+    "q_sim_topk_batch",
+    """
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p AS DOUBLE[])), 4) AS sim
+        FROM embeddings e, probes
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, vec_id, sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def q_sim_topk_batch(spark, sf):
+    # many probes, one corpus scan (WindowGroupLimit per-probe top-k);
+    # ranked on the ROUNDED sim like q_sim_topk so boundary ties agree.
+    return similarity.brute_force_topk_batch(
+        T(spark, sf, "embeddings"), probe_ids=[0, 1, 2, 3], k=10
+    )
+
+
 @q("q_sim_topk_lsh")  # rows-only: hyperplane-bucket approximate variant
 def q_sim_topk_lsh(spark, sf):
     return similarity.lsh_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)

@@ -193,3 +193,22 @@ def test_jaccard_bitset_and_explode_paths_agree(spark):
         for r in dedup.jaccard_pairs(small, 0.5, bitmask_max_vocab=0).collect()
     )
     assert c == d
+
+
+def test_batch_topk_matches_per_probe(spark, sf_dir):
+    """One-scan batched ANN equals N independent exact scans."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = brute_force_topk_batch(emb, probe_ids=[0, 3, 7], k=5)
+    got = {
+        (r["probe_id"], r["rk"]): (r["vec_id"], r["sim"]) for r in batch.collect()
+    }
+    for pid in (0, 3, 7):
+        single = brute_force_topk(emb, probe_id=pid, k=5).collect()
+        for rk, r in enumerate(single, start=1):
+            assert got[(pid, rk)] == (r["vec_id"], r["sim"])

@@ -58,3 +58,9 @@ def test_agg_has_partial_phase(spark, sf_dir):
 
 def test_scan_full_reads_no_filter(spark, sf_dir):
     assert checks.pushed_filters(QS["q_scan_full"](spark, sf_dir)) in ([], [""], ["[]"])
+
+
+def test_batch_topk_uses_window_group_limit(spark, sf_dir):
+    # N probes, one scan: per-probe top-k short-circuits in each partition
+    df = QS["q_sim_topk_batch"](spark, sf_dir)
+    assert checks.has_node(df, "WindowGroupLimit")
