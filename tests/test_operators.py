@@ -212,3 +212,37 @@ def test_batch_topk_matches_per_probe(spark, sf_dir):
         single = brute_force_topk(emb, probe_id=pid, k=5).collect()
         for rk, r in enumerate(single, start=1):
             assert got[(pid, rk)] == (r["vec_id"], r["sim"])
+
+
+def test_theta_range_banding_meets_every_pair_once(spark, tmp_path):
+    """Pairs that straddle a 5-min bucket boundary (and exact-boundary
+    deltas) are each found exactly once by the banded range join."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.queries.relational import QUERIES
+
+    base = dt.datetime(2024, 1, 1, 0, 4, 59)  # 1 s before a bucket edge
+    rows = [
+        Row(event_id=1, ts=base, user_id=7, event_type="x", value=0.0, props="{}"),
+        Row(event_id=2, ts=base + dt.timedelta(seconds=2), user_id=7,
+            event_type="x", value=0.0, props="{}"),                      # crosses edge
+        Row(event_id=3, ts=base + dt.timedelta(minutes=5), user_id=7,
+            event_type="x", value=0.0, props="{}"),                      # exactly 300 s from 1
+        Row(event_id=4, ts=base + dt.timedelta(minutes=11), user_id=7,
+            event_type="x", value=0.0, props="{}"),                      # out of range of all
+        Row(event_id=5, ts=base + dt.timedelta(seconds=2), user_id=8,
+            event_type="x", value=0.0, props="{}"),                      # other user
+    ]
+    d = str(tmp_path / "events_micro")
+    spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+    got = sorted(
+        (r["id1"], r["id2"], r["delta_us"])
+        for r in QUERIES["q_join_theta_range"](spark, d).collect()
+    )
+    assert got == [
+        (1, 2, 2_000_000),
+        (1, 3, 300_000_000),   # inclusive upper bound
+        (2, 3, 298_000_000),
+    ]
