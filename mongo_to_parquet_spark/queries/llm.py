@@ -66,6 +66,39 @@ def q_dedup_fuzzy(spark, sf):
     return dedup.jaccard_pairs(T(spark, sf, "documents"), threshold=0.8)
 
 
+@q(
+    "q_dedup_ngram",
+    """
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 3
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT x.doc AS doc1, y.doc AS doc2, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+        GROUP BY x.doc, y.doc
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf):
+    # word-trigram shingles: a much stricter near-dup notion than unigram
+    # token sets (q_dedup_fuzzy) — ordering matters, so shuffled copies
+    # don't collide. τ=0.5 splits the fixtures' bimodal distribution
+    # (true near-dups ≈0.99, background <0.1).
+    return dedup.jaccard_pairs(T(spark, sf, "documents"), threshold=0.5, ngram=3)
+
+
 @q("q_dedup_minhash")  # rows-only: LSH recall is probabilistic by design
 def q_dedup_minhash(spark, sf):
     return dedup.minhash_pairs(T(spark, sf, "documents"), threshold=0.8)
