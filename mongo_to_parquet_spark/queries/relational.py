@@ -234,38 +234,15 @@ def q_join_anti(spark, sf):
     """,
 )
 def q_join_theta_range(spark, sf):
-    # time-banded range join (SCALE.md): equi-join on (user_id, 5-min
-    # bucket) with the exact residual applied inside the band. A pair with
-    # 0 < Δ ≤ 5 min always lands in the same or adjacent bucket, so the
-    # later side is exploded to (bucket, bucket-1) and every pair is met
-    # exactly once via a's own bucket. Unlike equi on user_id alone, a hot
-    # user's fan is bounded by events-per-10-minutes, not total history —
-    # the quadratic-per-key hazard becomes linear in stream density.
-    BAND_US = 300_000_000
+    # time-banded range join — see operators/rangejoin.py for why this is
+    # the 100 TB-safe shape (per-key fan bounded by stream density, not
+    # total history).
+    from mongo_to_parquet_spark.operators.rangejoin import banded_pairs
+
     e = T(spark, sf, "events").select(
         "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
-    a = e.withColumn("bkt", (F.col("us") / BAND_US).cast("long")).alias("a")
-    b = (
-        e.withColumn("__b0", (F.col("us") / BAND_US).cast("long"))
-        .withColumn("bkt", F.explode(F.array(F.col("__b0"), F.col("__b0") - 1)))
-        .drop("__b0")
-        .alias("b")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("b.us") > F.col("a.us"))
-            & (F.col("b.us") - F.col("a.us") <= BAND_US),
-        )
-        .select(
-            F.col("a.event_id").alias("id1"),
-            F.col("b.event_id").alias("id2"),
-            (F.col("b.us") - F.col("a.us")).alias("delta_us"),
-        )
-    )
+    return banded_pairs(e, band_us=300_000_000)
 
 
 @q(

@@ -84,3 +84,45 @@ def test_groupby_sum_partition_invariant(spark, data):
     a = sorted(df.groupBy("k").agg(F.count("*").alias("c")).collect())
     b = sorted(df.repartition(7, "k").groupBy("k").agg(F.count("*").alias("c")).collect())
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2_000)),  # (key, time µs)
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from([100, 250, 499]),
+)
+@settings(**_SETTINGS)
+def test_banded_range_join_equals_naive(spark, data, band):
+    # banding is a pure physical rewrite: same pairs as the naive
+    # equi-on-key + residual join, for any band width and timestamps
+    # (including duplicates and exact-boundary deltas)
+    from mongo_to_parquet_spark.operators.rangejoin import banded_pairs
+
+    if not data:
+        return
+    df = spark.createDataFrame(
+        [Row(event_id=i, user_id=k, us=t) for i, (k, t) in enumerate(data)]
+    )
+    banded = {
+        (r["id1"], r["id2"], r["delta_us"]) for r in banded_pairs(df, band).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r["id1"], r["id2"], r["delta_us"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.us") > F.col("a.us"))
+            & (F.col("b.us") - F.col("a.us") <= band),
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id").alias("id2"),
+            (F.col("b.us") - F.col("a.us")).alias("delta_us"),
+        )
+        .collect()
+    }
+    assert banded == naive
