@@ -24,6 +24,17 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    batch = {
+        (r["bucket_start"]): (r["cnt"], r["sum_val"])
+        for r in BATCH_Q["q_stream_sliding"](spark, sf_dir).collect()
+    }
+    stream = sw.sliding_counts(sw.replay_events(spark, sf_dir), watermark="35 days")
+    rows = sw.run_to_completion(stream, mode="complete")
+    got = {r["bucket_start"]: (r["cnt"], r["sum_val"]) for r in rows}
+    assert got == batch
+
+
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
     batch = {
         (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
