@@ -89,7 +89,9 @@ def jaccard_pairs(
     # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
     cap = min(bitmask_max_vocab, 64)
     vocab_rows = base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
-    if len(vocab_rows) <= cap and docs.count() <= bitmask_max_docs:
+    # empty vocab (empty/all-null corpus) falls through: create_map() with
+    # zero entries has type map<void,void> and cannot be keyed by a string
+    if 0 < len(vocab_rows) <= cap and docs.count() <= bitmask_max_docs:
         return _jaccard_pairs_bitset(base, sorted(r["s"] for r in vocab_rows), threshold)
     doc_sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")

@@ -246,3 +246,24 @@ def test_theta_range_banding_meets_every_pair_once(spark, tmp_path):
         (1, 3, 300_000_000),   # inclusive upper bound
         (2, 3, 298_000_000),
     ]
+
+
+def test_dedup_operators_degenerate_inputs(spark):
+    """Empty, single-doc, and null-text corpora flow through every dedup
+    operator without error (empty vocab must not reach the bitset path:
+    create_map() with zero entries cannot be keyed)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert dedup.exact_groups(empty).count() == 0
+    assert dedup.jaccard_pairs(empty, 0.8).count() == 0
+    assert dedup.minhash_pairs(empty, 0.8).count() == 0
+    assert dedup.simhash_pairs(empty).count() == 0
+    one = spark.createDataFrame([(1, "a b c")], schema)
+    assert dedup.jaccard_pairs(one, 0.8).count() == 0
+    null_text = spark.createDataFrame([(1, None), (2, "a b")], schema)
+    assert dedup.jaccard_pairs(null_text, 0.0).count() == 0
+    assert dedup.exact_groups(null_text).count() == 2  # null hash is its own group
