@@ -1,0 +1,52 @@
+"""CLI entry point — the reference's console script, Spark-first.
+
+The reference ships ``mongo-to-parquet --config cfg.json`` (reference
+pyproject.toml:17-18 → main.py:315-325). The equivalent here:
+
+    python -m mongo_to_parquet_spark --config cfg.json [--source-dir DIR]
+
+Reads the reference-compatible JSON config (config.py), builds the engine
+SparkSession, and runs the export job for every configured collection.
+Sources: with ``--source-dir``, collections are read as parquet tables
+from that directory (the fixture-backed path that works everywhere);
+without it, the MongoDB Spark connector is used against ``mongo_uri``
+(requires the connector jar — see sources/mongo.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from mongo_to_parquet_spark.config import JobConfig
+from mongo_to_parquet_spark.session import get_spark
+from mongo_to_parquet_spark.sources.mongo import ExportJob, read_collection
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mongo-to-parquet-spark")
+    ap.add_argument("--config", required=True, help="JSON job config (reference-compatible)")
+    ap.add_argument(
+        "--source-dir",
+        help="read collections as <dir>/<name>.parquet instead of MongoDB",
+    )
+    ap.add_argument("--database", default="default", help="Mongo database (connector path)")
+    args = ap.parse_args(argv)
+
+    cfg = JobConfig.from_json(args.config)
+    spark = get_spark("mongo-to-parquet-spark-export")
+    if args.source_dir:
+        reader = lambda coll: spark.read.parquet(f"{args.source_dir}/{coll}.parquet")  # noqa: E731
+    else:
+        reader = lambda coll: read_collection(  # noqa: E731
+            spark, cfg.mongo_uri, args.database, coll
+        )
+    totals = ExportJob(spark, cfg, reader).run()
+    # one JSON line per collection — the reference's END log (main.py:309)
+    print(json.dumps({"rows_written": totals}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -133,3 +133,25 @@ def test_config_db_selection():
     assert cfg.select_databases(["a", "c"]) == ["a"]
     cfg2 = JobConfig(exclude_databases=["c"])
     assert cfg2.select_databases(["a", "c"]) == ["a"]
+
+
+def test_cli_export_job(spark, sf_dir, tmp_path):
+    """python -m mongo_to_parquet_spark --config ... --source-dir ... — the
+    reference's console-script entry point (pyproject.toml:17-18,
+    main.py:315-325) end-to-end on the parquet-backed source."""
+    import json as _json
+
+    from mongo_to_parquet_spark.__main__ import main as cli_main
+
+    cfg = {
+        "output_dir": str(tmp_path / "out"),
+        "start_date": "1996-01-01T00:00:00",
+        "end_date": "1997-12-31T00:00:00",
+        "date_collections": {"orders": "o_orderdate"},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    assert cli_main(["--config", str(cfg_path), "--source-dir", sf_dir]) == 0
+    back = spark.read.parquet(str(tmp_path / "out" / "orders"))
+    assert back.count() > 0
+    assert set(back.select("year").distinct().toPandas()["year"]) == {"1996", "1997"}
