@@ -156,19 +156,9 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    probe_id: int,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-flat: deterministic coarse centroids (the n_cells lowest-id
-    vectors), assign every vector to its nearest centroid by dot product,
-    then scan only the n_probe cells nearest the probe."""
-    cents = F.broadcast(
+def _centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse centroids: the n_cells lowest-id vectors."""
+    return (
         emb.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(
@@ -176,8 +166,14 @@ def ivf_topk(
             F.col(vec_col).alias("cvec"),
         )
     )
-    assigned = (
-        emb.crossJoin(cents)
+
+
+def _assign_cells(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Tag every vector with its nearest centroid's cell id (argmax dot)."""
+    return (
+        emb.crossJoin(F.broadcast(cents))
         .withColumn("score", dot(F.col(vec_col), F.col("cvec")))
         .withColumn(
             "rk",
@@ -188,6 +184,22 @@ def ivf_topk(
         .filter(F.col("rk") == 1)
         .select(id_col, vec_col, "cell")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat: deterministic coarse centroids, assign every vector to its
+    nearest centroid by dot product, then scan only the n_probe cells
+    nearest the probe."""
+    cents = F.broadcast(_centroids(emb, n_cells, id_col, vec_col))
+    assigned = _assign_cells(emb, cents, id_col, vec_col)
     # probe the n_probe cells whose centroid is nearest the probe vector
     probe_vec = F.broadcast(emb.filter(F.col(id_col) == probe_id).select(F.col(vec_col).alias("__probe")))
     cells = (
@@ -204,6 +216,66 @@ def ivf_topk(
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_ivf_layout(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AS A LAYOUT (SCALE.md): vectors written
+    partitioned by their cell, centroids saved alongside.
+
+    At 100 TB the "index" is nothing but this directory structure — a probe
+    reads the centroid table (tiny), picks its n_probe nearest cells, and
+    the `cell IN (...)` filter becomes partition pruning on the scan: only
+    n_probe/n_cells of the corpus is ever read. No index service, no
+    external state, rebuilt by rewriting the layout.
+    """
+    cents = _centroids(emb, n_cells, id_col, vec_col)
+    _assign_cells(emb, F.broadcast(cents), id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{out_dir}/vectors")
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+
+def ivf_topk_from_layout(
+    spark,
+    layout_dir: str,
+    probe_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a build_ivf_layout directory: pick the n_probe cells whose
+    centroid is nearest the probe vector (driver-side over the tiny
+    centroid table), then scan ONLY those `cell=` partitions — the cell
+    filter is a partition filter, verified in tests/test_operators.py."""
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    cent_rows = (
+        spark.read.parquet(f"{layout_dir}/centroids")
+        .select("cell", dot(F.col("cvec"), pv).alias("pscore"))
+        .orderBy(F.col("pscore").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    # partition values are strings (the engine disables partition type
+    # inference); match the type exactly so the IN stays a partition filter
+    cells = [str(r["cell"]) for r in cent_rows]
+    scan = spark.read.parquet(f"{layout_dir}/vectors").filter(F.col("cell").isin(cells))
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    return (
+        scan.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), pv), 4).alias("sim")
         )
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)

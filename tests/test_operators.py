@@ -267,3 +267,31 @@ def test_dedup_operators_degenerate_inputs(spark):
     null_text = spark.createDataFrame([(1, None), (2, "a b")], schema)
     assert dedup.jaccard_pairs(null_text, 0.0).count() == 0
     assert dedup.exact_groups(null_text).count() == 2  # null hash is its own group
+
+
+def test_ivf_layout_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The IVF-as-layout probe returns exactly what the inline ivf_topk
+    computes (same deterministic centroids), and its cell filter reaches
+    the scan as a PARTITION filter — only n_probe of n_cells directories
+    are read."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivf_layout,
+        ivf_topk,
+        ivf_topk_from_layout,
+    )
+    from mongo_to_parquet_spark.plans.checks import formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(emb, layout, n_cells=8)
+    probe_vec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    got = ivf_topk_from_layout(
+        spark, layout, probe_vec, k=10, n_probe=3, exclude_id=0
+    )
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    inline = ivf_topk(emb, probe_id=0, k=10, n_cells=8, n_probe=3).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["sim"]) for r in inline
+    ]
