@@ -131,6 +131,21 @@ def q_dedup_embed(spark, sf):
     )
 
 
+@q("q_dedup_embed_lsh")  # rows-only: bucket membership is hash-dependent
+def q_dedup_embed_lsh(spark, sf):
+    # unblocked near-dup mining: hyperplane-LSH bucket as the blocking key
+    # (no label needed) then exact cosine within buckets — the composition
+    # a 100 TB corpus uses when no natural block column exists. Few planes
+    # here so the synthetic near-orthogonal vectors still collide.
+    e = T(spark, sf, "embeddings").withColumn(
+        "lsh_bucket",
+        similarity.hyperplane_bucket(F.col("embedding"), dim=64, n_planes=4),
+    )
+    return similarity.pairwise_cosine(
+        e, block_col="lsh_bucket", threshold=0.4
+    )
+
+
 # ------------------------------------------------------------ text stats ---
 @q(
     "q_text_stats",
