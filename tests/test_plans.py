@@ -64,3 +64,11 @@ def test_batch_topk_uses_window_group_limit(spark, sf_dir):
     # N probes, one scan: per-probe top-k short-circuits in each partition
     df = QS["q_sim_topk_batch"](spark, sf_dir)
     assert checks.has_node(df, "WindowGroupLimit")
+
+
+def test_fact_fact_join_is_sort_merge(spark, sf_dir):
+    # the large-large join exercises the plan facts get at scale — never
+    # a broadcast of a fact table
+    df = QS["q_join_sortmerge"](spark, sf_dir)
+    assert checks.has_node(df, "SortMergeJoin")
+    assert not checks.has_node(df, "BroadcastHashJoin")
