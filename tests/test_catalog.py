@@ -39,3 +39,31 @@ def test_register_views_sql_surface(spark, sf_dir):
         "SELECT COUNT(*) AS c FROM nation JOIN region ON n_regionkey = r_regionkey"
     ).collect()[0]["c"]
     assert j == 25
+
+
+def test_sql_surface_matches_dataframe_api(spark, sf_dir):
+    """register_views + spark.sql is a first-class entry point: ANSI SQL
+    over the temp views returns exactly what the DataFrame API builds
+    (same Catalyst pipeline, entered at the parser — SURVEY §3.4)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.catalog import load_table, register_views
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+    api = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, api.collect()))
+
+    joined = spark.sql(
+        "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    assert joined.count() > 0
