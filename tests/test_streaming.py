@@ -93,3 +93,40 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     )
     out = sw.run_to_completion(sw.dedup_within_watermark(stream, watermark="1 hour"))
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, pinned precisely: a window's state is evicted
+    and emitted (exactly once) when the watermark passes its end; a row
+    arriving AFTER that eviction is dropped — it neither merges nor
+    re-emits the window. (A "late" row arriving while the state still
+    lives DOES merge — eviction, not arrival time, defines late.)"""
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(eid, minutes):
+        return Row(
+            event_id=eid, ts=base + dt.timedelta(minutes=minutes),
+            user_id=1, event_type="A", value=1.0, props="{}",
+        )
+
+    d = str(tmp_path / "late_in")
+    files = [
+        [mk(1, 10), mk(2, 20), mk(3, 150)],  # noon rows; max 14:30 → wm 13:30
+        [mk(5, 170)],   # batch 1 runs with wm 13:30 → evicts + emits noon
+        [mk(4, 40)],    # late noon row, arrives after eviction → dropped
+    ]
+    for rows in files:
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    rows = sw.run_to_completion(sw.tumbling_counts(stream, watermark="1 hour"))
+    noon = int(base.timestamp())
+    emitted = [(r["bucket_start"], r["cnt"]) for r in rows if r["bucket_start"] == noon]
+    # exactly one emission, with exactly the on-time rows
+    assert emitted == [(noon, 2)]
