@@ -31,7 +31,9 @@ HEADLINE = [
     "q_stream_tumbling",    # time-bucketed agg
     "q_dedup_exact",        # hash groupBy dedup
     "q_dedup_fuzzy",        # exact near-dup pairs (adaptive bitset path)
+    "q_dedup_minhash",      # banded MinHash LSH + exact verify (scale path)
     "q_sim_topk",           # brute-force cosine top-k
+    "q_sim_topk_batch",     # N probes in one scan (WindowGroupLimit)
     "q_udf_scalar_pandas",  # Arrow-batched pandas UDF
     "q_text_quality_filter",  # per-row text heuristics
 ]

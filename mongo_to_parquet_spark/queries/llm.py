@@ -101,7 +101,13 @@ def q_dedup_ngram(spark, sf):
 
 @q("q_dedup_minhash")  # rows-only: LSH recall is probabilistic by design
 def q_dedup_minhash(spark, sf):
-    return dedup.minhash_pairs(T(spark, sf, "documents"), threshold=0.8)
+    # trigram shingles, the textbook MinHash unit: on this corpus unigram
+    # token SETS are so dense (31-word vocab) that every banded bucket
+    # collides and the "candidate" set degenerates to all ~3M true pairs —
+    # LSH only prunes when the shingle space discriminates. τ=0.5 matches
+    # q_dedup_ngram, whose exact output is the recall reference
+    # (tests/test_operators.py pins recall on seeded near-dups).
+    return dedup.minhash_pairs(T(spark, sf, "documents"), threshold=0.5, ngram=3)
 
 
 @q("q_dedup_simhash")  # rows-only: depends on xxhash64 (no DuckDB equivalent)
