@@ -287,26 +287,43 @@ def simhash(text_col) -> F.Column:
     """64-bit SimHash of the whitespace tokens, as a signed long.
 
     bit i = sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
-    Composition of aggregate/transform — no UDF.
+    Composition of aggregate/transform — no UDF. Structured so the token
+    array and each token's hash are evaluated exactly once (the naive
+    64-separate-vote-aggregates form re-hashes every token per bit —
+    same projection-collapse trap as minhash_signature, ~10× slower):
+
+      1. one xxhash64 per token,
+      2. fold to a 64-long vote vector (zip_with add of ±1 bit vectors),
+      3. zip the votes with a powers-of-two literal and OR-fold to bits.
     """
     toks = tokens(text_col)
-
-    def vote(i: int):  # Σ ±1 over tokens for bit i (shift amounts literal)
-        return F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(vote(i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    seeds = F.sequence(F.lit(0), F.lit(63))
+    plus_minus = F.transform(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        # h is a lambda VALUE here: hashed once, read 64 times
+        lambda h: F.transform(
+            seeds,
+            lambda i: F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             )
-        )
-    return sig
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        ),
+    )
+    votes = F.aggregate(
+        plus_minus,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    powers = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    bit_or = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        bit_or, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def simhash_pairs(
@@ -340,6 +357,9 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc", "sig", "c.ci", "c.cv")
+    # same ReuseExchange rationale as the minhash candidate join: shuffle
+    # both (identical) sides so the fingerprints are computed once
+    chunks = chunks.hint("shuffle_hash")
     return (
         chunks.alias("x")
         .join(
