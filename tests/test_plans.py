@@ -72,3 +72,58 @@ def test_fact_fact_join_is_sort_merge(spark, sf_dir):
     df = QS["q_join_sortmerge"](spark, sf_dir)
     assert checks.has_node(df, "SortMergeJoin")
     assert not checks.has_node(df, "BroadcastHashJoin")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew story SCALE.md leans on is real: one hot key whose
+    partition dwarfs the median gets split by AQE at runtime —
+    SortMergeJoin(skew=true) in the final adaptive plan — with no salting
+    code in the engine. (Thresholds shrunk so an MB-scale fixture
+    triggers what 100 TB partitions trigger naturally.)"""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(100_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(1000).select((F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(1001).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        j.collect()  # AQE finalizes the adaptive plan on this QueryExecution
+        assert "skew=true" in checks.executed_plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
+    """Hot-path discipline, enforced across the whole surface: no query
+    plans a row-at-a-time Python UDF (BatchEvalPython), and Arrow-batched
+    Python appears only in the queries that declare a pandas/multimodal
+    surface — everything else stays fully JVM-side."""
+    from mongo_to_parquet_spark.queries import queries
+
+    arrow_ok = {"q_udf_scalar_pandas", "q_udaf_grouped", "q_mm_features"}
+    for key, fn in sorted(queries().items()):
+        plan = checks.formatted_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{key} plans a row-Python UDF"
+        if key not in arrow_ok:
+            for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython"):
+                assert node not in plan, f"{key} unexpectedly crosses into Python ({node})"
