@@ -224,7 +224,42 @@ def q_text_tokenize(spark, sf):
     )
 
 
-@q("q_text_langid")  # rows-only: heuristic marker profile, not SQL-portable
+@q(
+    "q_text_langid",
+    # the same marker-fraction argmax, in DuckDB list lambdas. Scores are
+    # exact IEEE divisions of small ints in both engines, so the equality
+    # tie-break (first language in sorted order wins ties; 'und' when all
+    # zero) agrees bit-for-bit.
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(text,' '),
+               t -> list_contains(['der','die','und','das','ist'], lower(t)))) AS DOUBLE)
+            / greatest(len(string_split(text,' ')), 1) AS s_de,
+          CAST(len(list_filter(string_split(text,' '),
+               t -> list_contains(['the','and','of','to','is'], lower(t)))) AS DOUBLE)
+            / greatest(len(string_split(text,' ')), 1) AS s_en,
+          CAST(len(list_filter(string_split(text,' '),
+               t -> list_contains(['el','la','de','que','los'], lower(t)))) AS DOUBLE)
+            / greatest(len(string_split(text,' ')), 1) AS s_es,
+          CAST(len(list_filter(string_split(text,' '),
+               t -> list_contains(['le','la','les','et','des'], lower(t)))) AS DOUBLE)
+            / greatest(len(string_split(text,' ')), 1) AS s_fr,
+          CAST(len(list_filter(string_split(text,' '),
+               t -> list_contains(['的','是','了','在','我'], lower(t)))) AS DOUBLE)
+            / greatest(len(string_split(text,' ')), 1) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
 def q_text_langid(spark, sf):
     d = T(spark, sf, "documents")
     return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
@@ -291,7 +326,44 @@ def q_sim_topk_lsh(spark, sf):
     return similarity.lsh_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
 
 
-@q("q_sim_topk_ivf")  # rows-only: IVF coarse-quantization approximate variant
+@q(
+    "q_sim_topk_ivf",
+    # the IVF pipeline is deterministic end-to-end (lowest-id centroids,
+    # dot-product argmax with cell tiebreak, rounded-sim final order), so
+    # the whole approximate index is oracle-checkable — both engines run
+    # the same sequential IEEE double arithmetic over the cast vectors.
+    """
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rk = 1
+    ),
+    probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cells AS (
+        SELECT cell FROM cents, probe
+        ORDER BY list_dot_product(CAST(cvec AS DOUBLE[]), CAST(pv AS DOUBLE[])) DESC,
+                 cell ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(pv AS DOUBLE[])), 4) AS sim
+    FROM assigned a JOIN cells USING (cell) CROSS JOIN probe
+    WHERE a.vec_id <> 0
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def q_sim_topk_ivf(spark, sf):
     return similarity.ivf_topk(T(spark, sf, "embeddings"), probe_id=0, k=10)
 
