@@ -130,3 +130,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     emitted = [(r["bucket_start"], r["cnt"]) for r in rows if r["bucket_start"] == noon]
     # exactly one emission, with exactly the on-time rows
     assert emitted == [(noon, 2)]
+
+
+def test_streaming_export_incremental_exactly_once(spark, tmp_path):
+    """The streaming export job is the reference's export run
+    incrementally: each run exports only new files, a re-run with nothing
+    new writes nothing, and the cumulative output has no dupes and no
+    gaps — offsets live in the checkpoint."""
+    import time
+
+    from mongo_to_parquet_spark.streaming.export import stream_export_partitioned
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(eid, year):
+        return Row(event_id=eid, created_at=dt.datetime(year, 6, 1), v=float(eid))
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = stream_export_partitioned(stream, out, ckpt, date_field="created_at")
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame([mk(1, 2020), mk(2, 2021)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    first = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in first.collect()) == [1, 2]
+    assert {r["year"] for r in first.select("year").collect()} == {"2020", "2021"}
+
+    run()  # nothing new → nothing written, nothing duplicated
+    assert spark.read.parquet(out).count() == 2
+
+    time.sleep(1.1)
+    spark.createDataFrame([mk(3, 2020)]).coalesce(1).write.mode("append").parquet(src)
+    run()  # only the new file exports
+    final = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in final.collect()) == [1, 2, 3]
