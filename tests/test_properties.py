@@ -126,3 +126,35 @@ def test_banded_range_join_equals_naive(spark, data, band):
         .collect()
     }
     assert banded == naive
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive_semantics(spark, left_rows, right_rows):
+    # for every left row: the carried value is the right row with the
+    # greatest time <= left time within the key (inclusive), else null —
+    # checked against a straight Python computation, including duplicate
+    # timestamps and empty right sides
+    from mongo_to_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(lid=i, k=k, t=t) for i, (k, t) in enumerate(left_rows)]
+    )
+    right_data = [(k, t) for k, t in right_rows]
+    if right_data:
+        right = spark.createDataFrame([Row(k=k, t=t) for k, t in right_data])
+    else:
+        right = spark.createDataFrame([], "k bigint, t bigint")
+    got = {
+        r["lid"]: r["t_asof"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", carry=["t"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [rt for rk, rt in right_data if rk == k and rt <= t]
+        expected = max(cands) if cands else None
+        assert got[i] == expected, f"lid={i} k={k} t={t}: {got[i]} != {expected}"
