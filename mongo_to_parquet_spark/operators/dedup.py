@@ -97,6 +97,10 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")
     )
     sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # shuffle both (identical) sides of the self-join so ReuseExchange
+    # computes the shingle explosion once — same rationale as minhash's
+    # candidate join; a broadcast build would shingle the corpus twice
+    doc_sh = doc_sh.hint("shuffle_hash")
     a, b = doc_sh.alias("a"), doc_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
