@@ -155,3 +155,22 @@ def test_cli_export_job(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out" / "orders"))
     assert back.count() > 0
     assert set(back.select("year").distinct().toPandas()["year"]) == {"1996", "1997"}
+
+
+def test_export_job_multi_collection_totals(spark, sf_dir, tmp_path):
+    """ExportJob.run exports every configured collection (reference
+    main.py:241-309) and reports rows-written per collection (R12)."""
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        date_collections={"orders": "o_orderdate", "lineitem": "l_shipdate"},
+    )
+    job = ExportJob(spark, cfg, reader=lambda coll: load_table(spark, sf_dir, coll))
+    totals = job.run()
+    assert set(totals) == {"orders", "lineitem"}
+    assert totals["orders"] == load_table(spark, sf_dir, "orders").count()
+    assert totals["lineitem"] == load_table(spark, sf_dir, "lineitem").count()
+    back = spark.read.parquet(str(tmp_path / "out" / "orders"))
+    assert {"year", "month", "day"} <= set(back.columns)
