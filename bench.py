@@ -63,6 +63,27 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[key] = round(best, 3)
 
+    # the reference's core operation: date-partitioned parquet export
+    # (scan → year/month/day derivation → hive year= write, zstd). Timed
+    # as rows/sec so the number is comparable across rounds and scales —
+    # the reference publishes no throughput (BASELINE.md), so this is the
+    # engine's own single-node export baseline.
+    import shutil
+    import tempfile
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    export_rows = orders.count()
+    out = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        t0 = time.perf_counter()
+        export_partitioned(orders, f"{out}/orders", date_field="o_orderdate")
+        export_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -72,6 +93,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "export_rows": export_rows,
+                "export_sec": export_sec,
+                "export_rows_per_sec": round(export_rows / export_sec),
             }
         )
     )
