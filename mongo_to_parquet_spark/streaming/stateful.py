@@ -52,6 +52,66 @@ STATE_SCHEMA = StructType(
 )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Continuously-updated per-user profile via ``transformWithStateInPandas``
+    (Spark 4 arbitrary-state API — the successor surface to
+    applyInPandasWithState; the engine exercises both).
+
+    Emits (user_id, cnt, sum_val) after every micro-batch touching the
+    user; in update mode the latest emission is the running total — the
+    "live feature store" shape of a training-data pipeline. State is one
+    value row per user.
+
+    Environment note: the transformWithState Python runner requires
+    ``google.protobuf`` (absent in this container — the streaming query
+    fails at start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)
+    and the RocksDB state store provider. The operator is real and its
+    test runs wherever protobuf is installed
+    (tests/test_streaming.py skips otherwise); `sessionize_stateful`
+    above covers the custom-state surface on the dependency-free
+    applyInPandasWithState API.
+    """
+    import pandas as pd  # noqa: F811 — local so the module imports without Arrow
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, StructType as T_, StructField as F_
+
+    out_schema = T_(
+        [
+            F_("user_id", LongType()),
+            F_("cnt", LongType()),
+            F_("sum_val", DoubleType()),
+        ]
+    )
+    state_schema = T_([F_("cnt", LongType()), F_("sum_val", DoubleType())])
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((cnt, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "sum_val": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_stateful(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
 ) -> DataFrame:

@@ -172,3 +172,46 @@ def test_streaming_export_incremental_exactly_once(spark, tmp_path):
     run()  # only the new file exports
     final = spark.read.parquet(out)
     assert sorted(r["event_id"] for r in final.collect()) == [1, 2, 3]
+
+
+def test_running_user_stats_converges_to_batch(spark, sf_dir):
+    """The transformWithStateInPandas profile operator: after draining the
+    replay, each user's LAST emission equals the batch per-user totals.
+    Requires google.protobuf (the TWS Python runner imports it) and the
+    RocksDB state store — skipped where the dependency is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import stateful
+
+    batch = {
+        r["user_id"]: (r["cnt"], r["sum_val"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_val"))
+        .collect()
+    }
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful.running_user_stats(sw.replay_events(spark, sf_dir))
+        rows = sw.run_to_completion(stream, mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    last = {}
+    for r in rows:  # batches arrive in order; later emissions overwrite
+        last[r["user_id"]] = (r["cnt"], r["sum_val"])
+    assert set(last) == set(batch)
+    for u, (cnt, total) in batch.items():
+        got_cnt, got_total = last[u]
+        assert got_cnt == cnt
+        assert got_total == pytest.approx(total, rel=1e-9)  # summation order differs
