@@ -75,6 +75,31 @@ def fingerprint(text, window: int = 4) -> Column:
     return F.array_min(window_hashes)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic, engine-portable train/test assignment.
+
+    The first 4 hex chars of md5(salt ‖ id) are a uniform value in
+    [0, 65536); rows below ``train_frac`` of that range are "train".
+    Content-addressed — a row's split never changes as the corpus grows
+    or repartitions (no RNG state, unlike ``randomSplit``), different
+    salts give independent splits, and the comparison is a plain string
+    inequality on the hex prefix so any engine with md5 computes the
+    identical assignment (oracle-checked in queries/llm.py).
+    """
+    threshold = format(max(0, min(65536, round(train_frac * 65536))), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return df.withColumn(
+        "split", F.when(bucket < F.lit(threshold), "train").otherwise("test")
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents table."""
     t = F.col(text_col)

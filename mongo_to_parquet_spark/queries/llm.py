@@ -265,6 +265,24 @@ def q_text_langid(spark, sf):
     return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
+@q(
+    "q_split_train",
+    # same md5-prefix comparison — the split is content-addressed, so the
+    # two engines assign every row identically (threshold cccd = 0.8*65536)
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_train(spark, sf):
+    # deterministic 80/20 train/test split: stable under corpus growth and
+    # repartitioning, unlike randomSplit (operators/text.py hash_split)
+    d = T(spark, sf, "documents")
+    return text.hash_split(d, train_frac=0.8).select("doc_id", "lang", "split")
+
+
 @q("q_text_fingerprint")  # rows-only: xxhash64-based rolling fingerprint
 def q_text_fingerprint(spark, sf):
     d = T(spark, sf, "documents")
