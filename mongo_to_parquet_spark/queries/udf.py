@@ -84,3 +84,23 @@ def q_udtf_split(spark, sf):
     return T(spark, sf, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+
+
+def tokenize_udtf():
+    """The REAL Python UDTF surface (Spark 4 ``@udtf``), for completeness.
+
+    ``q_udtf_split`` deliberately uses explode(split(...)) — JVM-side,
+    the right choice when a built-in expresses the semantics — so this
+    UDTF is the library escape hatch for genuinely procedural row
+    expansion. Register with ``spark.udtf.register("tokenize",
+    tokenize_udtf())`` and use as a LATERAL table function.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    return Tokenize

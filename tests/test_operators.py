@@ -295,3 +295,21 @@ def test_ivf_layout_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
         (r["vec_id"], r["sim"]) for r in inline
     ]
+
+
+def test_python_udtf_matches_explode(spark, sf_dir):
+    """The @udtf escape hatch returns exactly what the JVM explode path
+    returns (which is why the declared query uses explode — same result,
+    no Python boundary)."""
+    from mongo_to_parquet_spark.queries.udf import QUERIES as UQ, tokenize_udtf
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    spark.udtf.register("tokenize_py", tokenize_udtf())
+    register_views(spark, sf_dir)
+    via_udtf = spark.sql(
+        "SELECT doc_id, t.token FROM documents, LATERAL tokenize_py(text) t"
+    )
+    via_explode = UQ["q_udtf_split"](spark, sf_dir)
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_explode.collect()))
+    assert a == b

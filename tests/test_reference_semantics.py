@@ -174,3 +174,29 @@ def test_export_job_multi_collection_totals(spark, sf_dir, tmp_path):
     assert totals["lineitem"] == load_table(spark, sf_dir, "lineitem").count()
     back = spark.read.parquet(str(tmp_path / "out" / "orders"))
     assert {"year", "month", "day"} <= set(back.columns)
+
+
+def test_export_compression_and_file_rolling(spark, sf_dir, tmp_path):
+    """Sink heritage pinned at the file level: outputs are zstd-compressed
+    (reference main.py:23) and roll into multiple files when the row cap
+    is exceeded (main.py:225-228 -> maxRecordsPerFile)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "400")
+    try:
+        out = str(tmp_path / "roll")
+        export_partitioned(
+            load_table(spark, sf_dir, "orders").coalesce(1), out, "o_orderdate"
+        )
+        files = glob.glob(f"{out}/year=*/*.parquet")
+        n_rows = spark.read.parquet(out).count()
+        assert len(files) >= n_rows // 400, "file cap not honored"
+        meta = pq.ParquetFile(files[0]).metadata
+        assert meta.row_group(0).column(0).compression == "ZSTD"
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
