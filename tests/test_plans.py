@@ -124,6 +124,9 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
     for key, fn in sorted(queries().items()):
         plan = checks.formatted_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{key} plans a row-Python UDF"
+        # a true cartesian (both sides unbounded) must never appear; the
+        # sim/dedup cross joins are all broadcast-NL with a tiny build side
+        assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
         if key not in arrow_ok:
             for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython"):
                 assert node not in plan, f"{key} unexpectedly crosses into Python ({node})"
