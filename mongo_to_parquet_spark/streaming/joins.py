@@ -1,0 +1,58 @@
+"""Stream-stream joins (the streaming analog of `q_join_theta_range`).
+
+Structured Streaming joins two streams by buffering both sides in the
+state store; the watermark plus the event-time range condition bound the
+buffer — each side keeps only rows younger than (watermark − range), so
+state is O(events within the horizon), not the whole stream. Same-user
+event pairs within ``band_minutes`` is the canonical shape (attribution,
+sessional co-occurrence).
+
+Scale notes: the join shuffles both streams on ``user_id`` once; a hot
+user bounds at events-per-horizon, the same density argument as the
+batch banded join (operators/rangejoin.py). Append mode emits a pair as
+soon as both rows have arrived — results converge to the batch answer
+(tests/test_streaming.py pins set equality over the bounded replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_event_pairs(
+    events: DataFrame, band_minutes: int = 5, watermark: str = "35 days"
+) -> DataFrame:
+    """Ordered same-user pairs with 0 < t2 − t1 ≤ band, as a stream-stream
+    inner join with watermarks on BOTH sides (required for state
+    eviction). Output: id1, id2, delta_us."""
+    a = (
+        events.select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+        .alias("a")
+    )
+    b = (
+        events.select(
+            F.col("event_id").alias("event_id_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", watermark)
+        .alias("b")
+    )
+    band = F.expr(f"INTERVAL {band_minutes} MINUTES")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id_b"))
+            & (F.col("b.ts_b") > F.col("a.ts"))
+            & (F.col("b.ts_b") <= F.col("a.ts") + band),
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id_b").alias("id2"),
+            (F.unix_micros(F.col("b.ts_b")) - F.unix_micros(F.col("a.ts"))).alias(
+                "delta_us"
+            ),
+        )
+    )

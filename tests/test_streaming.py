@@ -215,3 +215,19 @@ def test_running_user_stats_converges_to_batch(spark, sf_dir):
         got_cnt, got_total = last[u]
         assert got_cnt == cnt
         assert got_total == pytest.approx(total, rel=1e-9)  # summation order differs
+
+
+def test_stream_stream_range_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream join converges to the batch
+    theta-range answer: identical (id1, id2, delta) pair set."""
+    from mongo_to_parquet_spark.queries.relational import QUERIES as RQ
+    from mongo_to_parquet_spark.streaming import joins as sj
+
+    batch = {
+        (r["id1"], r["id2"], r["delta_us"])
+        for r in RQ["q_join_theta_range"](spark, sf_dir).collect()
+    }
+    stream = sj.stream_event_pairs(sw.replay_events(spark, sf_dir), band_minutes=5)
+    rows = sw.run_to_completion(stream, mode="append")
+    got = {(r["id1"], r["id2"], r["delta_us"]) for r in rows}
+    assert got == batch
