@@ -20,6 +20,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_event_pairs_outer(
+    events: DataFrame, band_minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Left-outer variant: every event emits, paired or not.
+
+    The subtle semantics: an unmatched left row CANNOT emit as soon as it
+    is seen — a matching right row may still arrive — so the null-padded
+    result emits only when the watermark passes the end of the row's join
+    window (ts + band). Until then it sits in the state store; the test
+    drives this with a bounded replay and checks both the paired set and
+    the null-padded remainder.
+    """
+    a = (
+        events.select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+        .alias("a")
+    )
+    b = (
+        events.select(
+            F.col("event_id").alias("event_id_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", watermark)
+        .alias("b")
+    )
+    band = F.expr(f"INTERVAL {band_minutes} MINUTES")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id_b"))
+            & (F.col("b.ts_b") > F.col("a.ts"))
+            & (F.col("b.ts_b") <= F.col("a.ts") + band),
+            "left_outer",
+        )
+        .select(
+            F.col("a.event_id").alias("id1"),
+            F.col("b.event_id_b").alias("id2"),
+            (F.unix_micros(F.col("b.ts_b")) - F.unix_micros(F.col("a.ts"))).alias(
+                "delta_us"
+            ),
+        )
+    )
+
+
 def stream_event_pairs(
     events: DataFrame, band_minutes: int = 5, watermark: str = "35 days"
 ) -> DataFrame:

@@ -231,3 +231,46 @@ def test_stream_stream_range_join_matches_batch(spark, sf_dir):
     rows = sw.run_to_completion(stream, mode="append")
     got = {(r["id1"], r["id2"], r["delta_us"]) for r in rows}
     assert got == batch
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows pair normally;
+    unmatched rows emit null-padded, but only after the watermark passes
+    the end of their join window (a match could still arrive before)."""
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(eid, minutes, uid=1):
+        return Row(
+            event_id=eid, ts=base + dt.timedelta(minutes=minutes),
+            user_id=uid, event_type="A", value=1.0, props="{}",
+        )
+
+    d = str(tmp_path / "oj_in")
+    files = [
+        [mk(1, 0), mk(2, 3)],      # pair (1,2): Δ=3min within band
+        [mk(3, 30, uid=2)],        # lone event, other user
+        [mk(4, 300)],              # far future: advances watermark past
+                                   # every earlier join window → flushes
+                                   # the unmatched rows
+    ]
+    for rows in files:
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    from mongo_to_parquet_spark.streaming import joins as sj
+
+    rows = sw.run_to_completion(
+        sj.stream_event_pairs_outer(stream, band_minutes=5, watermark="1 minute")
+    )
+    got = {(r["id1"], r["id2"], r["delta_us"]) for r in rows}
+    assert (1, 2, 180_000_000) in got          # the real pair
+    assert (2, None, None) in got              # no later event within 5min
+    assert (3, None, None) in got              # lone user
+    # eid=4's window never closes before the stream ends → it may be absent
+    assert {(r[0]) for r in got} >= {1, 2, 3}
