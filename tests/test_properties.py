@@ -49,6 +49,10 @@ def test_union_all_count_additive(spark, d1, d2):
 @given(rows_strategy)
 @settings(**_SETTINGS)
 def test_semi_join_equals_inner_distinct_project(spark, data):
+    # the identity requires a duplicate-free left relation (semi preserves
+    # duplicate rows; inner∘distinct collapses them — hypothesis found the
+    # all-duplicate counterexample), so make ids unique by construction
+    data = [(i, k, v) for i, (_, k, v) in enumerate(data)]
     df = _df(spark, data)
     other = df.filter(F.col("v") > 30.0).select(F.col("k").alias("kk"))
     semi = df.join(other, df.k == other.kk, "left_semi").count()
