@@ -215,6 +215,7 @@ def minhash_pairs(
     ngram: int = 1,
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded MinHash LSH, then EXACT Jaccard verify.
 
@@ -222,6 +223,15 @@ def minhash_pairs(
     Jaccard ≥ 0.8. The bucket join shuffles only (band, hash64, id) — at
     100 TB the texts never move; verification re-joins shingle sets for the
     (small) candidate pair set only.
+
+    ``max_bucket_size`` caps the quadratic hazard (SCALE.md): a banded
+    bucket larger than the cap — in practice a cluster of identical or
+    boilerplate documents — is excluded from the all-pairs candidate
+    join; its members are instead paired through their FULL signature
+    (identical signature ⇒ near-certain duplicate, then exact-verified
+    like every other candidate). Near-but-not-identical pairs hiding in
+    an oversized bucket are the accepted recall loss; the join cost drops
+    from |bucket|² to |identical-groups|.
     """
     k = bands * rows_per_band
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
@@ -258,6 +268,33 @@ def minhash_pairs(
     # builds both branches independently (2× the signature work) and could
     # not exist at corpus scale anyway. Measured 1.8× faster at sf0.1.
     banded = banded.hint("shuffle_hash")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        counted = banded.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        banded_ok = counted.filter(F.col("__n") <= max_bucket_size).drop("__n")
+        # oversized buckets: pair members via identical full signature
+        # (xxhash64 of the whole sig vector) instead of all-pairs
+        over_docs = (
+            counted.filter(F.col("__n") > max_bucket_size).select("doc").distinct()
+        )
+        over_sigs = sig.join(over_docs, "doc").select(
+            "doc", F.xxhash64(F.col("sig").cast("string")).alias("fullsig")
+        )
+        exact_cand = (
+            over_sigs.alias("x")
+            .join(
+                over_sigs.alias("y"),
+                (F.col("x.fullsig") == F.col("y.fullsig"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"))
+        )
+        banded = banded_ok.hint("shuffle_hash")
+    else:
+        exact_cand = None
     cand = (
         banded.alias("x")
         .join(
@@ -269,6 +306,8 @@ def minhash_pairs(
         .select(F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"))
         .distinct()
     )
+    if exact_cand is not None:
+        cand = cand.unionByName(exact_cand).distinct()
     s1 = base.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
     return (

@@ -313,3 +313,27 @@ def test_python_udtf_matches_explode(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_explode.collect()))
     assert a == b
+
+
+def test_minhash_bucket_cap_diverts_identical_docs(spark):
+    """With a bucket-size cap, a mega-cluster of identical docs no longer
+    feeds the quadratic candidate join — its pairs arrive through the
+    full-signature diversion and still verify at jaccard 1.0; normal
+    near-dup pairs outside oversized buckets are unaffected."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same boilerplate text here") for i in range(30)]
+        + [
+            Row(doc_id=100, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=101, text="alpha beta gamma delta zeta"),
+        ]
+    )
+    capped = dedup.minhash_pairs(docs, threshold=0.6, max_bucket_size=5)
+    got = {(r.doc1, r.doc2): r.jaccard for r in capped.collect()}
+    # all 30*29/2 identical pairs found via the diversion, at 1.0
+    ident = {(a, b) for a in range(30) for b in range(30) if a < b}
+    assert ident <= set(got)
+    assert all(got[p] == 1.0 for p in ident)
+    # the small-bucket near-dup pair is still found the normal way
+    assert (100, 101) in got
