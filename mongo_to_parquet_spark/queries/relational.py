@@ -433,6 +433,39 @@ def q_agg_grouping_sets(spark, sf):
 
 
 @q(
+    "q_agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf):
+    # statistical aggregates: EXACT continuous percentiles (F.percentile,
+    # not percentile_approx — same interpolation definition as DuckDB's
+    # quantile_cont), correlation, sample covariance/stddev. All reduce
+    # with map-side partial state (moments / counts), so the shuffle is
+    # O(groups) regardless of scan size.
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+    )
+
+
+@q(
     "q_agg_having",
     """
     SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend, COUNT(*) AS n_orders
