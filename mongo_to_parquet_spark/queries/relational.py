@@ -447,9 +447,13 @@ def q_agg_grouping_sets(spark, sf):
 def q_agg_stats(spark, sf):
     # statistical aggregates: EXACT continuous percentiles (F.percentile,
     # not percentile_approx — same interpolation definition as DuckDB's
-    # quantile_cont), correlation, sample covariance/stddev. All reduce
-    # with map-side partial state (moments / counts), so the shuffle is
-    # O(groups) regardless of scan size.
+    # quantile_cont, so it hash-matches), correlation, sample
+    # covariance/stddev. corr/covar/stddev carry O(groups) moment state
+    # through the shuffle; the EXACT percentile buffers the group's values
+    # (ObjectHashAggregate) — the oracle-checkable baseline. At 100 TB
+    # swap in approx_percentile (t-digest sketch, O(groups) state) and
+    # accept sketch error, the same exact-vs-scale split as countDistinct
+    # vs approx_count_distinct.
     return (
         T(spark, sf, "lineitem")
         .groupBy("l_returnflag")
