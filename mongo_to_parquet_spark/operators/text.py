@@ -75,6 +75,32 @@ def fingerprint(text, window: int = 4) -> Column:
     return F.array_min(window_hashes)
 
 
+def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf × ln(N / df).
+
+    Three aggregations, all map-side-combinable: term frequency per
+    (doc, token), document frequency per token, corpus size N (broadcast
+    as a 1-row dim). At 100 TB the token explosion dominates the scan but
+    every shuffle carries counts, never text. ln is IEEE-identical across
+    engines, so the score is oracle-hash-checkable at 4 decimals.
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -266,6 +266,24 @@ def q_text_langid(spark, sf):
 
 
 @q(
+    "q_text_tfidf",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark, sf):
+    return text.tfidf(T(spark, sf, "documents"))
+
+
+@q(
     "q_split_train",
     # same md5-prefix comparison — the split is content-addressed, so the
     # two engines assign every row identically (threshold cccd = 0.8*65536)
