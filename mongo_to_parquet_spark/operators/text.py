@@ -126,6 +126,41 @@ def hash_split(
     )
 
 
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col=None,
+) -> DataFrame:
+    """Assign each document to a sequence-packing bin by running token
+    offset: bin = floor(exclusive-cumulative-tokens / budget) in id order.
+
+    The step before training batching: deterministic (no RNG), stable
+    under re-runs, and SQL-expressible, so the packing manifest is
+    oracle-checkable. A global ordering means a single-partition window —
+    fine for the contract query; at 100 TB pass ``shard_col`` (e.g.
+    ``pmod(hash(id), K)``) to pack within shards: each shard windows
+    independently in parallel and bins are (shard, bin) pairs.
+    """
+    from pyspark.sql import Window
+
+    nt = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        if shard_col is not None
+        else Window.orderBy(id_col)
+    )
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    cols = [F.col(id_col), nt.alias("n_tokens")]
+    if shard_col is not None:
+        cols.append(F.col(shard_col) if isinstance(shard_col, str) else shard_col)
+    out = docs.select(*cols)
+    return out.withColumn(
+        "bin", F.floor(cum_excl / F.lit(float(budget_tokens))).cast("long")
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents table."""
     t = F.col(text_col)

@@ -266,6 +266,36 @@ def q_text_langid(spark, sf):
 
 
 @q(
+    "q_text_pack",
+    """
+    WITH nt AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS BIGINT) AS bin
+        FROM nt
+    )
+    SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS tok_total
+    FROM binned GROUP BY bin
+    """,
+)
+def q_text_pack(spark, sf):
+    # sequence-packing manifest: docs binned by running token offset at a
+    # 512-token budget (operators/text.py pack_documents; shard_col is the
+    # scale path — this contract query uses the global order so the
+    # manifest is oracle-exact).
+    from mongo_to_parquet_spark.operators.text import pack_documents
+
+    return (
+        pack_documents(T(spark, sf, "documents"), budget_tokens=512)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tok_total"))
+    )
+
+
+@q(
     "q_text_tfidf",
     """
     WITH tok AS (

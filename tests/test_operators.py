@@ -337,3 +337,27 @@ def test_minhash_bucket_cap_diverts_identical_docs(spark):
     assert all(got[p] == 1.0 for p in ident)
     # the small-bucket near-dup pair is still found the normal way
     assert (100, 101) in got
+
+
+def test_pack_documents_sharded_and_global(spark, sf_dir):
+    """Sequence packing: global and sharded paths cover every doc exactly
+    once with identical token totals; bins are contiguous from 0 in the
+    global path."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.text import pack_documents
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    g = pack_documents(d, budget_tokens=512)
+    assert g.count() == d.count()
+    bins = [r["bin"] for r in g.select("bin").distinct().orderBy("bin").collect()]
+    assert bins[0] == 0 and bins == list(range(len(bins)))
+    s = pack_documents(
+        d.withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(4))), shard_col="shard"
+    )
+    assert s.count() == d.count()
+    assert (
+        s.agg(F.sum("n_tokens")).collect()[0][0]
+        == g.agg(F.sum("n_tokens")).collect()[0][0]
+    )
