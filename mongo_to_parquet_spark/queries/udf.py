@@ -104,3 +104,46 @@ def tokenize_udtf():
                 yield i, t
 
     return Tokenize
+
+
+@q(
+    "q_udf_grouped_map",
+    """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT
+           ) AS len_rank
+    FROM documents
+    """,
+)
+def q_udf_grouped_map(spark, sf):
+    # grouped-map applyInPandas: whole-group pandas transform (here a
+    # per-language length rank — integer output, so the oracle hash-match
+    # is exact with no float hazard). One shuffle on the group key; each
+    # group materializes as ONE pandas frame, so the scale constraint is
+    # max-group-size fits an executor — for unbounded groups use the
+    # iterator-based mapInPandas instead (operators/multimodal.py).
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("len_rank", LongType()),
+        ]
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "len_rank": range(1, len(pdf) + 1),
+            }
+        )
+
+    d = T(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(rank_group, schema=schema)

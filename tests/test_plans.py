@@ -120,7 +120,7 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
     surface — everything else stays fully JVM-side."""
     from mongo_to_parquet_spark.queries import queries
 
-    arrow_ok = {"q_udf_scalar_pandas", "q_udaf_grouped", "q_mm_features"}
+    arrow_ok = {"q_udf_scalar_pandas", "q_udaf_grouped", "q_udf_grouped_map", "q_mm_features"}
     for key, fn in sorted(queries().items()):
         plan = checks.formatted_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{key} plans a row-Python UDF"
@@ -128,5 +128,5 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
         # sim/dedup cross joins are all broadcast-NL with a tiny build side
         assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
         if key not in arrow_ok:
-            for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython"):
+            for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython", "FlatMapGroupsInPandas"):
                 assert node not in plan, f"{key} unexpectedly crosses into Python ({node})"
