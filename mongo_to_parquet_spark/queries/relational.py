@@ -492,6 +492,170 @@ def q_agg_having(spark, sf):
     )
 
 
+@q(
+    "q_join_full",
+    """
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey, a.cnt_o, b.cnt_p
+    FROM (SELECT o_custkey, COUNT(*) AS cnt_o FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+    FULL JOIN
+         (SELECT o_custkey, COUNT(*) AS cnt_p FROM orders
+          WHERE o_orderstatus = 'P' GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark, sf):
+    # full outer over two aggregated slices ('P' is rare → both null sides
+    # exercised). Full outer has no broadcast strategy: planned as SMJ on the
+    # join key, which is also the only shape that exists at 100 TB.
+    o = T(spark, sf, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k_o"))
+        .agg(F.count(F.lit(1)).alias("cnt_o"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_custkey").alias("k_p"))
+        .agg(F.count(F.lit(1)).alias("cnt_p"))
+    )
+    return a.join(b, a.k_o == b.k_p, "full").select(
+        F.coalesce("k_o", "k_p").alias("custkey"), "cnt_o", "cnt_p"
+    )
+
+
+@q(
+    "q_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
+    FROM orders GROUP BY CAST(year(o_orderdate) AS INT)
+    """,
+)
+def q_pivot(spark, sf):
+    # pivot with an EXPLICIT value list: without it Spark runs a distinct-
+    # collect pre-pass over the pivot column — a full extra scan at 100 TB.
+    piv = (
+        T(spark, sf, "orders")
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("price").cast("double"))
+    )
+    return piv.select(
+        "yr",
+        F.col("O").alias("total_o"),
+        F.col("F").alias("total_f"),
+        F.col("P").alias("total_p"),
+    )
+
+
+@q(
+    "q_unpivot",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def q_unpivot(spark, sf):
+    # unpivot/melt: wide → long without a shuffle (Expand node, one scan).
+    p = T(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot(["p_partkey"], ["size", "retailprice"], "metric", "value")
+
+
+@q(
+    "q_subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    """,
+)
+def q_subquery_scalar(spark, sf):
+    # uncorrelated scalar subquery via the SQL surface: planned as an
+    # independent agg whose single-row result is injected into the scan's
+    # filter — the main scan reads once, no self-join. DECIMAL-exact avg so
+    # the cut-off is bit-identical in both engines.
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM orders)
+        """
+    )
+
+
+@q(
+    "q_subquery_correlated",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_correlated(spark, sf):
+    # correlated scalar subquery: Catalyst decorrelates it
+    # (RewriteCorrelatedScalarSubquery) into an aggregate + equi-join on the
+    # correlation key — one shuffle, no per-row re-execution, unlike the
+    # nested-loop reading of the SQL.
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@q(
+    "q_agg_listagg",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_listagg(spark, sf):
+    # listagg/string_agg: collect_list is order-nondeterministic under
+    # parallel merge, so sort INSIDE the group before joining — the only way
+    # a concatenation hash-matches across engines (or across two Spark runs).
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 # -------------------------------------------------------- sorts / top-k ----
 @q(
     "q_sort_multi",

@@ -150,6 +150,35 @@ def q_array_explode(spark, sf):
 
 
 @q(
+    "q_hof_array",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+           len(list_filter(embedding, x -> x > 3)) > 0 AS has_big
+    FROM embeddings
+    """,
+)
+def q_hof_array(spark, sf):
+    # higher-order array functions (filter / aggregate-fold / exists): stay
+    # JVM-side and codegen'd — the UDF-free way to compute per-vector stats.
+    # Both engines fold left-to-right over the list, so the double sum is
+    # order-deterministic (unlike a grouped SUM).
+    e = T(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.exists("embedding", lambda x: x > 3).alias("has_big"),
+    )
+
+
+@q(
     "q_array_funcs",
     """
     SELECT vec_id,

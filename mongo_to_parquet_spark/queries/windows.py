@@ -134,6 +134,40 @@ def q_win_running(spark, sf):
 
 
 @q(
+    "q_win_distribution",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey {_ORD}) AS INT) AS quartile,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey {_ORD}), 6) AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY o_custkey {_ORD}), 6) AS cdist,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey {_ORD}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS biggest_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey {_ORD}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS smallest_order
+    FROM orders
+    """,
+)
+def q_win_distribution(spark, sf):
+    # distribution family: ntile / percent_rank / cume_dist are exact integer
+    # ratios → bit-identical doubles (ROUND 6 is belt-and-braces only).
+    # first/last_value get an EXPLICIT unbounded frame: the default frame
+    # stops at CURRENT ROW, which silently turns last_value into a no-op.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(full).alias("biggest_order"),
+        F.last("o_orderkey").over(full).alias("smallest_order"),
+    )
+
+
+@q(
     "q_win_range_frame",
     """
     SELECT o_custkey, o_orderkey,
