@@ -469,6 +469,25 @@ def q_agg_stats(spark, sf):
     )
 
 
+@q("q_agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def q_agg_approx_percentile(spark, sf):
+    # the SCALE path for q_agg_stats' percentiles: approx_percentile keeps a
+    # bounded GK-summary per group through the shuffle instead of buffering
+    # every value — O(accuracy) state regardless of group size, the only
+    # shape that survives a 100 TB group. Sketch output is engine-specific,
+    # so the driver check is rows-only; tests/test_operators.py pins each
+    # value within rank-error of the exact percentile.
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+    )
+
+
 @q(
     "q_agg_having",
     """
@@ -652,6 +671,64 @@ def q_agg_listagg(spark, sf):
                 ",",
             ).alias("order_keys"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q_agg_argminmax",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_totalprice, o_orderkey) AS price_of_last_order,
+           arg_min(o_totalprice, o_orderkey) AS price_of_first_order,
+           arg_max(o_orderkey, o_orderkey) AS max_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_argminmax(spark, sf):
+    # min_by / max_by: single-pass argmin/argmax carried through the partial
+    # aggregate — replaces the self-join-on-max idiom (two scans + shuffle)
+    # with one map-side-combined agg. Ordering column is the UNIQUE orderkey,
+    # so ties can't make the answer engine-dependent.
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("price_of_last_order"),
+            F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_order"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@q(
+    "q_agg_bitwise",
+    """
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bitwise(spark, sf):
+    # bitwise + boolean aggregates and FILTER'd count — all commutative /
+    # associative, so partial aggregation (map-side combine) applies and the
+    # shuffle carries one row per (partition, status).
+    big = F.col("o_totalprice") > 200000
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("band"),
+            F.bit_or("o_orderkey").alias("bor"),
+            F.bit_xor("o_orderkey").alias("bxor"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.when(big, 1)).alias("n_big"),
         )
     )
 

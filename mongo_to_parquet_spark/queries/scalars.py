@@ -205,3 +205,176 @@ def q_array_funcs(spark, sf):
             4,
         ).alias("head4_sum"),
     )
+
+
+@q(
+    "q_map_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           event_type AS m_type,
+           user_id AS m_uid,
+           CAST(2 AS INT) AS n_keys,
+           'type,uid' AS keys_csv,
+           FALSE AS has_missing
+    FROM events
+    """,
+)
+def q_map_funcs(spark, sf):
+    # map column surface (the Mongo-subdocument analog): parse props into
+    # map<string,bigint>, build a map from columns, concat, probe, enumerate
+    # keys. All JVM-side — the oracle recomputes each scalar straight from
+    # the source columns, so the hash check proves values survive the
+    # map round-trip intact.
+    e = T(spark, sf, "events")
+    parsed = F.from_json("props", "map<string,bigint>")
+    m = F.map_concat(
+        F.create_map(F.lit("type"), F.col("event_type")),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(parsed, "k").alias("k_val"),
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").cast("bigint").alias("m_uid"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+    )
+
+
+@q(
+    "q_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a,
+           regexp_matches(p_name, 'green|red|blue') AS has_color
+    FROM part
+    """,
+)
+def q_regex_funcs(spark, sf):
+    # regex family: extract / replace-all / count / match. Spark
+    # regexp_replace replaces ALL matches by default — DuckDB only the first,
+    # hence the 'g' flag on the oracle side.
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.regexp_count("p_name", F.lit("a")).cast("int").alias("n_a"),
+        F.col("p_name").rlike("green|red|blue").alias("has_color"),
+    )
+
+
+@q(
+    "q_null_funcs",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS closed_status,
+           COALESCE(nullif(o_orderstatus, 'O'), 'open') AS status_filled,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                THEN 'done' ELSE 'pending' END AS nvl2_tag,
+           COALESCE(CAST(NULL AS DOUBLE), o_totalprice, 0.0) AS price_nn
+    FROM orders
+    """,
+)
+def q_null_funcs(spark, sf):
+    # null-handling family over nulls we mint with nullif (fixtures are
+    # null-free): nullif / coalesce / IS NULL / nvl2. nvl2 has no DuckDB
+    # twin — the oracle spells it as CASE, which is also what Catalyst
+    # rewrites it to (RuntimeReplaceable).
+    o = T(spark, sf, "orders")
+    closed = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        closed.alias("closed_status"),
+        F.coalesce(closed, F.lit("open")).alias("status_filled"),
+        closed.isNull().alias("is_open"),
+        F.nvl2(closed, F.lit("done"), F.lit("pending")).alias("nvl2_tag"),
+        F.coalesce(F.lit(None).cast("double"), F.col("o_totalprice"), F.lit(0.0)).alias(
+            "price_nn"
+        ),
+    )
+
+
+@q(
+    "q_json_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing_val,
+           json(props)::VARCHAR AS canonical
+    FROM events
+    """,
+)
+def q_json_variant(spark, sf):
+    # Spark 4 VARIANT type — the real Mongo-document answer: parse once into
+    # a binary self-describing value, then typed path extraction
+    # (variant_get) without a fixed schema. Shredded-at-scan when stored in
+    # parquet. Canonical JSON round-trip pins serialization (both engines
+    # minify), try_variant_get pins missing-path → NULL.
+    e = T(spark, sf, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+        F.to_json(v).alias("canonical"),
+    )
+
+
+@q(
+    "q_lateral_explode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> len(t) > 6) AS lt
+      FROM documents)
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok
+    FROM (SELECT doc_id,
+                 unnest(list_transform(lt, (t, i) -> {'pos': i - 1, 'tok': t})) AS u
+          FROM base WHERE len(lt) > 0)
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM base WHERE len(lt) = 0
+    """,
+)
+def q_lateral_explode(spark, sf):
+    # OUTER lateral explode: docs whose filtered token list is EMPTY must
+    # survive as a (doc_id, null, null) row — posexplode_outer, vs plain
+    # explode which would silently drop them (104 of 500 docs here).
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 6)
+    return d.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+@q(
+    "q_date_series",
+    """
+    SELECT o_orderkey, strftime(m, '%Y-%m-%d') AS month_start
+    FROM (SELECT o_orderkey,
+                 unnest(generate_series(date_trunc('month', o_orderdate),
+                                        date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+                                        INTERVAL 1 MONTH)) AS m
+          FROM orders)
+    """,
+)
+def q_date_series(spark, sf):
+    # sequence() + explode: per-row date-series generation (the densify /
+    # gap-fill primitive). Anchored on month TRUNCATION so month arithmetic
+    # never hits end-of-month clamping, which Spark and DuckDB resolve
+    # differently. ISO-string output sidesteps tz/dtype drift.
+    o = T(spark, sf, "orders")
+    start = F.date_trunc("month", F.col("o_orderdate"))
+    series = F.sequence(
+        start, start + F.expr("interval 2 months"), F.expr("interval 1 month")
+    )
+    return o.select(
+        "o_orderkey",
+        F.explode(series).alias("m"),
+    ).select("o_orderkey", F.date_format("m", "yyyy-MM-dd").alias("month_start"))

@@ -361,3 +361,30 @@ def test_pack_documents_sharded_and_global(spark, sf_dir):
         s.agg(F.sum("n_tokens")).collect()[0][0]
         == g.agg(F.sum("n_tokens")).collect()[0][0]
     )
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """q_agg_approx_percentile (rows-only at the driver): each sketched
+    quantile must be an actual data value whose rank is within GK rank
+    error (eps = 1/accuracy, plus one for boundary rounding) of the
+    target rank in the group's sorted values."""
+    from mongo_to_parquet_spark.queries.relational import q_agg_approx_percentile
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    approx = {
+        r["event_type"]: r for r in q_agg_approx_percentile(spark, sf_dir).collect()
+    }
+    eps = 1.0 / 10000
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for qname, qv in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            got = approx[et][qname]
+            lo_rank = max(int((qv - eps) * (n - 1)) - 1, 0)
+            hi_rank = min(int((qv + eps) * (n - 1)) + 2, n - 1)
+            assert vals[lo_rank] - 1e-9 <= got <= vals[hi_rank] + 1e-9, (
+                et, qname, got, vals[lo_rank], vals[hi_rank])
