@@ -676,6 +676,49 @@ def q_agg_listagg(spark, sf):
 
 
 @q(
+    "q_join_salted",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_salted(spark, sf):
+    # skew-proof equi-join (operators/skew.py): fact rows salted on the
+    # within-key-varying linenumber, orders replicated n_salt x, join on
+    # (key, salt). Hash-identical to the plain join — the oracle IS the
+    # plain join — while a hot orderkey's lineitems spread over 8 reducers
+    # instead of one. The n_salt x dim scan is the price; broadcast remains
+    # cheaper whenever the dim fits.
+    from mongo_to_parquet_spark.operators.skew import salted_join
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_totalprice"
+    )
+    return salted_join(li, o, on=["l_orderkey"], salt_from="l_linenumber", n_salt=8)
+
+
+@q(
+    "q_agg_distinct_salted",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_salted(spark, sf):
+    # skew-proof EXACT count-distinct (operators/skew.py): the value hash
+    # picks the salt, so phase-1 dedup spreads each hot group over 64
+    # reducers and phase-2 just sums per-salt counts. Same answer as
+    # COUNT(DISTINCT) — pinned by the oracle — without funnelling a hot
+    # group's whole value set through one task.
+    from mongo_to_parquet_spark.operators.skew import salted_distinct_count
+
+    return salted_distinct_count(
+        T(spark, sf, "lineitem"), ["l_returnflag"], "l_partkey", n_salt=64
+    )
+
+
+@q(
     "q_agg_argminmax",
     """
     SELECT o_orderstatus,

@@ -52,3 +52,52 @@ def q_sink_partitioned(spark, sf):
             F.countDistinct("month").alias("n_months"),
         )
     )
+
+
+@q(
+    "q_sink_formats",
+    """
+    SELECT fmt,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM (SELECT 'csv' AS fmt, o_totalprice, o_orderdate FROM orders
+          UNION ALL SELECT 'json', o_totalprice, o_orderdate FROM orders
+          UNION ALL SELECT 'orc', o_totalprice, o_orderdate FROM orders
+          UNION ALL SELECT 'parquet', o_totalprice, o_orderdate FROM orders)
+    GROUP BY fmt
+    """,
+)
+def q_sink_formats(spark, sf):
+    # multi-format sink/source round-trip: write orders to csv/json/orc/
+    # parquet, read each back (text formats under the ORIGINAL schema — the
+    # reader must not re-infer), and aggregate. Hash-matching the source
+    # table proves every format preserves doubles (Java shortest-repr
+    # round-trip) and ms timestamps end-to-end. Decimal-cast before SUM so
+    # the result is addition-order-free.
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    outroot = os.path.abspath(
+        os.path.join(scratch, "sink_formats", os.path.basename(sf.rstrip("/")))
+    )
+    o = T(spark, sf, "orders")
+    parts = None
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = os.path.join(outroot, fmt)
+        w = o.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            r = r.schema(o.schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        back = r.load(path).select(
+            F.lit(fmt).alias("fmt"), "o_totalprice", "o_orderdate"
+        )
+        parts = back if parts is None else parts.unionByName(back)
+    return parts.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )

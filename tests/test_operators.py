@@ -388,3 +388,45 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             hi_rank = min(int((qv + eps) * (n - 1)) + 2, n - 1)
             assert vals[lo_rank] - 1e-9 <= got <= vals[hi_rank] + 1e-9, (
                 et, qname, got, vals[lo_rank], vals[hi_rank])
+
+
+def test_salted_join_preserves_multiplicity_and_outer_rows(spark):
+    """salted_join ≡ plain join, including duplicate dim keys (row
+    multiplicity) and left-outer unmatched rows (null fill, once each)."""
+    from mongo_to_parquet_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 10), (3, 11)], "k int, line int"
+    )
+    dim = spark.createDataFrame(  # k=1 duplicated: every fact row matches twice
+        [(1, "a"), (1, "b"), (2, "c")], "k int, tag string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, on=["k"], salt_from="line", n_salt=4, how=how)
+        want = fact.join(dim, on=["k"], how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+
+
+def test_salted_distinct_count_matches_exact(spark):
+    """salted_distinct_count is EXACT for any salt width, including a
+    degenerate all-one-group skew and values colliding across groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.skew import salted_distinct_count
+
+    rng = random.Random(7)
+    rows = [("hot" if rng.random() < 0.9 else f"g{rng.randint(0, 3)}", rng.randint(0, 500))
+            for _ in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    for n_salt in (1, 7, 64):
+        got = {
+            r["g"]: r["n_distinct"]
+            for r in salted_distinct_count(df, ["g"], "v", n_salt=n_salt).collect()
+        }
+        want = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+        }
+        assert got == want, n_salt
