@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mongo_to_parquet_spark.functions.textfns import mean_word_len, token_count
+from mongo_to_parquet_spark.functions.textfns import (
+    mean_word_len,
+    shingles,
+    token_count,
+    tokens,
+)
 from mongo_to_parquet_spark.functions.vector import cosine, norm
 from mongo_to_parquet_spark.operators import dedup, similarity, text
 from mongo_to_parquet_spark.sources.catalog import load_table as T
@@ -517,4 +522,156 @@ def q_mm_features(spark, sf):
     feats = extract_features(m, fake=True)
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0")
+    )
+
+
+# ------------------------------------------------- text curation (round 1+) ---
+@q(
+    "q_text_clean",
+    """
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, ' '),
+                         t -> NOT list_contains(['the', 'a', 'of', 'and', 'to'], t)),
+             ' ') AS cleaned,
+           CAST(len(string_split(text, ' '))
+                - len(list_filter(string_split(text, ' '),
+                                  t -> NOT list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+                AS INT) AS n_removed,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS num_redacted
+    FROM documents
+    """,
+)
+def q_text_clean(spark, sf):
+    # curation cleaning pass: stopword strip (token-level filter + rejoin)
+    # and digit redaction — all codegen'd; one scan, no shuffle, the shape
+    # that streams through 100 TB at IO speed.
+    stop = ("the", "a", "of", "and", "to")
+    d = T(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    kept = F.filter(toks, lambda t: ~t.isin(*stop))
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned"),
+        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("num_redacted"),
+    )
+
+
+@q(
+    "q_text_repetition",
+    """
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 4) AS dup_token_frac,
+           ROUND(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                     / CAST(len(bi) AS DOUBLE), 4) AS dup_bigram_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 4) AS top_token_frac
+    FROM (SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 CASE WHEN len(string_split(text, ' ')) < 2 THEN [text]
+                      ELSE list_transform(
+                             generate_series(1, len(string_split(text, ' ')) - 1),
+                             i -> concat_ws(' ', string_split(text, ' ')[i],
+                                                 string_split(text, ' ')[i + 1]))
+                 END AS bi
+          FROM documents)
+    """,
+)
+def q_text_repetition(spark, sf):
+    # Gopher/C4-style repetition quality signals: duplicated-token fraction,
+    # duplicated-bigram fraction, most-frequent-token share. Pure
+    # higher-order-function composition per row — the top-token count is
+    # O(distinct x tokens) per doc, bounded by doc length, never a shuffle.
+    d = T(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    bi = shingles(F.col("text"), 2)
+    uniq = F.array_distinct(toks)
+    n = F.size(toks).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.size(uniq).cast("double") / n, 4).alias(
+            "dup_token_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / F.size(bi).cast("double"),
+            4,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.array_max(
+                F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+            ).cast("double")
+            / n,
+            4,
+        ).alias("top_token_frac"),
+    )
+
+
+@q(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+    """,
+)
+def q_sample_stratified(spark, sf):
+    # deterministic stratified (mixture-rebalancing) sample: md5 of the doc
+    # id is the random variate — identical hex in every engine, so the
+    # sample is reproducible and oracle-checkable. Per-stratum rates via the
+    # hex threshold: 'en' keeps 64/256 = 25 %, the rest 192/256 = 75 %.
+    # Content-addressed sampling = no coordination, no state, scan-local.
+    d = T(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    return d.filter(bucket < thresh).select("doc_id", "lang")
+
+
+@q(
+    "q_text_vocab",
+    """
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
+    """,
+)
+def q_text_vocab(spark, sf):
+    # vocabulary building: explode → count → global top-k. Partial
+    # aggregation compresses the explosion map-side (distinct tokens per
+    # partition, not token instances, cross the wire) and the top-k is
+    # TakeOrderedAndProject — no global sort.
+    d = T(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+@q(
+    "q_embed_centroid",
+    """
+    SELECT label, CAST(u.pos AS INT) AS pos,
+           ROUND(AVG(CAST(u.val AS DOUBLE)), 4) AS centroid_val
+    FROM (SELECT label,
+                 unnest(list_transform(embedding, (x, i) -> {'pos': i - 1, 'val': x})) AS u
+          FROM embeddings)
+    GROUP BY label, u.pos
+    """,
+)
+def q_embed_centroid(spark, sf):
+    # per-label centroid (k-means step / class prototype): posexplode the
+    # vectors and average per (label, dim). The shuffle carries one partial
+    # sum per (label, dim, partition) — dims x labels rows, independent of
+    # corpus size. ROUND(4) absorbs double-sum order variation (same
+    # convention as q_agg_stats' moments).
+    e = T(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
     )
