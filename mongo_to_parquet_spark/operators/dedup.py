@@ -419,3 +419,62 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (node, comp) with comp = the
+    minimum node id reachable through the pair graph.
+
+    Pair mining (jaccard/minhash/simhash/embedding) yields edges; an actual
+    dedup decision needs the transitive closure — A~B, B~C must collapse to
+    ONE cluster even though (A, C) was never emitted. Min-label propagation:
+    each round every node takes the min label among itself and its
+    neighbours (join edges→labels on the neighbour end, union, groupBy-min
+    — two shuffles per round), converging in O(component diameter) rounds.
+    Near-dup clusters are shallow (dense blobs, not paths), so diameter is
+    small; for adversarial long-chain graphs swap in large-star/small-star
+    (same join+agg building blocks, O(log n) rounds).
+
+    Each round ends in ``localCheckpoint`` — labels are tiny (two ids per
+    node) and checkpointing truncates the otherwise exponentially growing
+    iterative lineage; on a cluster prefer ``checkpoint()`` to survive
+    executor loss. The convergence probe is `limit(1)` on changed labels —
+    it can stop at the first change, not a full count.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("node").alias("b"), "comp"), "b"
+        ).select(F.col("a").alias("node"), "comp")
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels

@@ -675,3 +675,63 @@ def q_embed_centroid(spark, sf):
         .groupBy("label", F.col("pos").cast("int").alias("pos"))
         .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
     )
+
+
+@q(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 3
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT x.doc AS doc1, y.doc AS doc2, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+        GROUP BY x.doc, y.doc
+    ), pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc = doc1
+        JOIN sizes s2 ON s2.doc = doc2
+        WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ), reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT d.doc_id,
+           COALESCE(LEAST(d.doc_id, m.minr), d.doc_id) AS cluster_id,
+           COALESCE(LEAST(d.doc_id, m.minr), d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN (SELECT node, MIN(r) AS minr FROM reach GROUP BY node) m
+      ON m.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf):
+    # the dedup END-PRODUCT: pair mining only emits edges — the keep/drop
+    # decision needs the transitive closure (A~B, B~C ⇒ one cluster even
+    # though (A,C) was never emitted). Iterative min-label propagation over
+    # the exact trigram-Jaccard pairs (q_dedup_ngram's edge set), then every
+    # corpus doc is assigned its cluster min-id (singletons ⇒ themselves)
+    # and the min member is flagged canonical. Oracle = recursive-CTE
+    # transitive closure over the identical pair SQL.
+    d = T(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.5, ngram=3).select("doc1", "doc2")
+    cc = dedup.connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+            (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

@@ -430,3 +430,18 @@ def test_salted_distinct_count_matches_exact(spark):
             for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
         }
         assert got == want, n_salt
+
+
+def test_connected_components_chain_and_blobs(spark):
+    """Transitive closure: a 6-node chain (diameter > 1 round) collapses to
+    one component; disjoint blobs keep distinct min-ids; convergence stops
+    early; a cycle does not loop forever."""
+    from mongo_to_parquet_spark.operators.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain 1..6
+             (10, 11), (11, 12), (10, 12),                # triangle (cycle)
+             (20, 21)]                                    # simple pair
+    df = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
