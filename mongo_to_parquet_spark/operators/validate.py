@@ -1,0 +1,64 @@
+"""Data-quality validation: declarative checks → one violations DataFrame.
+
+An export pipeline at 100 TB needs its gate checks (nulls, domains, ranges,
+uniqueness, referential integrity) to cost as little as possible. The shapes
+here:
+
+- ``row_checks``: ALL row-level predicates for one table fused into a
+  SINGLE aggregate pass — one scan, one conditional-sum per rule, then an
+  unpivot of the 1-row result. Adding a rule costs one column, not one scan.
+- ``unique_check``: duplicate count via ``count(*) − count(distinct …)`` —
+  partial-aggregated, no row explosion back to the driver.
+- ``fk_check``: orphan count via LEFT ANTI join (broadcast when the parent
+  is a dim, SMJ otherwise) — never a row-by-row lookup.
+
+All checks return the same 2-column shape ``(chk, violations)`` so they
+union into one report; 0-violation rows stay in the report as evidence the
+check ran. The reference has no validation at all (schema drift is silently
+frozen-or-dropped, SURVEY §1.1) — this module is the guard the reference
+was missing, generalized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One scan over ``df``; each rule maps check-name → VIOLATION predicate."""
+    wide = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in rules.items()
+        ]
+    )
+    return wide.unpivot([], list(rules), "chk", "violations")
+
+
+def unique_check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """Violations = rows beyond the first per distinct key tuple."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit(name).alias("chk"), "violations")
+
+
+def fk_check(
+    child: DataFrame, key: str, parent: DataFrame, parent_key: str, name: str
+) -> DataFrame:
+    """Violations = child rows whose key has no parent (anti join)."""
+    orphans = child.select(F.col(key).alias("__k")).join(
+        parent.select(F.col(parent_key).alias("__k")), "__k", "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+        F.lit(name).alias("chk"), "violations"
+    )
+
+
+def run_checks(*reports: DataFrame) -> DataFrame:
+    """Union per-table reports into one (chk, violations) DataFrame."""
+    return reduce(lambda a, b: a.unionByName(b), reports)

@@ -843,3 +843,75 @@ def q_set_except(spark, sf):
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.exceptAll(b)
+
+
+@q(
+    "q_quality_checks",
+    """
+    SELECT 'date_not_null' AS chk,
+           CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_range',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice > 10000000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+    """,
+)
+def q_quality_checks(spark, sf):
+    # pipeline-gate validation (operators/validate.py): the three row-level
+    # rules fuse into ONE scan+agg (adding a rule costs a column, not a
+    # scan); uniqueness is count-minus-distinct; FK orphans an anti join.
+    # Zero-violation rows stay in the report as evidence the check ran.
+    from mongo_to_parquet_spark.operators import validate as V
+
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return V.run_checks(
+        V.row_checks(
+            o,
+            {
+                "date_not_null": F.col("o_orderdate").isNull(),
+                "price_range": (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 10_000_000),
+                "status_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            },
+        ),
+        V.unique_check(o, ["o_orderkey"], "orderkey_unique"),
+        V.fk_check(o, "o_custkey", c, "c_custkey", "custkey_fk"),
+    )
+
+
+@q("q_agg_hll_sketch")  # rows-only: DataSketches binary estimates are engine-specific
+def q_agg_hll_sketch(spark, sf):
+    # MERGEABLE distinct-count sketches (DataSketches HLL): per-type
+    # sketches are aggregated once, then the __total__ row is the UNION of
+    # the per-type sketches — no second scan of the data. This is the
+    # incremental-rollup primitive at 100 TB: store sketches per partition/
+    # day, merge for any slice, never recount. approx_count_distinct
+    # (q_agg_approx_distinct) gives one number; sketches compose.
+    # tests/test_operators.py pins each estimate within HLL error of exact.
+    e = T(spark, sf, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("__total__").alias("event_type"),
+            F.hll_sketch_estimate("u").alias("approx_users"),
+        )
+    )
+    return per_est.unionByName(total)

@@ -445,3 +445,26 @@ def test_connected_components_chain_and_blobs(spark):
     got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hll_sketch_union_within_error(spark, sf_dir):
+    """q_agg_hll_sketch (rows-only): per-type and union-merged estimates
+    within 5% of exact distinct counts; the merged total equals a direct
+    whole-table sketch (mergeability, the incremental-rollup property)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.queries.relational import q_agg_hll_sketch
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = {r["event_type"]: r["approx_users"] for r in q_agg_hll_sketch(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["__total__"] = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert got.keys() == exact.keys()
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+    direct = e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))).collect()[0][0]
+    assert got["__total__"] == direct
