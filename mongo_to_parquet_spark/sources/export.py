@@ -30,9 +30,10 @@ task-count × year-count files; callers that need file-count control pass
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 UNKNOWN_BUCKET = "unknown"  # reference main.py:110
@@ -124,3 +125,69 @@ def export_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 4_000_000,
+    partition_col: str | None = "year",
+) -> dict[str, int]:
+    """Rewrite a many-small-files dataset into ~target-sized files.
+
+    The small-file problem is the long-tail killer of 100 TB scans: every
+    file costs a task, a footer read, and an open — a partition written by
+    1000 reducers daily becomes 365k files/year. Compaction = read +
+    repartition to ceil(rows/target) + rewrite. Hive partition columns are
+    re-written as directories (partition_col), so downstream pruning is
+    unchanged. Returns before/after file counts for the caller's audit log.
+
+    The 4M-row default mirrors the reference's file-roll threshold
+    (main.py:225-228, row_group_size x 10).
+    """
+    df = spark.read.parquet(in_path)
+    rows = df.count()
+    n_out = max(1, -(-rows // target_rows_per_file))
+    before = len(
+        [p for p in _list_files(in_path) if p.endswith(".parquet")]
+    )
+    w = df.repartition(n_out).write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        w = w.partitionBy(partition_col)
+    w.parquet(out_path)
+    after = len([p for p in _list_files(out_path) if p.endswith(".parquet")])
+    return {"rows": rows, "files_before": before, "files_after": after}
+
+
+def _list_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files)
+    return out
+
+
+def export_sorted(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions.
+
+    Every output file holds a DISJOINT range of ``sort_cols``, so parquet
+    footer min/max statistics prune whole files for range predicates — the
+    poor man's clustered index. At 100 TB, sorting the export by its
+    dominant filter column (ship date, event time) turns full scans into
+    touched-range scans with zero read-path changes
+    (tests/test_catalog.py asserts footer-range disjointness).
+    repartitionByRange samples the data to pick balanced boundaries —
+    skewed sort keys still yield even files.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(out_path)
+    )

@@ -67,3 +67,52 @@ def test_sql_surface_matches_dataframe_api(spark, sf_dir):
         "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
     assert joined.count() > 0
+
+
+def test_compact_dataset_reduces_file_count(spark, sf_dir, tmp_path):
+    """Compaction: a deliberately fragmented write (50 shuffle files) is
+    rewritten to ceil(rows/target) files with identical content."""
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import compact_dataset
+
+    o = load_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "frag")
+    o.repartition(50).write.parquet(frag)
+    out = str(tmp_path / "compact")
+    stats = compact_dataset(spark, frag, out, target_rows_per_file=10_000,
+                            partition_col=None)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] == max(1, -(-stats["rows"] // 10_000))
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_export_sorted_footer_ranges_disjoint(spark, sf_dir, tmp_path):
+    """Range-clustered export: per-file parquet footer min/max of the sort
+    column must be pairwise disjoint — the property that makes min-max file
+    pruning possible for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_sorted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "sorted")
+    export_sorted(li, out, ["l_shipdate"], n_files=8)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # repartitionByRange actually split the data
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
