@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.functions.textfns import shingles, tokens
+from mongo_to_parquet_spark.operators.parallel import fan_out
 
 
 # --------------------------------------------------------------------------
@@ -85,7 +86,11 @@ def jaccard_pairs(
     bit dictionary, so the bitset path never shuffles to assign bits.
     """
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh"))
+    # fan_out BEFORE the shingle expression: a one-file corpus otherwise
+    # shingles+hashes on a single task (operators/parallel.py)
+    base = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
+    )
     # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
     cap = min(bitmask_max_vocab, 64)
     vocab_rows = base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
@@ -93,9 +98,7 @@ def jaccard_pairs(
     # zero entries has type map<void,void> and cannot be keyed by a string
     if 0 < len(vocab_rows) <= cap and docs.count() <= bitmask_max_docs:
         return _jaccard_pairs_bitset(base, sorted(r["s"] for r in vocab_rows), threshold)
-    doc_sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("s")
-    )
+    doc_sh = base.select("doc", F.explode("sh").alias("s"))
     sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # shuffle both (identical) sides of the self-join so ReuseExchange
     # computes the shingle explosion once — same rationale as minhash's
@@ -235,7 +238,9 @@ def minhash_pairs(
     """
     k = bands * rows_per_band
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
-    base = docs.select(
+    # fan_out BEFORE shingling/signatures — the whole pre-LSH map stage
+    # otherwise runs at the scan's (byte-sized) parallelism
+    base = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
     )
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), k))
@@ -382,7 +387,9 @@ def simhash_pairs(
     (chunk_idx, chunk_value), verify with bit_count(xor). Shuffles only
     (chunk, id, sig) — scales linearly in corpus size for random data.
     """
-    sigs = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig"))
+    sigs = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig")
+    )
     chunks = sigs.select(
         "doc",
         "sig",
