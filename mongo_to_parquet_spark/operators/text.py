@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.functions.textfns import mean_word_len, token_count, tokens
+from mongo_to_parquet_spark.operators.parallel import fan_out
 
 #: tiny per-language stopword profiles for the n-gram/stopword heuristic.
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -170,4 +171,85 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (RAG / training
+    sequence prep): one output row per (doc, chunk) with a 0-based
+    ``chunk_idx``, the chunk text, and its token count.
+
+    Chunk starts are 1, 1+stride, 1+2·stride … ≤ n_tokens, each chunk
+    ``window`` tokens (the final chunks are shorter). stride < window ⇒
+    overlapping context windows; stride = window ⇒ a partition.
+
+    Pure narrow transformation — no shuffle at any scale; output rows ≈
+    n_tokens/stride per doc. The token array is bound as a lambda VALUE
+    (single-element-array wrapper) so the split runs once per document,
+    not once per chunk (the Catalyst projection-collapse trap —
+    operators/dedup.py minhash_signature has the same shape).
+    """
+    per_doc = F.flatten(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(stride)
+                ),
+                lambda i: F.struct(
+                    F.array_join(F.slice(tk, i, window), " ").alias("chunk_text"),
+                    F.size(F.slice(tk, i, window)).cast("long").alias("n_tokens"),
+                ),
+            ),
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(per_doc).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "c.chunk_text",
+        "c.n_tokens",
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood — the classic
+    cheap perplexity proxy for corpus quality scoring (high = rare/garbled
+    vocabulary, low = common fluent tokens).
+
+    Two aggregation passes over the exploded tokens:
+
+      1. corpus unigram counts (groupBy token — map-side partial agg means
+         the shuffle carries one row per distinct token per task);
+      2. re-join tokens→counts and average −ln(count/total) per doc.
+
+    The frequency table is vocabulary-sized (≪ corpus at any scale:
+    ~millions of rows at 100 TB), so it is explicitly broadcast — the
+    scoring join never shuffles the corpus. ``total`` comes from summing
+    the (tiny) frequency table, not a second corpus scan.
+    """
+    # deliberately NOT persisted: the exploded corpus is ≥ the corpus
+    # itself, so caching it at 100 TB costs more than the narrow re-scan
+    # the second pass pays
+    tok = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c")).collect()[0][0]
+    return (
+        tok.join(F.broadcast(freqs), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(-F.avg(F.log(F.col("c") / F.lit(float(total)))), 4).alias("nll"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
     )

@@ -735,3 +735,40 @@ def q_dedup_clusters(spark, sf):
             (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+@q(
+    "q_text_chunk",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[i : i + 31], ' ') AS chunk_text,
+           CAST(len(toks[i : i + 31]) AS BIGINT) AS n_tokens
+    FROM base, UNNEST(generate_series(1, greatest(len(toks), 1), 24)) AS t(i)
+    """,
+)
+def q_text_chunk(spark, sf):
+    # overlapping token-window chunking (window 32, stride 24): the RAG /
+    # context-window prep step. Narrow transformation — zero shuffles.
+    return text.chunk_documents(T(spark, sf, "documents"), window=32, stride=24)
+
+
+@q(
+    "q_text_logprob",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
+    SELECT doc_id, ROUND(-AVG(LN(c / n)), 4) AS nll, COUNT(*) AS n_tokens
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_logprob(spark, sf):
+    # mean unigram −log p(token): the cheap perplexity proxy for quality
+    # scoring. Corpus freq table built once, broadcast into the scoring
+    # join — the corpus itself shuffles only for the per-doc average.
+    return text.unigram_logprob(T(spark, sf, "documents"))

@@ -915,3 +915,73 @@ def q_agg_hll_sketch(spark, sf):
         )
     )
     return per_est.unionByName(total)
+
+
+@q(
+    "q_merge_upsert",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def q_merge_upsert(spark, sf):
+    # SCD-1 merge (operators/merge.py): a synthetic change-set — price
+    # corrections on every 7th key, inserts on negated 11th keys — applied
+    # onto orders. The anti-join sees only the updates' DISTINCT KEY SET,
+    # so base never shuffles when the change-set is broadcast-sized.
+    from mongo_to_parquet_spark.operators.merge import merge_upsert
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(o, upd.unionByName(ins), ["o_orderkey"])
+
+
+@q(
+    "q_agg_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR((o_totalprice - 0.0) / ((600000.0 - 0.0) / 12))
+                          AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark, sf):
+    # equi-width histogram via the built-in width_bucket — the profiling
+    # primitive behind skew detection and range-boundary picking. One
+    # map-side-combinable groupBy on a 14-value key; DECIMAL-exact money
+    # sums per the cross-engine convention. The oracle mirrors
+    # width_bucket's exact float path ((v-lo)/((hi-lo)/n), here /50000.0
+    # exact) so boundary values bucket identically in both engines.
+    o = T(spark, sf, "orders")
+    b = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)
+    )
+    return o.groupBy(b.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

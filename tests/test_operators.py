@@ -468,3 +468,66 @@ def test_hll_sketch_union_within_error(spark, sf_dir):
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
     direct = e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))).collect()[0][0]
     assert got["__total__"] == direct
+
+
+# ----------------------------------------------------------- chunk / merge --
+def test_chunk_documents_windows_and_tail(spark):
+    """window=4, stride=3 over a 10-token doc → starts 1,4,7,10: three full
+    or partial windows with 1-token overlap, tail chunk of 1 token."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h i j"), Row(doc_id=2, text="x")]
+    )
+    out = (
+        text.chunk_documents(docs, window=4, stride=3)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    d1 = [(r.chunk_idx, r.chunk_text, r.n_tokens) for r in out if r.doc_id == 1]
+    assert d1 == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+        (3, "j", 1),
+    ]
+    # shorter-than-window doc: exactly one chunk, the whole text
+    assert [(r.chunk_idx, r.chunk_text, r.n_tokens) for r in out if r.doc_id == 2] == [
+        (0, "x", 1)
+    ]
+
+
+def test_chunk_partition_mode_covers_exactly(spark):
+    """stride == window → chunks partition the token sequence."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    out = text.chunk_documents(docs, window=2, stride=2).collect()
+    toks = [t for r in sorted(out, key=lambda r: r.chunk_idx) for t in r.chunk_text.split(" ")]
+    assert toks == ["a", "b", "c", "d", "e"]
+    assert sum(r.n_tokens for r in out) == 5
+
+
+def test_unigram_logprob_orders_rare_docs_last(spark):
+    """Docs of common tokens score lower nll than docs of hapaxes."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the the"),
+            Row(doc_id=2, text="qzx wvu jkl mno"),
+            Row(doc_id=3, text="the the qzx the"),
+        ]
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob(docs).collect()}
+    assert out[1].nll < out[3].nll < out[2].nll
+    assert out[1].n_tokens == 4
+    # doc1: all tokens 'the' with corpus count 7 of 12 → nll = -ln(7/12)
+    import math
+
+    assert abs(out[1].nll - (-math.log(7 / 12))) < 1e-3
+
+
+def test_merge_upsert_semantics(spark):
+    from mongo_to_parquet_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
