@@ -40,12 +40,24 @@ def shingles(text, n: int = 3) -> Column:
 
     Built from the token array with transform+slice — stays JVM-side.
     Documents shorter than ``n`` tokens yield the whole text as one shingle.
+
+    The token array is bound as a lambda VALUE (single-element-array
+    wrapper): referencing the split expression directly inside the
+    per-position lambda re-evaluates the split once per shingle —
+    ~n_tokens× the work (the Catalyst projection-collapse/HOF trap,
+    see operators/dedup.py minhash_signature). Measured 4× on the
+    jaccard explode path at sf0.1.
     """
     toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
     return F.when(k <= 0, F.array(text)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.flatten(
+            F.transform(
+                F.array(toks),
+                lambda tk: F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(tk, i, n), " "),
+                ),
+            )
         )
     )

@@ -374,6 +374,45 @@ def simhash(text_col) -> F.Column:
     )
 
 
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, sig): the :func:`simhash` fingerprint, computed the fast way.
+
+    Identical bits to the expression form, different physical shape:
+    explode tokens → ONE xxhash64 per token → hash-aggregate 64 bit-count
+    sums per doc → assemble the majority bits in a single projection.
+    Aggregates are whole-stage-codegen'd with map-side partial combine,
+    while nested higher-order functions are interpreted per element
+    (CodegenFallback) — measured ~4× at sf0.1. The shuffle carries
+    (doc, 64 longs) partials, independent of document length.
+    """
+    # hash hoisted into its own projection: referenced from 64 aggregate
+    # expressions it would be re-evaluated per aggregate, not once per row
+    tok = (
+        fan_out(docs.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select("doc", F.xxhash64("tok").alias("h"))
+    )
+    votes = tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    # bit i set ⇔ ones > n/2  (⇔ the ±1 vote sum 2·ones − n is > 0)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        power = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") * 2 > F.col("n"), power).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("doc", sig.alias("sig"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -387,9 +426,7 @@ def simhash_pairs(
     (chunk_idx, chunk_value), verify with bit_count(xor). Shuffles only
     (chunk, id, sig) — scales linearly in corpus size for random data.
     """
-    sigs = fan_out(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sig")
-    )
+    sigs = simhash_table(docs, text_col, id_col)
     chunks = sigs.select(
         "doc",
         "sig",
