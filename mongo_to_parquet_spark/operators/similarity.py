@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongo_to_parquet_spark.functions.vector import cosine, dot
+from mongo_to_parquet_spark.functions.vector import cosine, dot, norm
+from mongo_to_parquet_spark.operators.parallel import fan_out
 
 
 def _probe_df(emb: DataFrame, probe_id: int, id_col: str, vec_col: str) -> DataFrame:
@@ -291,15 +292,30 @@ def pairwise_cosine(
 ) -> DataFrame:
     """All (id1 < id2) cosine pairs within a blocking key (label, LSH bucket,
     …). Blocking is what keeps this linear-ish at scale — never call with a
-    constant block over a large table."""
-    a = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    constant block over a large table.
+
+    Norms are computed once per VECTOR on each join input, not once per
+    pair — with block size m that is 2·m interpreted-HOF folds instead of
+    2·m²; the per-pair expression is the dot product alone. The quotient
+    dot/(n1·n2) is arithmetically the very sequence cosine() evaluates, so
+    results (and the 4dp-rounded oracle hash) are bit-identical."""
+    # stream side fanned out so the quadratic pair loop parallelizes even
+    # when the source is one small file (operators/parallel.py)
+    a = fan_out(emb).select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("n1"),
     )
     b = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("n2"),
     )
     pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2")).withColumn(
-        "sim", F.round(cosine(F.col("v1"), F.col("v2")), 4)
+        "sim",
+        F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4),
     )
     if threshold is not None:
         pairs = pairs.filter(F.col("sim") >= threshold)
