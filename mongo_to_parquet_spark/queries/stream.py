@@ -131,3 +131,143 @@ def q_stream_sessionize(spark, sf):
         )
         .select("user_id", "session_start_us", "session_end_us", "n_events")
     )
+
+
+# ------------------------------------------------- event analytics (batch) --
+@q(
+    "q_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def q_funnel(spark, sf):
+    # ordered-funnel analysis: stage N counts users whose stage-N event
+    # STRICTLY FOLLOWS their stage-(N−1) anchor — each stage is one
+    # groupBy(user) on the previous stage's survivors, so the events table
+    # is filtered before every shuffle and the per-stage frames shrink
+    # monotonically. All three stage aggs partition by user_id: after the
+    # first shuffle the join + regroup reuse the partitioning.
+    e = _events_ltz(spark, sf).select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def step(n, name, df):
+        return df.agg(
+            F.lit(n).cast("int").alias("step"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    return (
+        step(1, "view", v)
+        .unionByName(step(2, "view>click", c))
+        .unionByName(step(3, "view>click>purchase", p))
+    )
+
+
+@q(
+    "q_retention_cohort",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    su AS (SELECT user_id, MIN(ts) AS cohort_ts FROM e
+           WHERE event_type = 'signup' GROUP BY user_id)
+    SELECT strftime(CAST(date_trunc('week', su.cohort_ts) AS DATE), '%Y-%m-%d')
+               AS cohort_week,
+           CAST(datediff('day', CAST(date_trunc('week', su.cohort_ts) AS DATE),
+                         CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM e JOIN su USING (user_id)
+    WHERE e.ts >= su.cohort_ts
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark, sf):
+    # classic cohort-retention matrix: users bucketed by signup week,
+    # counted distinct in each subsequent activity week. Both engines
+    # truncate weeks to Monday and the offsets divide day-diffs of
+    # week-aligned dates (exact multiples of 7). Exact distinct per cell —
+    # the scale path swaps in approx_count_distinct or HLL sketches
+    # (q_agg_hll_sketch) for mergeable incremental rollups.
+    e = _events_ltz(spark, sf).select("user_id", "event_type", "ts")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cohort_ts"))
+    )
+    # dates as ISO strings — the repo's cross-engine date convention
+    cohort_week = F.date_format(
+        F.date_trunc("week", F.col("cohort_ts")).cast("date"), "yyyy-MM-dd"
+    )
+    return (
+        e.join(su, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_ts"))
+        .select(
+            "user_id",
+            cohort_week.alias("cohort_week"),
+            F.expr("datediff(cast(date_trunc('week', ts) as date), cast(date_trunc('week', cohort_ts) as date)) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@q(
+    "q_win_fill_forward",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+    """,
+)
+def q_win_fill_forward(spark, sf):
+    # forward-fill (gap-fill primitive): carry each user's most recent
+    # purchase value onto every later event — last(ignorenulls) over a
+    # running frame, the window idiom behind densify/LOCF pipelines.
+    # Deterministic tiebreak on event_id under the µs-truncated ts.
+    from pyspark.sql import Window
+
+    e = _events_ltz(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
