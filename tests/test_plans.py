@@ -130,3 +130,29 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
         if key not in arrow_ok:
             for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython", "FlatMapGroupsInPandas"):
                 assert node not in plan, f"{key} unexpectedly crosses into Python ({node})"
+
+
+def test_merge_upsert_anti_join_broadcasts_key_set(spark, sf_dir):
+    # the update key set (post-distinct, keys only) is the build side —
+    # base rows never shuffle when the change-set is broadcast-sized
+    plan = checks.formatted_plan(QS["q_merge_upsert"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_narrow_no_exchange(spark, sf_dir):
+    # chunking must stay a zero-shuffle scan→generate pipeline
+    plan = checks.formatted_plan(QS["q_text_chunk"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_logprob_scoring_join_broadcasts_freq_table(spark, sf_dir):
+    # the vocabulary-sized frequency table broadcasts; the corpus side
+    # never shuffles for the scoring join
+    plan = checks.formatted_plan(QS["q_text_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_agg_has_partial_phase(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_agg_histogram"](spark, sf_dir))
+    assert "partial_" in plan
