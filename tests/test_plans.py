@@ -156,3 +156,25 @@ def test_logprob_scoring_join_broadcasts_freq_table(spark, sf_dir):
 def test_histogram_agg_has_partial_phase(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_agg_histogram"](spark, sf_dir))
     assert "partial_" in plan
+
+
+def test_dynamic_partition_pruning_on_year_layout(spark, sf_dir, tmp_path):
+    """The reference's own year= layout (sources/export.py) must benefit
+    from DPP: joining the partitioned fact with a FILTERED dim on the
+    partition column plants a dynamicpruning subquery in the scan, so at
+    100 TB only the matching year directories are read."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_partitioned
+
+    out = str(tmp_path / "orders_by_year")
+    export_partitioned(load_table(spark, sf_dir, "orders"), out, "o_orderdate")
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [Row(year="1995", tag="keep"), Row(year="1996", tag="drop")]
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "year")
+    plan = checks.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
