@@ -487,8 +487,13 @@ def connected_components(
     Each round ends in ``localCheckpoint`` — labels are tiny (two ids per
     node) and checkpointing truncates the otherwise exponentially growing
     iterative lineage; on a cluster prefer ``checkpoint()`` to survive
-    executor loss. The convergence probe is `limit(1)` on changed labels —
-    it can stop at the first change, not a full count.
+    executor loss. Convergence is detected from the label-sum invariant:
+    propagation takes a min, so every label is non-increasing — the total
+    is strictly decreasing until the fixpoint. Comparing per-round sums is
+    one scan of the (checkpointed, node-count-sized) label table; the
+    obvious old-vs-new join probe is a whole extra shuffle join per round.
+    Sums are exact DECIMAL(38,0) so arbitrarily large id spaces can't
+    overflow ANSI long arithmetic.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -502,6 +507,12 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(
             labels.select(F.col("node").alias("b"), "comp"), "b"
@@ -509,16 +520,11 @@ def connected_components(
         new_labels = (
             labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return labels
