@@ -772,3 +772,63 @@ def q_text_logprob(spark, sf):
     # scoring. Corpus freq table built once, broadcast into the scoring
     # join — the corpus itself shuffles only for the per-doc average.
     return text.unigram_logprob(T(spark, sf, "documents"))
+
+
+@q(
+    "q_curation_pipeline",
+    """
+    WITH flags AS (
+        SELECT doc_id, text,
+               (n_chars BETWEEN 60 AND 2000
+                AND lang IN ('en', 'es', 'fr', 'de')
+                AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    BETWEEN 2.0 AND 8.0) AS q
+        FROM documents
+    ), dd AS (
+        SELECT doc_id, q,
+               MIN(CASE WHEN q THEN doc_id END) OVER (PARTITION BY text) AS min_id
+        FROM flags
+    )
+    SELECT doc_id,
+           CASE WHEN NOT q THEN 'rejected_quality'
+                WHEN doc_id <> min_id THEN 'duplicate'
+                WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                     THEN 'train'
+                ELSE 'test' END AS disposition
+    FROM dd
+    """,
+)
+def q_curation_pipeline(spark, sf):
+    # the N★ steps COMPOSED end-to-end: quality gate → exact dedup among
+    # survivors (keep min id) → content-addressed train/test split; one
+    # disposition per corpus doc. Single shuffle: the dedup window
+    # partitions by sha2(text) so the exchange carries (id, flag, 64-hex)
+    # — never the document text (same grouping as the oracle's PARTITION
+    # BY text, since equal hash ⇔ equal text).
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    mwl = mean_word_len(F.col("text"))
+    q_ok = (
+        F.col("n_chars").between(60, 2000)
+        & F.col("lang").isin("en", "es", "fr", "de")
+        & mwl.between(2.0, 8.0)
+    )
+    flagged = d.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("key"), q_ok.alias("q")
+    )
+    min_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+        Window.partitionBy("key")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split1"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(~F.col("q"), F.lit("rejected_quality"))
+        .when(F.col("doc_id") != min_id, F.lit("duplicate"))
+        .when(bucket < F.lit("cccd"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("disposition"),
+    )

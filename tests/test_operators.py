@@ -531,3 +531,30 @@ def test_merge_upsert_semantics(spark):
     updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
     got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_curation_pipeline_branches(spark, tmp_path):
+    """All four dispositions on a synthetic corpus: quality reject, exact
+    duplicate (higher id of an identical quality text), train/test split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = "alpha beta gamma delta epsilon zeta " * 4  # ~140 chars, mwl ok
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [good, good, "short", good + "unique tail"],
+        "lang": ["en", "en", "en", "zh"],
+        "n_chars": [len(good), len(good), 5, len(good + "unique tail")],
+        "source": ["s"] * 4,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    from mongo_to_parquet_spark.queries.llm import QUERIES
+
+    out = {
+        r.doc_id: r.disposition
+        for r in QUERIES["q_curation_pipeline"](spark, str(tmp_path)).collect()
+    }
+    assert out[2] == "duplicate"          # same text as doc 1, higher id
+    assert out[3] == "rejected_quality"   # too short
+    assert out[4] == "rejected_quality"   # lang not in allowlist
+    assert out[1] in ("train", "test")    # survivor gets a split
