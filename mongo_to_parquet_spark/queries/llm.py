@@ -832,3 +832,47 @@ def q_curation_pipeline(spark, sf):
         .otherwise(F.lit("test"))
         .alias("disposition"),
     )
+
+
+@q(
+    "q_decontaminate",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT corp.doc_id, ev.eval_id, COUNT(*) AS n_shared
+    FROM corp JOIN ev USING (s)
+    GROUP BY corp.doc_id, ev.eval_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_decontaminate(spark, sf):
+    # benchmark decontamination: corpus docs sharing ≥3 distinct word
+    # trigrams with any doc of the eval slice (doc_id % 50 = 0 stands in
+    # for a benchmark set). The join key is the shingle; the EVAL side is
+    # tiny by construction (benchmarks are), so it broadcasts and the
+    # corpus never shuffles — at 100 TB this is one scan of the corpus
+    # shingle stream against a broadcast eval-shingle set. The n-shared
+    # threshold is the standard contamination heuristic (report, then
+    # drop or quarantine upstream of training).
+    from mongo_to_parquet_spark.functions.textfns import shingles as _sh
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = T(spark, sf, "documents")
+    sh = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.array_distinct(_sh(F.col("text"), 3))).alias("s")
+    )
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    corp = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corp.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
