@@ -985,3 +985,48 @@ def q_agg_histogram(spark, sf):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@q(
+    "q_sql_surface",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_sql_surface(spark, sf):
+    # the engine's SECOND entry surface (SURVEY §3.4): the same Catalyst
+    # pipeline entered through the SQL parser over the registered fixture
+    # views — TPC-H Q3 shape (unshipped high-revenue orders), near-verbatim
+    # the oracle text. Everything the DataFrame queries rely on (decimal
+    # money sums, broadcast dims, partial aggs, TakeOrderedAndProject for
+    # the limit) falls out of the identical plan.
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+               date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS order_date
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-01-01'
+          AND l_shipdate > TIMESTAMP_NTZ '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
