@@ -876,3 +876,89 @@ def q_decontaminate(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@q(
+    "q_sample_uniform",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5('usamp' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q_sample_uniform(spark, sf):
+    # content-addressed uniform k-sample WITHOUT replacement: order by a
+    # keyed md5 of the id and take k. Unlike rand()-based sampling it is
+    # reproducible across runs/engines/partitionings, and unlike
+    # TABLESAMPLE it returns exactly k rows. Physically this is
+    # TakeOrderedAndProject - each partition keeps its local top-k by hash,
+    # the driver merges k*n_partitions candidates - no global sort, no full
+    # shuffle, which is what makes "give me an exact uniform 10k-doc QA
+    # sample of the 100 TB corpus" a single cheap scan. Complements
+    # q_sample_stratified (per-stratum rates) with exact-k global sampling.
+    d = T(spark, sf, "documents")
+    key = F.md5(F.concat(F.lit("usamp"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", key.alias("__k"))
+        .orderBy(F.col("__k").asc(), F.col("doc_id").asc())
+        .limit(100)
+        .drop("__k")
+    )
+
+
+@q(
+    "q_dedup_substring",
+    """
+    WITH a AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+    FROM a JOIN documents b
+      ON length(a.text) < length(b.text)
+     AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
+    """,
+)
+def q_dedup_substring(spark, sf):
+    # exact substring-containment dedup (RefinedWeb/CCNet-style): a doc
+    # whose ENTIRE text appears verbatim (token-aligned) inside a longer
+    # doc is redundant. The naive form is an O(n^2) cross join; this plan
+    # blocks EXACTLY: if a's tokens appear contiguously in b, then a's
+    # FIRST word-trigram is in b's shingle set - so candidates = equi-join
+    # of a's first shingle against b's distinct shingles, then one
+    # contains() verify per candidate. The quadratic blowup collapses to
+    # (shared-trigram pairs), the same join geometry as q_decontaminate.
+    # Docs under 3 tokens have no trigram and are excluded on both engines.
+    # At 100 TB the shingle join shuffles hash keys, never full texts; the
+    # verify re-joins texts for candidate pairs only. (True any-offset
+    # char-level containment needs per-shard suffix automata - out of
+    # scope; token-aligned is the curation-pipeline semantic.)
+    from mongo_to_parquet_spark.functions.textfns import shingles as _sh
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    a = fan_out(d).filter(token_count(F.col("text")) >= 3).select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("text").alias("a_text"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 3), " ").alias("s"),
+    )
+    b_sh = fan_out(d).select(
+        F.col("doc_id").alias("container_id"),
+        F.explode(F.array_distinct(_sh(F.col("text"), 3))).alias("s"),
+    )
+    cand = a.join(b_sh, "s").filter(F.col("contained_id") != F.col("container_id"))
+    verify = cand.join(
+        d.select(F.col("doc_id").alias("container_id"), F.col("text").alias("b_text")),
+        "container_id",
+    )
+    return verify.filter(
+        (F.length("a_text") < F.length("b_text"))
+        & (
+            F.instr(
+                F.concat(F.lit(" "), F.col("b_text"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a_text"), F.lit(" ")),
+            )
+            > 0
+        )
+    ).select("contained_id", "container_id")

@@ -745,6 +745,50 @@ def q_agg_argminmax(spark, sf):
 
 
 @q(
+    "q_agg_mode",
+    """
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf):
+    # deterministic MODE: SQL's mode() is tie-nondeterministic, so the
+    # engine defines it as count-rank with a total order (count desc, value
+    # asc) — reproducible across engines and runs. Physically: one
+    # map-side-combined count aggregate shrinks the data to the group x
+    # value cardinality, then the rank window runs on that tiny frame; the
+    # window's partition key is a prefix of the agg key, so AQE coalesces
+    # the second exchange to almost nothing. Never window over raw rows for
+    # a mode — aggregate first.
+    from pyspark.sql import Window
+
+    c = (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt"
+        )
+    )
+
+
+@q(
     "q_agg_bitwise",
     """
     SELECT o_orderstatus,

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from mongo_to_parquet_spark.functions.layout import zorder_oracle_expr, zorder_value
 from mongo_to_parquet_spark.sources.catalog import load_table as T
 from mongo_to_parquet_spark.sources.export import export_partitioned
 
@@ -100,4 +101,52 @@ def q_sink_formats(spark, sf):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+_Z = zorder_oracle_expr("a", "b", 8)
+
+
+@q(
+    "q_cluster_zorder",
+    f"""
+    WITH d AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS a,
+               COALESCE(dayofyear(o_orderdate), 0) % 256 AS b
+        FROM orders
+    ), z AS (SELECT o_orderkey, a, b, {_Z} AS zval FROM d)
+    SELECT zval // 256 AS z_bucket,
+           COUNT(*) AS cnt,
+           MIN(a) AS min_cust, MAX(a) AS max_cust,
+           MIN(b) AS min_doy, MAX(b) AS max_doy
+    FROM z GROUP BY 1
+    """,
+)
+def q_cluster_zorder(spark, sf):
+    # the z-order layout key (functions/layout.py) as a checkable query:
+    # Morton-interleave (customer-bucket, day-of-year) and aggregate per
+    # z-bucket (top 4 bits of each dimension). Each bucket's min/max spans
+    # a <=16-wide rectangle in BOTH dimensions - the footer-stats locality
+    # that export_zordered turns into two-dimensional file pruning at
+    # 100 TB. Pure codegen'd integer bit math; nulls route to b=0 exactly
+    # like the reference's unknown-date bucket (main.py:110).
+    o = T(spark, sf, "orders")
+    a = (F.col("o_custkey") % 256).cast("long")
+    b = (F.coalesce(F.dayofyear("o_orderdate"), F.lit(0)) % 256).cast("long")
+    return (
+        o.select(
+            a.alias("a"),
+            b.alias("b"),
+            zorder_value(a, b, 8).alias("zval"),
+        )
+        .select(F.expr("zval div 256").alias("z_bucket"), "a", "b")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("a").alias("min_cust"),
+            F.max("a").alias("max_cust"),
+            F.min("b").alias("min_doy"),
+            F.max("b").alias("max_doy"),
+        )
     )

@@ -271,3 +271,91 @@ def q_win_fill_forward(spark, sf):
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+@q(
+    "q_anomaly_zscore",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd
+        FROM events WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - mu) / sd, 4) AS zscore,
+           (ABS(ROUND((value - mu) / sd, 4)) > 2.0) AS is_outlier
+    FROM s WHERE sd > 0
+    """,
+)
+def q_anomaly_zscore(spark, sf):
+    # per-entity outlier scoring: each event's value standardized against
+    # its user's full-history mean/stddev. One whole-partition window =
+    # ONE shuffle on user_id computing both moments and the per-row score
+    # (vs. groupBy-stats + join back = shuffle + join). The outlier flag
+    # compares the ROUNDED score so the boolean is as hash-stable as the
+    # score itself. Single-event users (sd undefined) are excluded on
+    # both engines by `sd > 0`. At 100 TB: user_id partitions are small
+    # and dense; skewed hot users fall to AQE skew handling, or to the
+    # salted two-pass moments in operators/skew.py if one user floods.
+    from pyspark.sql import Window
+
+    e = _events_ltz(spark, sf)
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "user_id", "value", mu.alias("mu"), sd.alias("sd"))
+        .filter(F.col("sd") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+            (
+                F.abs(F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)) > 2.0
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@q(
+    "q_agg_time_weighted",
+    """
+    WITH o AS (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               lead(CAST(ts AS TIMESTAMP)) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (epoch_us(nxt) - epoch_us(ts)))
+                 / SUM(epoch_us(nxt) - epoch_us(ts)), 4) AS tw_avg,
+           COUNT(*) AS n_intervals
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_agg_time_weighted(spark, sf):
+    # time-weighted average (the irregular-series aggregate behind sensor /
+    # metric rollups): each value weighted by how long it was current
+    # (delta to the next event, last observation open-ended and excluded).
+    # lead() and the groupBy both key on user_id, so the aggregation reuses
+    # the window's shuffle partitioning - one exchange total. Durations are
+    # integer microseconds (exact); only the final ratio is floating, ROUND
+    # 4 for the hash.
+    from pyspark.sql import Window
+
+    e = _events_ltz(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        e.select("user_id", "value", dur.alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("tw_avg"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

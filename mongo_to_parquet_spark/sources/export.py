@@ -167,6 +167,46 @@ def _list_files(root: str) -> list[str]:
     return out
 
 
+def export_zordered(
+    df: DataFrame,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered layout: interleave two dimension keys, range-sort.
+
+    ``export_sorted`` clusters one column; predicates on a second column
+    still touch every file. Interleaving the bit representations of two
+    clamped dimension keys (functions/layout.zorder_value) gives one sort
+    key whose contiguous ranges are small rectangles in BOTH dimensions,
+    so footer min/max stats prune files for predicates on either column.
+    At 100 TB this is the layout for the two-filter access pattern
+    (customer x date, label x time) that single-column clustering can't
+    serve. The z key is dropped before write — layout-only, no schema
+    change (tests/test_catalog.py asserts two-dimensional footer
+    narrowness vs the unsorted baseline).
+    """
+    from mongo_to_parquet_spark.functions.layout import zorder_value
+
+    mask = (1 << bits) - 1
+    z = zorder_value(
+        F.col(col_a).cast("long").bitwiseAND(F.lit(mask)),
+        F.col(col_b).cast("long").bitwiseAND(F.lit(mask)),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+
+
 def export_sorted(
     df: DataFrame,
     out_path: str,

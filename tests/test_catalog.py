@@ -116,3 +116,52 @@ def test_export_sorted_footer_ranges_disjoint(spark, sf_dir, tmp_path):
     assert len(ranges) >= 4  # repartitionByRange actually split the data
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_export_zordered_two_dimensional_narrowness(spark, sf_dir, tmp_path):
+    """Z-order-clustered export: per-file footer min/max rectangles must be
+    substantially narrower than the full domain in BOTH interleaved
+    dimensions — the property that lets min-max stats prune files for
+    predicates on either column (single-column sort gives this for one
+    dimension only)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_zordered
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "cast(o_custkey % 256 as long) as ca",
+            "cast(coalesce(dayofyear(o_orderdate), 0) % 256 as long) as db",
+        )
+    )
+    out = str(tmp_path / "zorder")
+    export_zordered(o, out, "ca", "db", bits=8, n_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+
+    def spans(col):
+        widths = []
+        for f in glob.glob(out + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            widths.append(max(maxs) - min(mins) + 1)
+        return widths
+
+    ca_w, db_w = spans("ca"), spans("db")
+    assert len(ca_w) >= 8
+    # average per-file span must cover well under the full 256-wide domain
+    # in BOTH dimensions; an unsorted or single-column layout leaves the
+    # other dimension near 256 in every file.
+    assert sum(ca_w) / len(ca_w) < 160, ca_w
+    assert sum(db_w) / len(db_w) < 160, db_w
