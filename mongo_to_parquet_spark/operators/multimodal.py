@@ -107,3 +107,31 @@ def repartition_by_bytes(
     stats = media.select(F.sum(F.octet_length("payload")).alias("b")).collect()[0]
     n = max(1, int((stats["b"] or 0) // target_partition_bytes) + 1)
     return media.repartition(n)
+
+
+def sample_frames(
+    media: DataFrame,
+    duration_col: str = "duration_s",
+    interval_s: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling manifest: one row per sampled frame timestamp.
+
+    The decode-side work (seek + JPEG encode) happens elsewhere; this is
+    the Spark-side planning op that turns a media table into the frame
+    work-list a GPU featurizer consumes — (id, frame_idx, ts_ms) every
+    ``interval_s`` seconds from 0 through the clip duration. Pure
+    ``sequence`` + ``posexplode`` (codegen'd Generate, zero shuffle, zero
+    Python): the manifest for a 100 TB video corpus is a narrow map-only
+    pass whose output partitioning inherits the input's. Integer math
+    end-to-end so manifests are engine-reproducible.
+    """
+    n_last = F.floor(F.col(duration_col) / F.lit(interval_s)).cast("long")
+    return media.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_last)).alias("frame_idx", "_t"),
+    ).select(
+        id_col,
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx").cast("long") * F.lit(1000 * interval_s)).alias("ts_ms"),
+    )

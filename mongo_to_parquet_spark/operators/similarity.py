@@ -320,3 +320,33 @@ def pairwise_cosine(
     if threshold is not None:
         pairs = pairs.filter(F.col("sim") >= threshold)
     return pairs.select("blk", "id1", "id2", "sim")
+
+
+def range_search(
+    emb: DataFrame,
+    probe_id: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine >= tau to the probe (the radius-query dual
+    of top-k: dedup thresholds, recall sweeps, near-neighbor audits).
+
+    Same one-scan broadcast shape as brute_force_topk, but the selection
+    is a FILTER, not a sort+limit - no TakeOrdered heap, no ordering
+    shuffle at all; the output is whatever each partition keeps. At
+    100 TB the scan is embarrassingly parallel and the result size is
+    data-dependent - cap with a downstream limit if tau is loose. The
+    filter compares the ROUNDED sim so the boundary row set is engine-
+    stable.
+    """
+    probe = F.broadcast(_probe_df(emb, probe_id, id_col, vec_col))
+    return (
+        emb.filter(F.col(id_col) != probe_id)
+        .crossJoin(probe)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+    )

@@ -962,3 +962,53 @@ def q_dedup_substring(spark, sf):
             > 0
         )
     ).select("contained_id", "container_id")
+
+
+@q(
+    "q_sim_range",
+    """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(p AS DOUBLE[])), 4) AS sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+      AND ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                       CAST(p AS DOUBLE[])), 4) >= 0.2
+    """,
+)
+def q_sim_range(spark, sf):
+    # radius search (cosine >= tau), the threshold dual of q_sim_topk: a
+    # pure broadcast-scan-filter with NO ordering stage at all - where
+    # top-k pays a per-partition heap + driver merge, range search is
+    # filter-only and fully parallel. tau compares the ROUNDED sim so the
+    # boundary set matches the oracle exactly.
+    return similarity.range_search(T(spark, sf, "embeddings"), probe_id=0, tau=0.2)
+
+
+@q(
+    "q_mm_frame_sample",
+    """
+    WITH media AS (
+        SELECT doc_id, n_chars % 30 + 1 AS duration_s FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 2000 AS BIGINT) AS ts_ms
+    FROM media, UNNEST(generate_series(0, duration_s // 2)) AS t(i)
+    """,
+)
+def q_mm_frame_sample(spark, sf):
+    # video frame-sampling manifest (operators/multimodal.sample_frames):
+    # every clip yields one row per 2-second sample point - the planning
+    # half of frame extraction, with decode stubbed out downstream. The
+    # fixture has no real media, so clip duration derives deterministically
+    # from n_chars; the op is sequence+posexplode - a map-only Generate,
+    # no shuffle, no Python - and the manifest is integer-exact on both
+    # engines.
+    from mongo_to_parquet_spark.operators import multimodal
+
+    media = T(spark, sf, "documents").select(
+        "doc_id", (F.col("n_chars") % 30 + 1).alias("duration_s")
+    )
+    return multimodal.sample_frames(media, interval_s=2)

@@ -359,3 +359,50 @@ def q_agg_time_weighted(spark, sf):
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+@q(
+    "q_events_transitions",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS nxt
+        FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+    """,
+)
+def q_events_transitions(spark, sf):
+    # first-order Markov transition matrix over each user's event sequence
+    # (the sequence-mining primitive behind journey analysis and n-gram
+    # LMs over action streams). lead() shuffles once on user_id; the
+    # transition count then aggregates on (from, to) whose cardinality is
+    # |types|^2 - tiny - so the second exchange moves partial counts only.
+    # The row-probability window runs on that tiny aggregate. Counts are
+    # exact ints; only p is floating, ROUND 4.
+    from pyspark.sql import Window
+
+    e = _events_ltz(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(wp), 4).alias("p"),
+    )

@@ -101,3 +101,20 @@ def stream_event_pairs(
             ),
         )
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join (the streaming analog of
+    ``q_join_broadcast``): each micro-batch of the stream joins a STATIC
+    dimension table — no state store, no watermark requirement, because
+    the static side is re-resolvable per batch.
+
+    Physically each micro-batch plans a BroadcastHashJoin against the dim
+    snapshot: the stream side never shuffles, which is what makes
+    enrichment free at any stream rate as long as the dim broadcasts. At
+    100 TB-scale dims (too big to broadcast), pre-bucket the dim on the
+    join key and let the batch-side join locality carry over — or invert:
+    stream the dim changes and keep the profile in transformWithState
+    (streaming/stateful.running_user_stats).
+    """
+    return events.join(F.broadcast(dim), on, "left")

@@ -274,3 +274,30 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     assert (3, None, None) in got              # lone user
     # eid=4's window never closes before the stream ends → it may be absent
     assert {(r[0]) for r in got} >= {1, 2, 3}
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: replaying events joined to a
+    static per-user dim equals the batch left join, row for row."""
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import joins as sj
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .count()
+        .selectExpr("user_id", "concat('tier', cast(count % 3 as string)) as tier")
+    )
+    batch = {
+        (r["event_id"]): r["tier"]
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "tier")
+        .collect()
+    }
+    stream = sj.enrich_stream(sw.replay_events(spark, sf_dir), dim).select(
+        "event_id", "tier"
+    )
+    rows = sw.run_to_completion(stream, mode="append")
+    got = {r["event_id"]: r["tier"] for r in rows}
+    assert got == batch
