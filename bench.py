@@ -36,6 +36,9 @@ HEADLINE = [
     "q_sim_topk_batch",     # N probes in one scan (WindowGroupLimit)
     "q_udf_scalar_pandas",  # Arrow-batched pandas UDF
     "q_text_quality_filter",  # per-row text heuristics
+    "q_curation_pipeline",  # composed gate→dedup→split, single shuffle
+    "q_cluster_zorder",     # codegen'd Morton interleave + agg
+    "q_events_transitions",  # sequence window + tiny count agg
 ]
 
 
@@ -74,12 +77,12 @@ def main() -> None:
     from mongo_to_parquet_spark.sources.catalog import load_table
     from mongo_to_parquet_spark.sources.export import export_partitioned
 
-    orders = load_table(spark, sf_dir, "orders")
-    export_rows = orders.count()
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    export_rows = lineitem.count()
     out = tempfile.mkdtemp(prefix="bench_export_")
     try:
         t0 = time.perf_counter()
-        export_partitioned(orders, f"{out}/orders", date_field="o_orderdate")
+        export_partitioned(lineitem, f"{out}/lineitem", date_field="l_shipdate")
         export_sec = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(out, ignore_errors=True)
