@@ -162,3 +162,122 @@ def test_asof_join_matches_naive_semantics(spark, left_rows, right_rows):
         cands = [rt for rk, rt in right_data if rk == k and rt <= t]
         expected = max(cands) if cands else None
         assert got[i] == expected, f"lid={i} k={k} t={t}: {got[i]} != {expected}"
+
+
+def test_zorder_interleave_is_bijective(spark):
+    """Morton interleave must be a bijection on the 8-bit x 8-bit domain —
+    any collision would merge unrelated (a, b) cells and silently break
+    the clustering rectangles."""
+    from mongo_to_parquet_spark.functions.layout import zorder_value
+
+    df = (
+        spark.range(256 * 256)
+        .selectExpr("id % 256 as a", "id div 256 as b")
+        .select(zorder_value(F.col("a"), F.col("b"), 8).alias("z"))
+    )
+    stats = df.agg(
+        F.countDistinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert stats["n"] == 256 * 256
+    assert stats["lo"] == 0 and stats["hi"] == 256 * 256 - 1
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=3, max_size=8),
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=4),
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_substring_dedup_finds_planted_containment(spark, inner, prefix, suffix):
+    """Plant doc A inside doc B (token-aligned, with padding so B is
+    strictly longer) — the first-shingle-blocked containment query must
+    recover the (A, B) pair."""
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+
+    a_text = " ".join(inner)
+    b_text = " ".join(prefix + inner + suffix)
+    if len(b_text) <= len(a_text):  # need strict containment
+        b_text = b_text + " pad"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a_text), Row(doc_id=2, text=b_text)]
+    )
+
+    import mongo_to_parquet_spark.sources.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda _s, _sf, name: docs
+        # the query module binds `T` to load_table at import time
+        import mongo_to_parquet_spark.queries.llm as llm_mod
+
+        orig_t = llm_mod.T
+        llm_mod.T = lambda _s, _sf, name: docs
+        try:
+            pairs = {
+                (r["contained_id"], r["container_id"])
+                for r in LQ["q_dedup_substring"](spark, "unused").collect()
+            }
+        finally:
+            llm_mod.T = orig_t
+    finally:
+        cat.load_table = orig
+    assert (1, 2) in pairs
+
+
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=2, max_size=12),
+    st.integers(1, 1000),
+)
+@settings(**_SETTINGS)
+def test_time_weighted_avg_equals_plain_avg_on_uniform_grid(spark, values, step_s):
+    """With equal gaps the time-weighted average degenerates to the plain
+    arithmetic mean of all values except the last (open-ended) one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            user_id=7,
+            value=float(v),
+            ts=base + dt.timedelta(seconds=i * step_s),
+        )
+        for i, v in enumerate(values)
+    ]
+    events = spark.createDataFrame(rows)
+
+    import mongo_to_parquet_spark.queries.stream as stream_mod
+
+    orig_t = stream_mod.T
+    stream_mod.T = lambda _s, _sf, name: events
+    try:
+        got = stream_mod.QUERIES["q_agg_time_weighted"](spark, "unused").collect()
+    finally:
+        stream_mod.T = orig_t
+    assert len(got) == 1
+    expected = sum(values[:-1]) / len(values[:-1])
+    assert abs(got[0]["tw_avg"] - round(expected, 4)) < 1e-9
+    assert got[0]["n_intervals"] == len(values) - 1
+
+
+def test_uniform_sample_invariant_to_partitioning(spark, sf_dir):
+    """The content-addressed k-sample must return the SAME rows no matter
+    how the input is partitioned — the reproducibility contract that
+    rand()-based sampling cannot give."""
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+    import mongo_to_parquet_spark.queries.llm as llm_mod
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    ids_ref = sorted(
+        r["doc_id"] for r in LQ["q_sample_uniform"](spark, sf_dir).collect()
+    )
+    orig_t = llm_mod.T
+    llm_mod.T = lambda _s, _sf, name: base.repartition(3, "lang")
+    try:
+        ids_repart = sorted(
+            r["doc_id"] for r in LQ["q_sample_uniform"](spark, "unused").collect()
+        )
+    finally:
+        llm_mod.T = orig_t
+    assert ids_ref == ids_repart and len(ids_ref) == 100
