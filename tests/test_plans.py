@@ -178,3 +178,61 @@ def test_dynamic_partition_pruning_on_year_layout(spark, sf_dir, tmp_path):
     joined = fact.join(dim.filter(F.col("tag") == "keep"), "year")
     plan = checks.formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_uniform_sample_is_take_ordered(spark, sf_dir):
+    # exact-k hash sample must be per-partition heap + driver merge,
+    # never a global sort of the corpus
+    df = QS["q_sample_uniform"](spark, sf_dir)
+    assert checks.has_node(df, "TakeOrderedAndProject")
+    assert not checks.has_node(df, "Exchange")
+
+
+def test_frame_sample_manifest_is_map_only(spark, sf_dir):
+    # the frame manifest is Generate over the scan: zero shuffles,
+    # zero Python
+    plan = checks.formatted_plan(QS["q_mm_frame_sample"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_substring_dedup_blocks_with_hash_join(spark, sf_dir):
+    # first-shingle blocking must plan as an equi hash join — the naive
+    # contains() form degenerates to BroadcastNestedLoopJoin (quadratic)
+    plan = checks.formatted_plan(QS["q_dedup_substring"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    # formatted explain lists every node twice (tree + detail section);
+    # the "(<id>) <Node>" detail header appears exactly once per node
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}", plan))
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    # both moments and the per-row score from ONE whole-partition window:
+    # exactly one exchange (on user_id)
+    plan = checks.formatted_plan(QS["q_anomaly_zscore"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "Window" in plan
+
+
+def test_time_weighted_agg_reuses_window_partitioning(spark, sf_dir):
+    # lead() shuffles on user_id; the groupBy(user_id) must reuse that
+    # partitioning instead of adding a second exchange
+    plan = checks.formatted_plan(QS["q_agg_time_weighted"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+
+
+def test_zorder_interleave_stays_in_codegen(spark, sf_dir):
+    # the Morton bit math must be codegen'd JVM expressions — no
+    # Python/BatchEvalPython stage, and the interleave collapses into the
+    # scan-side projection (partial aggregate directly over the scan)
+    plan = checks.formatted_plan(QS["q_cluster_zorder"](spark, sf_dir))
+    assert "Python" not in plan
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "HashAggregate") == 2
