@@ -350,3 +350,28 @@ def range_search(
         )
         .filter(F.col("sim") >= tau)
     )
+
+
+def linear_score(
+    emb: DataFrame,
+    weights: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-free linear-model scoring: sigmoid(w . x) per vector.
+
+    The model-based quality-classifier step of a curation pipeline
+    (fastText/logreg-shaped): the weight vector folds into the plan as an
+    array LITERAL - no join, no broadcast variable, no Python - so scoring
+    a 100 TB embedding column is a map-only codegen'd pass at scan speed.
+    Swap in refreshed weights by rebuilding the plan; for per-label model
+    zoos, join a small model table and dot against the joined weights
+    instead.
+    """
+    from mongo_to_parquet_spark.functions.vector import dot
+
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-dot(F.col(vec_col).cast("array<double>"), w))
+    )
+    return emb.select(F.col(id_col), F.round(score, 4).alias("score"))

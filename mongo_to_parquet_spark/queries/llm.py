@@ -1012,3 +1012,98 @@ def q_mm_frame_sample(spark, sf):
         "doc_id", (F.col("n_chars") % 30 + 1).alias("duration_s")
     )
     return multimodal.sample_frames(media, interval_s=2)
+
+
+#: deterministic stand-in classifier weights (dim 64): w_j = ((37j mod 19) - 9)/10
+_QM_WEIGHTS = [(((j * 37) % 19) - 9) / 10.0 for j in range(1, 65)]
+
+
+@q(
+    "q_quality_model",
+    """
+    WITH w AS (SELECT list_transform(generate_series(1, 64),
+                                     j -> ((j*37)%19 - 9)/10.0) AS wv)
+    SELECT vec_id AS doc_id,
+           ROUND(1.0/(1.0 + exp(-list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  wv))), 4) AS score,
+           (ROUND(1.0/(1.0 + exp(-list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                   wv))), 4) >= 0.5) AS keep
+    FROM embeddings, w
+    """,
+)
+def q_quality_model(spark, sf):
+    # model-based quality classification (the fastText/logreg step of a
+    # curation pipeline): sigmoid(w . embedding) with the trained weights
+    # folded into the plan as an array literal - map-only, codegen'd, no
+    # Python, no join; at 100 TB this scores at scan speed. The fixture
+    # weights are a deterministic stand-in, reproduced exactly in the
+    # oracle; the keep flag thresholds the ROUNDED score so the boundary
+    # set is engine-stable.
+    scored = similarity.linear_score(
+        T(spark, sf, "embeddings"), _QM_WEIGHTS
+    )
+    return scored.select(
+        F.col("vec_id").alias("doc_id"),
+        "score",
+        (F.col("score") >= 0.5).alias("keep"),
+    )
+
+
+@q(
+    "q_text_oov",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), v AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM tok
+            GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 20
+        )
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM tok t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_oov(spark, sf):
+    # out-of-vocabulary rate per document against the corpus top-k
+    # vocabulary - the tokenizer-fit metric (how much of each doc a fixed
+    # vocab covers). Two passes over the token stream: (1) vocab = count
+    # aggregate (map-side combined, fixed-width partials) + TakeOrdered k
+    # at the driver; (2) the scoring pass joins tokens against the tiny
+    # BROADCAST vocab and aggregates per doc - token occurrences shuffle
+    # once, keyed by doc_id, carrying (doc_id, flag) pairs only. Counts
+    # are exact ints; the rate is a ROUNDed quotient of ints. The
+    # deterministic vocab tiebreak (count desc, token asc) makes the
+    # whole result engine-stable.
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = T(spark, sf, "documents")
+    tok = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(20)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
