@@ -1107,3 +1107,37 @@ def q_text_oov(spark, sf):
             ).alias("oov_rate"),
         )
     )
+
+
+@q(
+    "q_sample_per_group",
+    """
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('gsamp' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def q_sample_per_group(spark, sf):
+    # exact-k-per-stratum sample (QA / eval-set drawing: "3 random docs
+    # from EVERY language"): hash-ordered row_number <= k per group. The
+    # rank predicate compiles to WindowGroupLimit, so each partition keeps
+    # only its local top-k by hash BEFORE the window shuffle - the
+    # exchange carries ~k rows per (group x input-partition), not the
+    # corpus. Content-addressed like q_sample_uniform: same rows on any
+    # run, any partitioning, any engine.
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    key = F.md5(F.concat(F.lit("gsamp"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "lang")
+    )
