@@ -62,3 +62,53 @@ def fk_check(
 def run_checks(*reports: DataFrame) -> DataFrame:
     """Union per-table reports into one (chk, violations) DataFrame."""
     return reduce(lambda a, b: a.unionByName(b), reports)
+
+
+def profile_columns(df: DataFrame, reprs: dict[str, Column | None]) -> DataFrame:
+    """One-pass column profiler → (col_name, n_nulls, n_distinct, min_repr, max_repr).
+
+    ``reprs`` maps column name → a formatting expression applied to the raw
+    MIN/MAX **after** aggregation (None = plain string cast). Formatting
+    post-agg matters: min over a string repr would compare "100" < "99"
+    lexicographically; the aggregate runs on the native type.
+
+    All columns profile in a SINGLE scan+agg (the 1-row wide result is then
+    stacked row-wise — driver-side-free unpivot). Exact ``count_distinct``
+    over k columns expands the input k-way (Catalyst Expand); at 100 TB
+    swap in ``approx_count_distinct`` per column — same shape, no Expand.
+    """
+    names = list(reprs)
+    wide = df.agg(
+        *[
+            a
+            for i, c in enumerate(names)
+            for a in (
+                (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint").alias(f"nn_{i}"),
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{i}"),
+                F.min(F.col(c)).alias(f"mn_{i}"),
+                F.max(F.col(c)).alias(f"mx_{i}"),
+            )
+        ]
+    )
+    fmt = lambda i, c: (  # noqa: E731
+        reprs[names[i]](c) if reprs[names[i]] is not None else c.cast("string")
+    )
+    shaped = wide.select(
+        *[
+            col
+            for i in range(len(names))
+            for col in (
+                F.col(f"nn_{i}"),
+                F.col(f"nd_{i}"),
+                fmt(i, F.col(f"mn_{i}")).alias(f"mns_{i}"),
+                fmt(i, F.col(f"mx_{i}")).alias(f"mxs_{i}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{names[i]}', nn_{i}, nd_{i}, mns_{i}, mxs_{i}" for i in range(len(names))
+    )
+    return shaped.selectExpr(
+        f"stack({len(names)}, {stack_args}) "
+        "as (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    )

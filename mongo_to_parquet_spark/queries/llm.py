@@ -1141,3 +1141,147 @@ def q_sample_per_group(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "lang")
     )
+
+
+@q(
+    "q_text_entropy",
+    """
+    WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY doc_id, t
+    ), tot AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id AS doc_id,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 4)
+               AS ent_bits
+    FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+    GROUP BY tf.doc_id, tot.n
+    """,
+)
+def q_text_entropy(spark, sf):
+    # per-doc unigram Shannon entropy - the repetition/diversity signal
+    # used alongside q_text_repetition in curation gates (low-entropy docs
+    # are boilerplate/spam). ZERO-shuffle formulation: token frequencies
+    # come from array HOFs per row (distinct tokens x containment count),
+    # so every doc scores independently - a map-only op at any scale,
+    # where the oracle's explode+groupBy+join does three shuffles. The
+    # token array is bound as a lambda VALUE (single-element-array
+    # wrapper) to dodge the HOF re-evaluation trap (see textfns.shingles).
+    # O(tokens x vocab) per doc: right while per-doc vocab is small; for
+    # book-length docs switch to the explode+agg shape.
+    d = T(spark, sf, "documents")
+    scored = F.element_at(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda tk: F.struct(
+                F.size(tk).cast("bigint").alias("n"),
+                (
+                    -F.aggregate(
+                        F.array_distinct(tk),
+                        F.lit(0.0),
+                        lambda acc, u: acc
+                        + (
+                            F.size(F.filter(tk, lambda x: x == u)).cast("double")
+                            / F.size(tk).cast("double")
+                        )
+                        * F.log2(
+                            F.size(F.filter(tk, lambda x: x == u)).cast("double")
+                            / F.size(tk).cast("double")
+                        ),
+                    )
+                ).alias("ent"),
+            ),
+        ),
+        1,
+    )
+    return d.select(
+        "doc_id",
+        scored["n"].alias("n_tokens"),
+        F.round(scored["ent"], 4).alias("ent_bits"),
+    )
+
+
+@q(
+    "q_text_pmi",
+    """
+    WITH base AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    uni AS (
+        SELECT t, COUNT(*) AS c
+        FROM (SELECT unnest(tk) AS t FROM base) GROUP BY t
+    ),
+    n1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    bi AS (
+        SELECT tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS c
+        FROM base, UNNEST(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)
+        GROUP BY tk[i], tk[i+1]
+    ),
+    n2 AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bi)
+    SELECT w1, w2, CAST(bi.c AS BIGINT) AS n_pair,
+           ROUND(log2((bi.c / n2.n) / ((u1.c / n1.n) * (u2.c / n1.n))), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.t = bi.w1
+    JOIN uni u2 ON u2.t = bi.w2
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE bi.c >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def q_text_pmi(spark, sf):
+    # collocation mining: top-20 bigrams by pointwise mutual information -
+    # the phrase-discovery pass (tokenizer vocab candidates, boilerplate
+    # phrases). Two count shuffles (unigrams, bigrams) carry only
+    # (token, count) pairs; the vocab table and the two scalar totals then
+    # join back BROADCAST, so the corpus is never reshuffled. Adjacent
+    # pairs come from zip_with over two slices of the bound token array -
+    # no posexplode self-join. Deterministic: total order on
+    # (rounded pmi, w1, w2) under the limit.
+    d = T(spark, sf, "documents")
+    pairs = F.element_at(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda tk: F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ),
+        1,
+    )
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    n2 = bi.agg(F.sum("c").cast("double").alias("n2"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.filter(F.col("c") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log2(
+                    (F.col("c") / F.col("n2"))
+                    / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )

@@ -1074,3 +1074,99 @@ def q_sql_surface(spark, sf):
         LIMIT 10
         """
     )
+
+
+@q(
+    "q_profile",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d'), strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def q_profile(spark, sf):
+    # dataset profiling (operators/validate.py profile_columns): the
+    # ingest-time "describe" every pipeline runs before trusting a new
+    # drop. All five columns profile in ONE scan+agg; the oracle's 5-way
+    # UNION ALL of separate scans is the shape this operator exists to
+    # avoid. Min/max format AFTER aggregation (native-type compare, then
+    # repr): money through DECIMAL(18,2) for a fixed 2dp rendering,
+    # timestamps through an explicit date format - both engine-stable.
+    from mongo_to_parquet_spark.operators.validate import profile_columns
+
+    o = T(spark, sf, "orders")
+    return profile_columns(
+        o,
+        {
+            "o_orderkey": None,
+            "o_custkey": None,
+            "o_orderstatus": None,
+            "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+            "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd"),
+        },
+    )
+
+
+@q(
+    "q_join_fuzzy",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_join_fuzzy(spark, sf):
+    # fuzzy entity matching: edit-distance similarity join over distinct
+    # part names, BLOCKED on the last token. The block key turns an O(N^2)
+    # cross join into an equi-join (hash/SMJ at scale) whose per-bucket
+    # fan-out is bounded by block cardinality - the standard blocking
+    # pattern for record linkage; levenshtein runs only within blocks.
+    names = (
+        T(spark, sf, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int"))
+        .filter(F.col("dist") <= 4)
+        .select(
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            "dist",
+        )
+    )

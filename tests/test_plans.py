@@ -236,3 +236,35 @@ def test_zorder_interleave_stays_in_codegen(spark, sf_dir):
     assert "Python" not in plan
     assert _n_nodes(plan, "Exchange") == 1
     assert _n_nodes(plan, "HashAggregate") == 2
+
+
+def test_entropy_is_map_only_no_exchange(spark, sf_dir):
+    # per-doc entropy from array HOFs: zero shuffles — every doc scores
+    # independently, the op scales as a pure map at any corpus size
+    plan = checks.formatted_plan(QS["q_text_entropy"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_pmi_joins_all_broadcast_topk_short_circuits(spark, sf_dir):
+    # vocab + scalar totals join back broadcast (corpus never reshuffled);
+    # the limit compiles to TakeOrderedAndProject, not a global sort
+    plan = checks.formatted_plan(QS["q_text_pmi"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    # 5 columns profiled in ONE pass: exactly one parquet scan (the
+    # oracle's UNION ALL of 5 scans is the anti-pattern)
+    plan = checks.formatted_plan(QS["q_profile"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_fuzzy_join_is_blocked_equi_not_cartesian(spark, sf_dir):
+    # blocking key makes the similarity join an equi-join: no cartesian
+    # product / BroadcastNestedLoop anywhere in the plan
+    plan = checks.formatted_plan(QS["q_join_fuzzy"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
