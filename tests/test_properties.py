@@ -281,3 +281,65 @@ def test_uniform_sample_invariant_to_partitioning(spark, sf_dir):
     finally:
         llm_mod.T = orig_t
     assert ids_ref == ids_repart and len(ids_ref) == 100
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=30), min_size=1, max_size=10
+    )
+)
+@settings(**_SETTINGS)
+def test_entropy_bounds_and_uniform_exact(spark, docs):
+    # 0 <= H <= log2(n_tokens) for every doc; H == 0 iff one distinct token
+    import math
+
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    import mongo_to_parquet_spark.queries.llm as llm_mod
+
+    orig = llm_mod.T
+    try:
+        llm_mod.T = lambda s, sf, name: df
+        out = {r["doc_id"]: r for r in llm_mod.QUERIES["q_text_entropy"](spark, "x").collect()}
+    finally:
+        llm_mod.T = orig
+    for i, toks in enumerate(docs):
+        h, n = out[i]["ent_bits"], out[i]["n_tokens"]
+        assert n == len(toks)
+        assert -1e-9 <= h <= math.log2(n) + 5.1e-5  # 4dp ROUND slack
+        if len(set(toks)) == 1:
+            assert h == 0.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "zz"])),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_profile_matches_direct_aggregates(spark, data):
+    # profile_columns' one-pass stacked report == per-column direct queries
+    from mongo_to_parquet_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(a=a, s=s) for a, s in data], "a: bigint, s: string"
+    )
+    rep = {r["col_name"]: r for r in profile_columns(df, {"a": None, "s": None}).collect()}
+    pdf = df.toPandas()
+    for c in ("a", "s"):
+        col = pdf[c]
+        assert rep[c]["n_nulls"] == int(col.isna().sum())
+        assert rep[c]["n_distinct"] == col.dropna().nunique()
+        nn = col.dropna()
+        if c == "a" and not nn.empty:  # pandas floats nullable ints
+            nn = nn.astype("int64")
+        exp_min = None if nn.empty else str(nn.min())
+        exp_max = None if nn.empty else str(nn.max())
+        assert rep[c]["min_repr"] == exp_min
+        assert rep[c]["max_repr"] == exp_max
