@@ -800,15 +800,20 @@ def q_text_logprob(spark, sf):
     """,
 )
 def q_curation_pipeline(spark, sf):
-    # the N★ steps COMPOSED end-to-end: quality gate → exact dedup among
-    # survivors (keep min id) → content-addressed train/test split; one
-    # disposition per corpus doc. Single shuffle: the dedup window
-    # partitions by sha2(text) so the exchange carries (id, flag, 64-hex)
-    # — never the document text (same grouping as the oracle's PARTITION
-    # BY text, since equal hash ⇔ equal text).
+    return _curation_dispositions(T(spark, sf, "documents")).select(
+        "doc_id", "disposition"
+    )
+
+
+def _curation_dispositions(d, carry=()):
+    # shared core of q_curation_pipeline / q_curation_report: quality gate
+    # → exact dedup among survivors (keep min id) → content-addressed
+    # train/test split; one disposition per corpus doc. Single shuffle:
+    # the dedup window partitions by sha2(text) so the exchange carries
+    # (id, flag, 64-hex + carried dims) — never the document text (same
+    # grouping as the oracle's PARTITION BY text: equal hash ⇔ equal text).
     from pyspark.sql import Window
 
-    d = T(spark, sf, "documents")
     mwl = mean_word_len(F.col("text"))
     q_ok = (
         F.col("n_chars").between(60, 2000)
@@ -816,7 +821,7 @@ def q_curation_pipeline(spark, sf):
         & mwl.between(2.0, 8.0)
     )
     flagged = d.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("key"), q_ok.alias("q")
+        "doc_id", *carry, F.sha2(F.col("text"), 256).alias("key"), q_ok.alias("q")
     )
     min_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
         Window.partitionBy("key")
@@ -826,6 +831,7 @@ def q_curation_pipeline(spark, sf):
     )
     return flagged.select(
         "doc_id",
+        *carry,
         F.when(~F.col("q"), F.lit("rejected_quality"))
         .when(F.col("doc_id") != min_id, F.lit("duplicate"))
         .when(bucket < F.lit("cccd"), F.lit("train"))
@@ -1284,4 +1290,93 @@ def q_text_pmi(spark, sf):
         )
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
+    )
+
+
+@q(
+    "q_curation_report",
+    """
+    WITH flags AS (
+        SELECT doc_id, source, text,
+               (n_chars BETWEEN 60 AND 2000
+                AND lang IN ('en', 'es', 'fr', 'de')
+                AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    BETWEEN 2.0 AND 8.0) AS q
+        FROM documents
+    ), dd AS (
+        SELECT doc_id, source, q,
+               MIN(CASE WHEN q THEN doc_id END) OVER (PARTITION BY text) AS min_id
+        FROM flags
+    ), disp AS (
+        SELECT source,
+               CASE WHEN NOT q THEN 'rejected_quality'
+                    WHEN doc_id <> min_id THEN 'duplicate'
+                    WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                         THEN 'train'
+                    ELSE 'test' END AS disposition
+        FROM dd
+    )
+    SELECT source, disposition, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM disp GROUP BY source, disposition
+    """,
+)
+def q_curation_report(spark, sf):
+    # curation observability: the per-source yield/loss matrix every
+    # pipeline run should publish (which sources are mostly duplicates?
+    # which fail the quality gate?). Shares _curation_dispositions with
+    # q_curation_pipeline - source rides the same single dedup shuffle as
+    # a carried dim, then the rollup is a partial-aggregated count on a
+    # (source, disposition) keyspace of a few dozen rows.
+    return (
+        _curation_dispositions(T(spark, sf, "documents"), carry=("source",))
+        .groupBy("source", "disposition")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@q(
+    "q_dedup_cross_source",
+    """
+    WITH ranked AS (
+        SELECT sha256(text) AS doc_hash, doc_id, source,
+               row_number() OVER (
+                   PARTITION BY text
+                   ORDER BY CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) ASC,
+                            doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY text) AS n
+        FROM documents
+    )
+    SELECT doc_hash, doc_id AS keep_id, source AS keep_source,
+           CAST(n AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_cross_source(spark, sf):
+    # cross-source dedup with source precedence: when the same text
+    # arrives from several feeds (curated dump vs crawl), keep the copy
+    # from the most-trusted source (lowest numeric suffix), doc_id
+    # tiebreak. ONE groupBy on sha2(text) with a struct-min - min and
+    # count both partial-aggregate map-side, and the shuffle carries
+    # (hash, priority, id, source), never the text. The oracle's window
+    # formulation shuffles whole rows; this shape is the 100 TB version.
+    d = T(spark, sf, "documents")
+    pri = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int")
+    best = F.min(
+        F.struct(
+            pri.alias("p"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+        )
+    ).alias("best")
+    return (
+        d.select(F.sha2(F.col("text"), 256).alias("doc_hash"), "doc_id", "source")
+        .groupBy("doc_hash")
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "doc_hash",
+            F.col("best.keep_id").alias("keep_id"),
+            F.col("best.keep_source").alias("keep_source"),
+            "n_copies",
+        )
     )

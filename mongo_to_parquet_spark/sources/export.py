@@ -231,3 +231,54 @@ def export_sorted(
         .write.mode(mode)
         .parquet(out_path)
     )
+
+
+def export_incremental(
+    df: DataFrame,
+    out_dir: str,
+    date_field: str,
+    manifest_path: str | None = None,
+) -> int:
+    """High-water-mark incremental export: ship only rows NEWER than the
+    last run's max ``date_field``, append them, advance the mark.
+
+    The reference re-copies the full configured date range every run
+    (main.py:288-293 rebuilds the same ``$gte``/``$lte`` query each time);
+    a nightly pipeline at 100 TB cannot. The HWM pattern makes each run
+    O(new data): the strictly-greater-than filter pushes into the parquet
+    scan (min/max row-group + partition pruning on the year= layout skip
+    everything already shipped), the append touches only new ``year=``
+    directories, and the manifest is a tiny JSON the driver reads before
+    planning — no data-side state.
+
+    Late-arriving rows ≤ HWM are deliberately dropped (exactly the
+    reference's inclusive-range semantics applied forward); pipelines that
+    need late data replay a window behind the mark or use the streaming
+    export (streaming/export.py), which tracks source offsets instead.
+
+    Returns the number of rows exported this run.
+    """
+    import json
+    import os
+
+    manifest_path = manifest_path or os.path.join(out_dir, "_hwm.json")
+    hwm: str | None = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            hwm = json.load(fh)["high_water_mark"]
+
+    inc = df.filter(F.col(date_field) > F.lit(hwm)) if hwm is not None else df
+    new_max, n_rows = inc.agg(
+        F.max(date_field).cast("string"), F.count(F.lit(1))
+    ).first()
+    if n_rows == 0:
+        return 0
+
+    with_date_parts(inc, date_field).write.mode("append").partitionBy(
+        "year"
+    ).parquet(out_dir)
+
+    os.makedirs(os.path.dirname(manifest_path) or ".", exist_ok=True)
+    with open(manifest_path, "w") as fh:
+        json.dump({"high_water_mark": new_max, "rows_last_run": n_rows}, fh)
+    return n_rows

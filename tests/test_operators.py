@@ -558,3 +558,33 @@ def test_curation_pipeline_branches(spark, tmp_path):
     assert out[3] == "rejected_quality"   # too short
     assert out[4] == "rejected_quality"   # lang not in allowlist
     assert out[1] in ("train", "test")    # survivor gets a split
+
+
+def test_incremental_export_ships_only_new_rows(spark, sf_dir, tmp_path):
+    # run 1 exports the old half and sets the high-water mark; run 2 over
+    # the FULL table appends only rows past the mark (no re-copy, no
+    # dupes); run 3 with nothing new is a no-op
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_incremental
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    lo, hi = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    cut = lo + (hi - lo) / 2
+    old = orders.filter(F.col("o_orderdate") <= F.lit(cut))
+    out = str(tmp_path / "orders_inc")
+
+    n1 = export_incremental(old, out, "o_orderdate")
+    assert n1 == old.count()
+
+    n2 = export_incremental(orders, out, "o_orderdate")
+    assert n2 == orders.count() - n1 and n2 > 0
+
+    readback = spark.read.parquet(out)
+    assert readback.count() == orders.count()
+    assert readback.select("o_orderkey").distinct().count() == orders.count()
+
+    assert export_incremental(orders, out, "o_orderdate") == 0

@@ -268,3 +268,19 @@ def test_fuzzy_join_is_blocked_equi_not_cartesian(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_join_fuzzy"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_dedup_partial_aggregates_on_hash(spark, sf_dir):
+    # struct-min + count both partial-aggregate map-side; the one exchange
+    # carries (hash, struct) — no window over whole rows
+    plan = checks.formatted_plan(QS["q_dedup_cross_source"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+
+
+def test_curation_report_single_dedup_shuffle_plus_rollup(spark, sf_dir):
+    # carried source dim must not add a shuffle beyond the dedup window +
+    # the tiny (source, disposition) rollup
+    plan = checks.formatted_plan(QS["q_curation_report"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") <= 2
