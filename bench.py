@@ -39,6 +39,9 @@ HEADLINE = [
     "q_curation_pipeline",  # composed gate→dedup→split, single shuffle
     "q_cluster_zorder",     # codegen'd Morton interleave + agg
     "q_events_transitions",  # sequence window + tiny count agg
+    "q_text_entropy",       # zero-shuffle array-HOF per-doc scoring
+    "q_dedup_cross_source", # struct-min groupBy, hash-only shuffle
+    "q_profile",            # one-scan multi-column profiler (Expand)
 ]
 
 

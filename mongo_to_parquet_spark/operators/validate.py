@@ -64,32 +64,64 @@ def run_checks(*reports: DataFrame) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), reports)
 
 
-def profile_columns(df: DataFrame, reprs: dict[str, Column | None]) -> DataFrame:
-    """One-pass column profiler → (col_name, n_nulls, n_distinct, min_repr, max_repr).
+def profile_columns(
+    df: DataFrame, reprs: dict[str, Column | None], exact: bool = True
+) -> DataFrame:
+    """Column profiler → (col_name, n_nulls, n_distinct, min_repr, max_repr).
 
     ``reprs`` maps column name → a formatting expression applied to the raw
     MIN/MAX **after** aggregation (None = plain string cast). Formatting
     post-agg matters: min over a string repr would compare "100" < "99"
     lexicographically; the aggregate runs on the native type.
 
-    All columns profile in a SINGLE scan+agg (the 1-row wide result is then
-    stacked row-wise — driver-side-free unpivot). Exact ``count_distinct``
-    over k columns expands the input k-way (Catalyst Expand); at 100 TB
-    swap in ``approx_count_distinct`` per column — same shape, no Expand.
+    Plan shape (the part that matters): mixing exact multi-column
+    ``count_distinct`` with plain aggregates drags the WHOLE query through
+    the distinct rewrite — Expand (k+1× row amplification) feeding
+    SortAggregate, since string min/max buffers are not hash-aggregatable
+    (measured 30× slower than the split plan at sf0.1). So:
+
+    - ``exact=True``: TWO 1-row aggregates (nulls/min/max; distincts)
+      cross-joined — each partial-aggregates map-side, the distinct pass
+      keeps its Expand but no longer poisons the cheap metrics.
+    - ``exact=False``: ONE pass — ``approx_count_distinct`` has a
+      fixed-size HLL buffer, so everything stays in a single
+      HashAggregate over a single scan. The 100 TB default.
     """
     names = list(reprs)
-    wide = df.agg(
+    base = df.agg(
         *[
             a
             for i, c in enumerate(names)
             for a in (
                 (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint").alias(f"nn_{i}"),
-                F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{i}"),
                 F.min(F.col(c)).alias(f"mn_{i}"),
                 F.max(F.col(c)).alias(f"mx_{i}"),
             )
         ]
     )
+    if exact:
+        nd = df.agg(
+            *[
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{i}")
+                for i, c in enumerate(names)
+            ]
+        )
+        wide = base.crossJoin(nd)
+    else:
+        wide = df.agg(
+            *[
+                a
+                for i, c in enumerate(names)
+                for a in (
+                    (F.count(F.lit(1)) - F.count(F.col(c)))
+                    .cast("bigint")
+                    .alias(f"nn_{i}"),
+                    F.approx_count_distinct(F.col(c)).cast("bigint").alias(f"nd_{i}"),
+                    F.min(F.col(c)).alias(f"mn_{i}"),
+                    F.max(F.col(c)).alias(f"mx_{i}"),
+                )
+            ]
+        )
     fmt = lambda i, c: (  # noqa: E731
         reprs[names[i]](c) if reprs[names[i]] is not None else c.cast("string")
     )

@@ -1380,3 +1380,36 @@ def q_dedup_cross_source(spark, sf):
             "n_copies",
         )
     )
+
+
+@q(
+    "q_anonymize_join",
+    """
+    SELECT sha256('pepper1' || CAST(c_custkey AS VARCHAR)) AS pid,
+           c_mktsegment,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY sha256('pepper1' || CAST(c_custkey AS VARCHAR)), c_mktsegment
+    """,
+)
+def q_anonymize_join(spark, sf):
+    # PII pseudonymization with referential consistency: the same salted
+    # hash applied to BOTH tables' key columns, then all downstream
+    # relational work (here: left join + per-customer order counts) runs
+    # on pseudonyms only - raw keys never leave the scan projection. The
+    # hash is a codegen'd JVM expression computed during the scan, and the
+    # join keys keep the original key distribution, so the plan (and its
+    # skew behavior) is identical to joining on the raw key. Salt rotation
+    # = new pepper literal = new unlinkable pseudonym universe.
+    pid = lambda c: F.sha2(F.concat(F.lit("pepper1"), F.col(c).cast("string")), 256)  # noqa: E731
+    c = T(spark, sf, "customer").select(
+        pid("c_custkey").alias("pid"), "c_mktsegment"
+    )
+    o = T(spark, sf, "orders").select(
+        pid("o_custkey").alias("pid"), "o_orderkey"
+    )
+    return (
+        c.join(o, "pid", "left")
+        .groupBy("pid", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

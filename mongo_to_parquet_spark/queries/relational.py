@@ -1111,11 +1111,14 @@ def q_sql_surface(spark, sf):
 def q_profile(spark, sf):
     # dataset profiling (operators/validate.py profile_columns): the
     # ingest-time "describe" every pipeline runs before trusting a new
-    # drop. All five columns profile in ONE scan+agg; the oracle's 5-way
-    # UNION ALL of separate scans is the shape this operator exists to
-    # avoid. Min/max format AFTER aggregation (native-type compare, then
-    # repr): money through DECIMAL(18,2) for a fixed 2dp rendering,
-    # timestamps through an explicit date format - both engine-stable.
+    # drop. Exact mode: TWO 1-row aggregates (nulls/min/max; distincts)
+    # cross-joined - mixing them in one agg drags everything through the
+    # distinct rewrite's Expand+SortAggregate (30x slower, see operator
+    # docstring); approx mode is a true single HashAggregate pass. Either
+    # beats the oracle's 5-way UNION ALL of separate scans. Min/max format
+    # AFTER aggregation (native-type compare, then repr): money through
+    # DECIMAL(18,2) for a fixed 2dp rendering, timestamps through an
+    # explicit date format - both engine-stable.
     from mongo_to_parquet_spark.operators.validate import profile_columns
 
     o = T(spark, sf, "orders")

@@ -147,3 +147,35 @@ def q_udf_grouped_map(spark, sf):
 
     d = T(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     return d.groupBy("lang").applyInPandas(rank_group, schema=schema)
+
+
+@q(
+    "q_udf_sql",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q_udf_sql(spark, sf):
+    # SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+    # the user-facing way to package business expressions WITHOUT leaving
+    # the JVM - the body inlines into the plan at analysis time, so unlike
+    # any Python UDF it stays inside whole-stage codegen and costs exactly
+    # what the raw expression costs (same q_udf_scalar_pandas math,
+    # zero Arrow round-trip). Same no-ROUND reasoning: identical
+    # left-associated IEEE sequence on both engines.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_of(
+            ep DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE
+        RETURN ep * (1 - d) * (1 + t)
+        """
+    )
+    l = T(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("charge_of(l_extendedprice, l_discount, l_tax)").alias("charge"),
+    )

@@ -255,11 +255,20 @@ def test_pmi_joins_all_broadcast_topk_short_circuits(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_profile_is_single_scan(spark, sf_dir):
-    # 5 columns profiled in ONE pass: exactly one parquet scan (the
-    # oracle's UNION ALL of 5 scans is the anti-pattern)
+def test_profile_plan_shapes(spark, sf_dir):
+    # exact mode: two 1-row aggregates (nulls/min/max; distincts) — the
+    # cheap metrics must NOT ride the distinct rewrite's Expand; approx
+    # mode: one scan, one HashAggregate, no Expand at all
+    from mongo_to_parquet_spark.operators.validate import profile_columns
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
     plan = checks.formatted_plan(QS["q_profile"](spark, sf_dir))
-    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Scan parquet") == 2
+    o = load_table(spark, sf_dir, "orders")
+    approx = profile_columns(o, {"o_orderkey": None, "o_orderstatus": None}, exact=False)
+    aplan = checks.formatted_plan(approx)
+    assert _n_nodes(aplan, "Scan parquet") == 1
+    assert _n_nodes(aplan, "Expand") == 0
 
 
 def test_fuzzy_join_is_blocked_equi_not_cartesian(spark, sf_dir):
