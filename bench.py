@@ -41,7 +41,7 @@ HEADLINE = [
     "q_events_transitions",  # sequence window + tiny count agg
     "q_text_entropy",       # zero-shuffle array-HOF per-doc scoring
     "q_dedup_cross_source", # struct-min groupBy, hash-only shuffle
-    "q_profile",            # one-scan multi-column profiler (Expand)
+    "q_profile",            # split-plan profiler (two 1-row aggs cross-joined)
 ]
 
 

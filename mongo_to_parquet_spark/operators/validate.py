@@ -85,7 +85,8 @@ def profile_columns(
       keeps its Expand but no longer poisons the cheap metrics.
     - ``exact=False``: ONE pass — ``approx_count_distinct`` has a
       fixed-size HLL buffer, so everything stays in a single
-      HashAggregate over a single scan. The 100 TB default.
+      HashAggregate over a single scan. Recommended at 100 TB (the
+      signature defaults to exact=True for oracle-exact results).
     """
     names = list(reprs)
     base = df.agg(

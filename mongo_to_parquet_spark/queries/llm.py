@@ -1401,6 +1401,11 @@ def q_anonymize_join(spark, sf):
     # join keys keep the original key distribution, so the plan (and its
     # skew behavior) is identical to joining on the raw key. Salt rotation
     # = new pepper literal = new unlinkable pseudonym universe.
+    # NOTE: this is pseudonymization, not anonymization — over a small
+    # integer key space a KNOWN pepper is brute-force reversible. The
+    # literal here exists so the oracle can reproduce the hash; a
+    # production run must inject the pepper from a secret store and never
+    # commit it.
     pid = lambda c: F.sha2(F.concat(F.lit("pepper1"), F.col(c).cast("string")), 256)  # noqa: E731
     c = T(spark, sf, "customer").select(
         pid("c_custkey").alias("pid"), "c_mktsegment"

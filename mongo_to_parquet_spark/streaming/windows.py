@@ -70,10 +70,15 @@ def replay_events(spark: SparkSession, sf_dir: str, n_files: int = 8) -> DataFra
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # Watermarks require TimestampType (TIMESTAMP_LTZ). Depending on the
+    # Spark build, the nanos-typed fixture column arrives as int64
+    # (legacy nanosAsLong) or TIMESTAMP_NTZ — normalize either to LTZ;
+    # session tz is pinned UTC, so the wall-clock value is unchanged.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
