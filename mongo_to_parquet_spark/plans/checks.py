@@ -46,6 +46,15 @@ def has_node(df: DataFrame, node: str) -> bool:
     return node in formatted_plan(df)
 
 
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Number of distinct physical nodes named ``node`` (the formatted plan
+    prints each node twice — tree + detail section — so count the
+    "(id) Name" detail headers, one per node)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(node)}\b", formatted_plan(df), re.M))
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     pf = pushed_filters(df)
     assert any(fragment in p for p in pf), f"no pushed filter containing {fragment!r}: {pf}"

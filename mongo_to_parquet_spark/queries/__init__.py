@@ -19,9 +19,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_to_parquet_spark.queries import llm, relational, scalars, sinks, stream, udf, windows
+from mongo_to_parquet_spark.queries import (
+    curation,
+    llm,
+    relational,
+    scalars,
+    sinks,
+    stream,
+    udf,
+    windows,
+)
 
-_MODULES = (relational, windows, scalars, stream, udf, llm, sinks)
+_MODULES = (relational, windows, scalars, stream, udf, llm, curation, sinks)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

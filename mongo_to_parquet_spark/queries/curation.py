@@ -1,0 +1,474 @@
+"""Training-data curation operators, round 2 (N★ widening).
+
+Second batch of LLM-pipeline operators beyond queries/llm.py: semantic
+(embedding-centroid) dedup, kNN label assignment, weighted sampling,
+key-skew auditing, SCD-2 history building, k-anonymity suppression,
+per-doc keyword extraction, and embedding-corpus QA. Same discipline as
+every other family: declarative DataFrame plans, oracle-exact determinism
+(ROUND-wrapped floats, total orders under every limit, identical aliases
+both sides), and a 100 TB scale note per query.
+
+Heritage: the reference has none of this (SURVEY §2.2 — single-collection
+ETL, reference main.py:287-309); these generalize the north-star pipeline
+surface (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions import vector
+from mongo_to_parquet_spark.operators import text
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# ------------------------------------------------------- semantic dedup ----
+@q(
+    "q_dedup_semantic",
+    """
+    WITH dims AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    cd AS (SELECT label, pos, ROUND(AVG(val), 4) AS cv
+           FROM dims GROUP BY label, pos),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
+             FROM cd GROUP BY label),
+    scored AS (
+        SELECT vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            centroid), 4) AS cent_sim
+        FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT vec_id, label, cent_sim,
+           CASE WHEN row_number() OVER (PARTITION BY label
+                                        ORDER BY cent_sim DESC, vec_id ASC) = 1
+                     OR cent_sim < 0.30
+                THEN 'keep' ELSE 'drop' END AS disposition
+    FROM scored
+    """,
+)
+def q_dedup_semantic(spark, sf):
+    # SemDeDup-style semantic dedup: within each cluster (label is the
+    # cluster stand-in), docs whose cosine-to-centroid >= tau are mutually
+    # redundant "prototypes" — keep exactly one (the closest, vec_id
+    # tiebreak) and drop the rest; docs below tau are diverse and all kept.
+    #
+    # Scale: the centroid table is labels x dims rows (independent of
+    # corpus size) built from one posexplode + partial-agg shuffle that
+    # carries per-(label,dim,partition) sums; it broadcasts back, so the
+    # scoring pass is map-only. The only per-row shuffle is the per-label
+    # window rank; with millions of clusters each partition holds ~cluster
+    # size rows, the balanced case. The centroid is ROUND(4)ed on both
+    # sides BEFORE the cosine so the score is engine-portable.
+    e = T(spark, sf, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("centroid")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(vector.cosine(F.col("embedding"), F.col("centroid")), 4).alias(
+            "cent_sim"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cent_sim"), F.asc("vec_id"))
+    return scored.select(
+        "vec_id",
+        "label",
+        "cent_sim",
+        F.when(
+            (F.row_number().over(w) == 1) | (F.col("cent_sim") < 0.30), "keep"
+        )
+        .otherwise("drop")
+        .alias("disposition"),
+    )
+
+
+# ------------------------------------------------------ kNN classification --
+@q(
+    "q_knn_classify",
+    """
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS p
+                    FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT probe_id, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p AS DOUBLE[])), 4) AS sim
+        FROM embeddings e CROSS JOIN probes
+        WHERE e.vec_id >= 20
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY sim DESC, vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    ),
+    votes AS (SELECT probe_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+              FROM topk GROUP BY probe_id, label)
+    SELECT probe_id, label AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY votes DESC, label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def q_knn_classify(spark, sf):
+    # kNN label assignment (auto-labeling / label-noise audit): each probe
+    # vector takes the majority label of its 5 nearest neighbors by
+    # cosine; ties break to the smaller label. Ranked on the ROUNDED sim
+    # (q_sim_topk convention) so boundary ties agree across engines.
+    #
+    # Scale: probes broadcast (a labeling batch is small); the corpus scan
+    # is one pass with a per-probe WindowGroupLimit — each partition keeps
+    # only k rows per probe before the shuffle, so the exchange carries
+    # O(probes x k x partitions), never the corpus. The N-probe variant at
+    # 100 TB is q_sim_topk_batch's plan with the vote aggregation fused on
+    # top; for probe sets too big to broadcast, block by IVF cell
+    # (operators/similarity.py) before voting.
+    e = T(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 20)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(vector.cosine(F.col("embedding"), F.col("p")), 4).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("probe_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+# ------------------------------------------------------ weighted sampling ---
+@q(
+    "q_sample_weighted",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(pow((CAST(concat('0x', substr(md5(concat('wsamp',
+                              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+                             / 4294967296.0,
+                         1.0 / CAST(n_chars AS DOUBLE)), 6) AS wkey
+        FROM documents
+    )
+    SELECT doc_id, n_chars, wkey FROM keyed
+    ORDER BY wkey DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_sample_weighted(spark, sf):
+    # Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    # key_i = u_i^(1/w_i) with u_i a content-addressed uniform from
+    # md5(doc_id) — the top-k by key is an exact weighted sample (here
+    # weight = n_chars, i.e. length-proportional, the usual mixture knob
+    # when rebalancing sources by byte budget). No RNG state: the sample
+    # is reproducible across runs, engines, and repartitionings.
+    #
+    # Scale: TakeOrderedAndProject — each partition keeps its local top-k,
+    # the driver merges k x n_partitions candidates; no global sort, no
+    # full shuffle. One scan of (doc_id, n_chars): the text column is
+    # never read (pruned projection). Ordered by the ROUNDED key on both
+    # sides so sub-6dp libm pow differences cannot flip the cut.
+    d = T(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsamp"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6).alias(
+            "wkey"
+        ),
+    )
+    return keyed.orderBy(F.desc("wkey"), F.asc("doc_id")).limit(20)
+
+
+# --------------------------------------------------------- key-skew audit ---
+@q(
+    "q_stats_skew",
+    """
+    WITH pk AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(AVG(cnt), 4) AS avg_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / AVG(cnt), 4) AS skew_ratio
+    FROM pk
+    """,
+)
+def q_stats_skew(spark, sf):
+    # Partition-skew audit: the diagnostic you run BEFORE choosing a join
+    # strategy on a new key. skew_ratio = hottest key / mean; >> 1 means a
+    # plain hash-partitioned join/agg on this key will straggle and the
+    # plan should salt (operators/skew.py) or rely on AQE skew-join.
+    #
+    # Scale: two aggregations, both partial — the first shuffles one count
+    # per (key, partition), the second reduces #keys rows to one. This is
+    # the cheap O(keys) census that makes the 100 TB salting decision
+    # data-driven instead of guessed.
+    o = T(spark, sf, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(F.max("cnt").cast("double") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )
+
+
+# -------------------------------------------------------- SCD-2 history ----
+@q(
+    "q_scd2_history",
+    """
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+                FROM events),
+    chg AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM chg
+    ),
+    hist AS (
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+               MIN(event_type) AS event_type,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id, seg_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg_id)
+               AS valid_to_us,
+           CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                                                    ORDER BY seg_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current,
+           n_events
+    FROM hist
+    """,
+)
+def q_scd2_history(spark, sf):
+    # SCD-2 (slowly-changing-dimension type 2) history build: collapse each
+    # user's event stream into validity intervals — one row per run of
+    # equal event_type, [valid_from, valid_to) half-open, open interval =
+    # current. Complements operators/merge.py's SCD-1 upsert (which keeps
+    # only latest state) with full history, the lineage ETL shape.
+    #
+    # Scale: classic gaps-and-islands — ONE shuffle by user_id serves the
+    # change-flag window, the running segment sum, the per-segment
+    # aggregate, and the lead() (all partitioned by the same key, Catalyst
+    # reuses the exchange). State per key is a sort of that user's rows.
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("seg_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    hist = seg.groupBy("user_id", F.col("seg_id").cast("bigint").alias("seg_id")).agg(
+        F.min("event_type").alias("event_type"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg_id")
+    return hist.select(
+        "user_id",
+        "seg_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(ws).alias("valid_to_us"),
+        F.when(F.lead("valid_from_us").over(ws).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------- k-anonymity -----
+@q(
+    "q_kanonymize",
+    """
+    WITH g AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat,
+                      COUNT(*) AS n, SUM(c_acctbal) AS bal
+               FROM customer GROUP BY 1, 2)
+    SELECT CASE WHEN n >= 8 THEN seg ELSE '*' END AS seg,
+           CASE WHEN n >= 8 THEN nat ELSE -1 END AS nat,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(SUM(bal) / SUM(n), 2) AS avg_bal
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_kanonymize(spark, sf):
+    # k-anonymity suppression (k=8) over the quasi-identifier
+    # (mktsegment, nationkey): cohorts smaller than k are merged into one
+    # suppressed bucket ('*', -1) so no released group identifies fewer
+    # than k individuals. The released aggregate (avg balance) is computed
+    # AFTER merging, so the suppressed bucket leaks only its pooled mean.
+    # Pairs with q_anonymize_join (pseudonymized keys) as the release
+    # pipeline's generalization step.
+    #
+    # Scale: two hash aggregations; the first shuffles one partial per
+    # (quasi-id, partition), the second re-buckets the (small) group
+    # census — the data-sized pass is map-side only.
+    c = T(spark, sf, "customer")
+    g = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("int").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("c_acctbal").alias("bal"))
+    k = 8
+    return (
+        g.select(
+            F.when(F.col("n") >= k, F.col("seg")).otherwise("*").alias("seg"),
+            F.when(F.col("n") >= k, F.col("nat")).otherwise(-1).alias("nat"),
+            "n",
+            "bal",
+        )
+        .groupBy("seg", "nat")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.round(F.sum("bal") / F.sum("n"), 2).alias("avg_bal"),
+        )
+    )
+
+
+# ----------------------------------------------------- keyword extraction ---
+@q(
+    "q_text_keywords",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_text_keywords(spark, sf):
+    # Per-doc keyword extraction: top-3 tokens by TF-IDF (ties to the
+    # lexicographically smaller token). This is q_text_tfidf's scoring
+    # with a per-doc WindowGroupLimit on top — the standard cheap
+    # doc-topic signal for corpus browsing / mixture tagging.
+    #
+    # Scale: the rank window partitions by doc_id — the same key as the
+    # tf aggregation, so the heavy (doc, token) stream is shuffled once
+    # and WindowGroupLimit truncates each partition to 3 rows per doc
+    # before any downstream exchange.
+    scored = text.tfidf(T(spark, sf, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+# ------------------------------------------------------ embedding QA -------
+@q(
+    "q_embed_quality",
+    """
+    WITH e AS (
+        SELECT label, len(embedding) AS dim,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+           CAST(COUNT(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           ROUND(AVG(nrm), 4) AS avg_norm
+    FROM e GROUP BY label
+    """,
+)
+def q_embed_quality(spark, sf):
+    # Embedding-corpus QA gate: per label — vector count, dimension
+    # consistency (n_dims_distinct must be 1), zero-vector count (a zero
+    # norm breaks cosine downstream), and the norm distribution
+    # (un-normalized or truncated embedding batches show up as outlier
+    # norms). Run before any similarity/dedup family lands on a new batch;
+    # the validate.py quality-gate analog for the vector modality.
+    #
+    # Scale: norm is a codegen'd array fold computed during the scan; one
+    # partial-aggregated shuffle of labels x partitions rows. The exact
+    # dim-distinct is tiny-cardinality; at extreme label counts swap to
+    # approx_count_distinct (q_profile's exact/approx split).
+    e = T(spark, sf, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        vector.norm(F.col("embedding")).alias("nrm"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims_distinct"),
+        F.count(F.when(F.col("nrm") == 0, 1)).cast("bigint").alias("n_zero"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )

@@ -889,6 +889,49 @@ def q_set_except(spark, sf):
     return a.exceptAll(b)
 
 
+@q("q_set_intersect_all", f"{_SLICE_O} INTERSECT ALL {_SLICE_F}")
+def q_set_intersect_all(spark, sf):
+    # multiset intersect: keeps min(multiplicity) copies per value —
+    # completes the bag-semantics trio (union all / intersect all /
+    # except all). Same plan family as q_set_intersect: a count-per-value
+    # aggregation on each side, joined on the value.
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@q(
+    "q_agg_custdist",
+    """
+    WITH co AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q_agg_custdist(spark, sf):
+    # TPC-H Q13 shape: distribution of orders-per-customer, INCLUDING the
+    # zero-order customers (left join, count of the nullable side). Two
+    # stacked aggregations: the first shuffles by customer (same key as
+    # the join, exchange reused), the second reduces #customers rows to
+    # #distinct-counts — at 100 TB the histogram rows are trivially small,
+    # so the cost is one fact shuffle.
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
 @q(
     "q_quality_checks",
     """

@@ -191,3 +191,54 @@ def q_win_range_frame(spark, sf):
             "cum_share"
         ),
     )
+
+
+@q(
+    "q_win_count_distinct",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    f AS (
+        SELECT *, CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id) = 1
+                       THEN 1 ELSE 0 END AS first_seen
+        FROM ev
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_distinct_types
+    FROM f
+    """,
+)
+def q_win_count_distinct(spark, sf):
+    # Running COUNT(DISTINCT) over a window — which Spark (and ANSI SQL)
+    # does not support directly — via the first-occurrence-flag idiom:
+    # flag each (user, type)'s earliest row, then running-SUM the flags in
+    # time order. The flag window deliberately partitions by user_id ALONE
+    # and sorts (event_type, ts, event_id): each type block's head is that
+    # type's time-first row (within the block the order IS time), which is
+    # the same flag a (user,type)-partitioned row_number()==1 would give —
+    # but now both windows share HashPartitioning(user_id), so the whole
+    # query is ONE Exchange + two Sorts (asserted in tests) instead of two
+    # full shuffles of the event stream. The per-user "distinct behaviors
+    # so far" curve is the engagement-breadth signal in event analytics.
+    ev = T(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wtype = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev_type = F.lag("event_type").over(wtype)
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(prev_type.isNull() | (prev_type != F.col("event_type")), 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("first_seen").over(wrun).cast("bigint").alias("run_distinct_types"),
+        )
+    )

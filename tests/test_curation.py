@@ -1,0 +1,152 @@
+"""Semantic + plan tests for the round-2 curation family
+(queries/curation.py) and the relational/window additions that landed with
+it (custdist, intersect-all, running count-distinct)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.plans import checks
+from mongo_to_parquet_spark.queries import queries
+from mongo_to_parquet_spark.sources.catalog import load_table
+
+QS = queries()
+
+
+# ------------------------------------------------------------ semantics ----
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    rows = QS["q_scd2_history"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for u, segs in by_user.items():
+        segs.sort(key=lambda r: r["seg_id"])
+        assert [s["seg_id"] for s in segs] == list(range(1, len(segs) + 1))
+        # half-open intervals chain with no gap/overlap; exactly one open
+        for a, b in zip(segs, segs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["is_current"] == 0
+            assert a["event_type"] != b["event_type"], "adjacent segments must differ"
+        assert segs[-1]["valid_to_us"] is None and segs[-1]["is_current"] == 1
+        assert sum(s["n_events"] for s in segs) == counts[u]
+
+
+def test_weighted_sample_matches_python_reimplementation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+
+    def key(doc_id: int, w: int) -> float:
+        h = hashlib.md5(f"wsamp{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        return round(u ** (1.0 / w), 6)
+
+    expect = sorted(
+        ((key(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [
+        (r["wkey"], r["doc_id"])
+        for r in QS["q_sample_weighted"](spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_kanonymity_no_small_group_released(spark, sf_dir):
+    rows = QS["q_kanonymize"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == total, "suppression must not lose rows"
+    for r in rows:
+        if (r["seg"], r["nat"]) != ("*", -1):
+            assert r["n_rows"] >= 8, f"released group below k: {r}"
+    assert len({(r["seg"], r["nat"]) for r in rows}) == len(rows)
+
+
+def test_running_distinct_reaches_exact_distinct(spark, sf_dir):
+    out = QS["q_win_count_distinct"](spark, sf_dir)
+    finals = (
+        out.groupBy("user_id")
+        .agg(F.max("run_distinct_types").alias("got"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.countDistinct("event_type").alias("want"))
+    bad = finals.join(exact, "user_id").filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_custdist_accounts_for_every_customer_and_order(spark, sf_dir):
+    rows = QS["q_agg_custdist"](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["custdist"] for r in rows) == n_orders
+
+
+def test_semantic_dedup_keeps_one_representative_per_redundant_set(spark, sf_dir):
+    rows = QS["q_dedup_semantic"](spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        hot = [r for r in rs if r["cent_sim"] >= 0.30]
+        dropped = [r for r in rs if r["disposition"] == "drop"]
+        # all drops are prototypical rows, and exactly one prototype stays
+        assert all(r["cent_sim"] >= 0.30 for r in dropped)
+        assert len(dropped) == max(len(hot) - 1, 0), f"label {label}"
+        assert all(r["disposition"] == "keep" for r in rs if r["cent_sim"] < 0.30)
+
+
+def test_knn_votes_are_well_formed(spark, sf_dir):
+    rows = QS["q_knn_classify"](spark, sf_dir).collect()
+    labels = {
+        r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("label").distinct().collect()
+    }
+    assert len(rows) == 20 and len({r["probe_id"] for r in rows}) == 20
+    for r in rows:
+        assert r["pred_label"] in labels
+        assert 1 <= r["votes"] <= 5
+
+
+def test_embed_quality_flags_clean_fixture(spark, sf_dir):
+    rows = QS["q_embed_quality"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_dims_distinct"] == 1, "fixture dims must be consistent"
+        assert r["n_zero"] == 0
+        assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+
+
+# ----------------------------------------------------------- plan shape ----
+def test_weighted_sample_is_take_ordered_and_prunes_text(spark, sf_dir):
+    df = QS["q_sample_weighted"](spark, sf_dir)
+    assert checks.has_node(df, "TakeOrderedAndProject")
+    # the sample never reads the text column — only (doc_id, n_chars)
+    checks.assert_scan_columns_at_most(df, "documents", 2)
+
+
+def test_knn_broadcasts_probes_no_shuffle_join(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_knn_classify"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_dedup_semantic"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_keywords_rank_uses_window_group_limit(spark, sf_dir):
+    assert checks.has_node(QS["q_text_keywords"](spark, sf_dir), "WindowGroupLimit")
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    # change-flag window, running sum, per-segment agg and lead() all
+    # partition by user_id: one Exchange, reused across every stage
+    assert checks.count_nodes(QS["q_scd2_history"](spark, sf_dir), "Exchange") == 1
+
+
+def test_running_distinct_single_shuffle(spark, sf_dir):
+    assert checks.count_nodes(QS["q_win_count_distinct"](spark, sf_dir), "Exchange") == 1
