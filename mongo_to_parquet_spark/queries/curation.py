@@ -472,3 +472,94 @@ def q_embed_quality(spark, sf):
         F.round(F.max("nrm"), 4).alias("max_norm"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+# ------------------------------------------------------ graph: pagerank ----
+_PR_SCALE = 1_000_000_000  # fixed-point: pr values are ×1e9 integers
+
+
+@q(
+    "q_graph_pagerank",
+    f"""
+    WITH e0 AS (
+        SELECT concat('C', CAST(o_custkey AS VARCHAR)) AS src,
+               concat('S', CAST(l_suppkey AS VARCHAR)) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    deg AS (SELECT src, SUM(w) AS wd FROM edges GROUP BY src),
+    en AS (SELECT e.src, e.dst, e.w, d.wd FROM edges e JOIN deg d USING (src)),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    p0 AS (SELECT src AS node, {_PR_SCALE} // n AS pr FROM deg CROSS JOIN nn),
+    i1 AS (SELECT en.dst AS node,
+                  {15 * _PR_SCALE} // (100 * n)
+                      + (85 * SUM((p.pr * en.w) // en.wd)) // 100 AS pr
+           FROM en JOIN p0 p ON p.node = en.src CROSS JOIN nn
+           GROUP BY en.dst, nn.n),
+    i2 AS (SELECT en.dst AS node,
+                  {15 * _PR_SCALE} // (100 * n)
+                      + (85 * SUM((p.pr * en.w) // en.wd)) // 100 AS pr
+           FROM en JOIN i1 p ON p.node = en.src CROSS JOIN nn
+           GROUP BY en.dst, nn.n),
+    i3 AS (SELECT en.dst AS node,
+                  {15 * _PR_SCALE} // (100 * n)
+                      + (85 * SUM((p.pr * en.w) // en.wd)) // 100 AS pr
+           FROM en JOIN i2 p ON p.node = en.src CROSS JOIN nn
+           GROUP BY en.dst, nn.n)
+    SELECT node, CAST(pr AS BIGINT) AS pagerank_scaled FROM i3
+    """,
+)
+def q_graph_pagerank(spark, sf):
+    # Weighted PageRank (3 fixed iterations, damping 0.85) over the
+    # bipartite customer↔supplier purchase graph, in FIXED-POINT integer
+    # arithmetic: pr values are ×1e9 integers, per-edge contribution is
+    # (pr·w) div weighted-degree, and each iteration re-adds the
+    # teleport base. Integer sums are order-independent, so the result
+    # hash-matches the oracle exactly — no float-summation drift, the
+    # usual blocker for cross-engine iterative algorithms.
+    #
+    # Scale: each iteration is one fact-sized shuffle (join ranks to
+    # edges on src, aggregate contributions on dst). The edge list and
+    # weighted degrees are computed once; undirected symmetrization means
+    # no dangling-mass correction is needed. A 100 TB / billion-node run
+    # adds per-iteration checkpointing (truncate the growing lineage) and
+    # partitions edges by src so the rank join is co-located; the
+    # iteration count stays a driver-side Python loop — Spark has no
+    # native iterate operator, and unrolling through Catalyst is exactly
+    # how GraphFrames does it.
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
+    en = edges.join(deg, "src")
+    nn = deg.select(F.count(F.lit(1)).alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), F.expr(f"{_PR_SCALE} div n").alias("pr")
+    )
+    for _ in range(3):
+        pr = (
+            en.join(pr, en.src == pr.node)
+            .crossJoin(F.broadcast(nn))
+            .groupBy(F.col("dst").alias("node2"), "n")
+            .agg(F.sum(F.expr("(pr * w) div wd")).alias("s"))
+            .select(
+                F.col("node2").alias("node"),
+                (
+                    F.expr(f"{15 * _PR_SCALE} div (100 * n)")
+                    + F.expr("(85 * s) div 100")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").cast("bigint").alias("pagerank_scaled"))

@@ -406,3 +406,140 @@ def q_events_transitions(spark, sf):
         "cnt",
         F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(wp), 4).alias("p"),
     )
+
+
+_STEP_US = 21_600_000_000  # 6-hour resample grid, in µs
+
+
+@q(
+    "q_ts_interpolate",
+    f"""
+    WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ev_t,
+                       value, event_id
+                FROM events),
+    b AS (SELECT user_id, MIN(ev_t) AS mn, MAX(ev_t) AS mx
+          FROM ev GROUP BY user_id),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series((mn + {_STEP_US - 1}) // {_STEP_US} * {_STEP_US},
+                                      mx // {_STEP_US} * {_STEP_US},
+                                      {_STEP_US})) AS gt
+        FROM b
+        WHERE (mn + {_STEP_US - 1}) // {_STEP_US} <= mx // {_STEP_US}
+    ),
+    u AS (
+        SELECT user_id, ev_t AS gt, ev_t, value, event_id, 0 AS is_grid FROM ev
+        UNION ALL
+        SELECT user_id, gt, NULL, NULL, NULL, 1 FROM grid
+    ),
+    f AS (
+        SELECT *,
+            last_value(value IGNORE NULLS) OVER wp AS pv,
+            last_value(ev_t IGNORE NULLS) OVER wp AS pt,
+            first_value(value IGNORE NULLS) OVER wn AS nv,
+            first_value(ev_t IGNORE NULLS) OVER wn AS nt
+        FROM u
+        WINDOW wp AS (PARTITION BY user_id
+                      ORDER BY gt, is_grid, coalesce(event_id, -1)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id
+                      ORDER BY gt, is_grid DESC, coalesce(event_id, -1)
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, gt AS grid_us,
+           ROUND(CASE WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * CAST(gt - pt AS DOUBLE)
+                                          / CAST(nt - pt AS DOUBLE) END,
+                 4) AS value
+    FROM f WHERE is_grid = 1
+    """,
+)
+def q_ts_interpolate(spark, sf):
+    # Time-series resampling with linear interpolation: each user's
+    # irregular event series re-sampled onto a regular 6-hour grid, value
+    # at each grid point interpolated between the nearest events either
+    # side (exact-hit grid points take the event value). The regularized
+    # series is what downstream models / gap-fill joins consume;
+    # complements q_win_fill_forward (LOCF) with the two-sided estimate
+    # and q_agg_time_weighted (which integrates instead of resampling).
+    #
+    # Shape: grid points are generated per user from its [min, max] span
+    # (integer µs arithmetic — floor/ceil division, no float rounding),
+    # unioned with the events, and BOTH neighbors come from two
+    # ignore-nulls running windows over the same user_id partitioning —
+    # one Exchange, two Sorts, no join, no per-grid-point range probe.
+    # Scale: state per task is one user's rows; the grid never shuffles
+    # separately. The is_grid sort key places same-timestamp events
+    # BEFORE the grid point in the prev window and AFTER it in the next
+    # window, so exact hits resolve to the event value on both sides.
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_t"),
+        "value",
+        "event_id",
+    )
+    step = F.lit(_STEP_US).cast("long")
+    bounds = ev.groupBy("user_id").agg(
+        F.min("ev_t").alias("mn"), F.max("ev_t").alias("mx")
+    )
+    grid = (
+        bounds.select(
+            "user_id",
+            (F.expr(f"(mn + {_STEP_US - 1}) div {_STEP_US}") * step).alias("g0"),
+            (F.expr(f"mx div {_STEP_US}") * step).alias("g1"),
+        )
+        .filter(F.col("g0") <= F.col("g1"))
+        .select("user_id", F.explode(F.sequence("g0", "g1", F.lit(_STEP_US))).alias("gt"))
+    )
+    u = ev.select(
+        "user_id",
+        F.col("ev_t").alias("gt"),
+        "ev_t",
+        "value",
+        "event_id",
+        F.lit(0).alias("is_grid"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "gt",
+            F.lit(None).cast("long").alias("ev_t"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    eid = F.coalesce(F.col("event_id"), F.lit(-1))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("gt").asc(), F.col("is_grid").asc(), eid.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("gt").asc(), F.col("is_grid").desc(), eid.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    f = u.select(
+        "user_id",
+        "gt",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wp).alias("pv"),
+        F.last("ev_t", ignorenulls=True).over(wp).alias("pt"),
+        F.first("value", ignorenulls=True).over(wn).alias("nv"),
+        F.first("ev_t", ignorenulls=True).over(wn).alias("nt"),
+    )
+    return f.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("gt").alias("grid_us"),
+        F.round(
+            F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("gt") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            ),
+            4,
+        ).alias("value"),
+    )

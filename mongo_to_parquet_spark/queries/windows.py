@@ -242,3 +242,37 @@ def q_win_count_distinct(spark, sf):
             F.sum("first_seen").over(wrun).cast("bigint").alias("run_distinct_types"),
         )
     )
+
+
+@q(
+    "q_win_median",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+    FROM orders
+    """,
+)
+def q_win_median(spark, sf):
+    # Rolling exact median over the last 5 orders per customer — the
+    # robust (outlier-immune) baseline that rolling AVG (q_win_running)
+    # is not. Spark's percentile aggregate runs as a window function with
+    # an explicit ROWS frame; interpolation semantics match DuckDB's
+    # quantile_cont (equivalence pinned by q_agg_stats).
+    #
+    # Scale: one shuffle by customer; per-row cost is the O(frame) sort
+    # buffer, constant here (frame=5). Wide frames at 100 TB would switch
+    # to q_agg_approx_percentile's GK sketch per bucket instead — exact
+    # sliding medians over big frames don't decompose.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias("med5"),
+    )

@@ -46,3 +46,72 @@ def stream_export_partitioned(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    seq_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintained SCD-1 table: each micro-batch upserts into
+    a persisted parquet state (latest row per key wins, ``seq_col``
+    decides "latest" within and across batches).
+
+    foreachBatch closes the gap between the streaming source and the
+    batch merge operator (operators/merge.py): inside the hook the
+    micro-batch is a plain DataFrame, so the same anti-join + union merge
+    runs unchanged. The batch is first reduced to one row per key
+    (max seq wins — ties broken by preferring the later row is NOT
+    deterministic, so the reduction is an explicit max_by), and rows
+    older than what the state already holds are dropped, making the sink
+    idempotent under micro-batch replay: re-running a committed batch
+    rewrites the same state.
+
+    State versions are ``v=N`` directories (operators/incremental.py
+    pattern): a reader never sees a half-written version, and a crashed
+    batch leaves only an orphan directory. At 100 TB the state would live
+    in a table format with real MERGE INTO (Delta/Iceberg); the operator
+    shape — dedupe batch, anti-join state, union — is identical.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.incremental import _versions
+    from mongo_to_parquet_spark.operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = batch_df.groupBy(*keys).agg(
+            *[
+                F.max_by(c, seq_col).alias(c)
+                for c in batch_df.columns
+                if c not in keys
+            ]
+        )
+        vs = _versions(state_dir)
+        if vs:
+            state = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+            # replay guard: only rows strictly newer than the state win
+            newer = latest.alias("u").join(
+                state.select(*keys, F.col(seq_col).alias("__cur_seq")), keys, "left"
+            ).filter(
+                F.col("__cur_seq").isNull() | (F.col(seq_col) > F.col("__cur_seq"))
+            ).drop("__cur_seq")
+            merged = merge_upsert(state, newer.select(*state.columns), keys)
+            next_v = vs[-1] + 1
+        else:
+            merged, next_v = latest, 1
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
