@@ -42,6 +42,11 @@ HEADLINE = [
     "q_text_entropy",       # zero-shuffle array-HOF per-doc scoring
     "q_dedup_cross_source", # struct-min groupBy, hash-only shuffle
     "q_profile",            # split-plan profiler (two 1-row aggs cross-joined)
+    "q_scd2_history",       # gaps-and-islands history, single shuffle
+    "q_ts_interpolate",     # grid resample + two ignore-nulls windows
+    "q_dedup_semantic",     # centroid broadcast + per-cluster rank
+    "q_sample_weighted",    # weighted TakeOrdered sample, pruned scan
+    "q_graph_pagerank",     # 3 unrolled iterations, 2 shuffles each
 ]
 
 

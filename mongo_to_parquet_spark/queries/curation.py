@@ -543,6 +543,14 @@ def q_graph_pagerank(spark, sf):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
+    # Iteration hygiene, measured: the unrolled 3-iteration DAG executes
+    # as ONE action, and ReuseExchange computes the edge relation's
+    # shuffle once even though `en` appears in every iteration — eagerly
+    # localCheckpoint-ing `en` (or each iteration's rank) splits the DAG
+    # into separate jobs, loses that reuse, and measured 1.4–2.3× SLOWER
+    # at sf0.1. Deep unrolls (tens of iterations, where lineage/planning
+    # cost catches up) are where GraphFrames-style per-k checkpointing
+    # pays; at 3 iterations the single fused DAG wins.
     en = edges.join(deg, "src")
     nn = deg.select(F.count(F.lit(1)).alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(

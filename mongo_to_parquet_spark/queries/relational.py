@@ -1216,3 +1216,39 @@ def q_join_fuzzy(spark, sf):
             "dist",
         )
     )
+
+
+@q(
+    "q_sql_recursive",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS leaf, c_custkey AS node, 0 AS depth FROM customer
+        UNION ALL
+        SELECT leaf, node // 2, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT leaf, node, CAST(depth AS INT) AS depth FROM anc
+    """,
+)
+def q_sql_recursive(spark, sf):
+    # WITH RECURSIVE on the SQL surface (Spark 4 recursive CTEs): every
+    # customer's full ancestor chain in an implicit binary hierarchy
+    # (parent = key div 2) — the org-chart / BOM-explosion recursion shape.
+    # Spark supports UNION ALL recursion only, so the walk is designed
+    # explosion-free: each row has exactly one parent, depth is bounded by
+    # log2(max key), and total output is Σ(log2(key)+1) rows — the
+    # recursion does one self-join per level against a shrinking frontier.
+    # At 100 TB each level is a frontier-sized shuffle; hierarchies deeper
+    # than ~100 need spark.sql.cteRecursionLevelLimit raised.
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey AS leaf, c_custkey AS node, 0 AS depth FROM customer
+            UNION ALL
+            SELECT leaf, node div 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT leaf, node, CAST(depth AS INT) AS depth FROM anc
+        """
+    )
