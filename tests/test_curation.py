@@ -150,3 +150,16 @@ def test_scd2_single_shuffle(spark, sf_dir):
 
 def test_running_distinct_single_shuffle(spark, sf_dir):
     assert checks.count_nodes(QS["q_win_count_distinct"](spark, sf_dir), "Exchange") == 1
+
+
+def test_interpolate_two_exchanges_no_join(spark, sf_dir):
+    # bounds agg + post-union window: the grid is unioned INTO the user
+    # partitioning, never range-joined against it
+    df = QS["q_ts_interpolate"](spark, sf_dir)
+    assert checks.count_nodes(df, "Exchange") == 2
+    assert checks.count_nodes(df, "SortMergeJoin") == 0
+    assert checks.count_nodes(df, "BroadcastHashJoin") == 0
+
+
+def test_rolling_median_single_shuffle(spark, sf_dir):
+    assert checks.count_nodes(QS["q_win_median"](spark, sf_dir), "Exchange") == 1
