@@ -112,3 +112,37 @@ def refresh_agg_state(
     next_v = (_versions(state_dir)[-1] + 1) if _versions(state_dir) else 1
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
     return spark.read.parquet(os.path.join(state_dir, f"v={next_v}"))
+
+
+def stream_refresh_agg_state(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: list[str],
+    available_now: bool = True,
+):
+    """Streaming materialized view: every micro-batch folds into the
+    persisted aggregate state via ``refresh_agg_state`` — the streaming
+    twin of the batch refresh, composing foreachBatch with the same
+    merge-of-partials. Because the merge is algebraic and
+    order-independent (decimal sums), the state converges to the batch
+    answer regardless of how the stream slices the data — pinned in
+    tests/test_incremental.py. The checkpoint dedupes micro-batch replay
+    at the source level; a replayed batch would double-count, so this
+    sink relies on the checkpoint's exactly-once file-source semantics
+    (unlike stream_merge_upsert, whose seq guard is idempotent on its
+    own — idempotence is the price of an additive state).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_agg_state(batch_df.sparkSession, state_dir, batch_df, keys, measures)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -135,3 +135,50 @@ def sample_frames(
         F.col("frame_idx").cast("long").alias("frame_idx"),
         (F.col("frame_idx").cast("long") * F.lit(1000 * interval_s)).alias("ts_ms"),
     )
+
+
+def audio_windows(
+    media: DataFrame,
+    n_samples_col: str = "n_samples",
+    sample_rate: int = 16000,
+    win_ms: int = 400,
+    hop_ms: int = 160,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature-window manifest: one row per (overlapping) STFT-style
+    analysis window — the audio twin of ``sample_frames``.
+
+    Emits (id, win_idx, start_sample, end_sample, start_ms) for windows of
+    ``win_ms`` every ``hop_ms``, covering [0, n_samples); clips shorter
+    than one window yield no rows (the featurizer's contract). Like the
+    frame manifest this is the PLANNING half — decode/FFT runs in the
+    Arrow-batched featurizer (extract_features) — and it is a codegen'd
+    sequence+posexplode: map-only, zero shuffle, integer-exact, so the
+    work-list for a 100 TB audio corpus is reproducible across engines,
+    retries, and partitionings. Window count per clip is
+    floor((n_samples - win) / hop) + 1 — the hop, not the window, sets
+    output volume (overlap factor win/hop ≈ 2.5 here).
+    """
+    win = sample_rate * win_ms // 1000
+    hop = sample_rate * hop_ms // 1000
+    n = F.col(n_samples_col).cast("long")
+    return (
+        media.filter(n >= win)
+        .select(
+            F.col(id_col),
+            F.expr(f"({n_samples_col} - {win}) div {hop}").alias("_last"),
+        )
+        .select(
+            id_col,
+            F.posexplode(F.sequence(F.lit(0).cast("long"), F.col("_last"))).alias(
+                "_i", "win_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("win_idx").cast("long").alias("win_idx"),
+            (F.col("win_idx") * hop).cast("long").alias("start_sample"),
+            (F.col("win_idx") * hop + win).cast("long").alias("end_sample"),
+            (F.col("win_idx") * hop_ms).cast("long").alias("start_ms"),
+        )
+    )

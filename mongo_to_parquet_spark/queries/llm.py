@@ -1418,3 +1418,31 @@ def q_anonymize_join(spark, sf):
         .groupBy("pid", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@q(
+    "q_mm_audio_windows",
+    """
+    WITH media AS (SELECT doc_id, n_chars * 320 AS n_samples FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+           CAST(i * 2560 AS BIGINT) AS start_sample,
+           CAST(i * 2560 + 6400 AS BIGINT) AS end_sample,
+           CAST(i * 160 AS BIGINT) AS start_ms
+    FROM media, UNNEST(generate_series(0, (n_samples - 6400) // 2560)) AS t(i)
+    WHERE n_samples >= 6400
+    """,
+)
+def q_mm_audio_windows(spark, sf):
+    # audio analysis-window manifest (operators/multimodal.audio_windows):
+    # 400ms windows every 160ms at 16 kHz — the STFT/featurizer work-list,
+    # the audio twin of q_mm_frame_sample's video manifest. The fixture
+    # has no real audio, so clip length derives deterministically from
+    # n_chars (320 samples per char ≈ 20ms of 16 kHz speech per char);
+    # real decode is the stubbed Arrow-batched featurizer. Map-only
+    # Generate, zero shuffle, integer-exact on both engines.
+    from mongo_to_parquet_spark.operators import multimodal
+
+    media = T(spark, sf, "documents").select(
+        "doc_id", (F.col("n_chars") * 320).alias("n_samples")
+    )
+    return multimodal.audio_windows(media)

@@ -127,3 +127,25 @@ def test_stream_merge_upsert_latest_wins_and_replays_safely(spark, tmp_path):
     # re-run with nothing new: checkpoint makes it a no-op
     run()
     assert snapshot() == {1: (5, "c"), 2: (1, "x"), 3: (1, "new")}
+
+
+def test_stream_refresh_converges_to_batch_agg(spark, sf_dir, tmp_path):
+    """Streaming materialized view: replaying events as a file stream and
+    folding each micro-batch into the agg state ends exactly at the
+    direct batch aggregate (additive decimal state, any slicing)."""
+    from mongo_to_parquet_spark.streaming import windows as sw
+
+    state = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+    stream = sw.replay_events(spark, sf_dir)
+    q = inc.stream_refresh_agg_state(
+        stream, state, ckpt, keys=["event_type"], measures=["value"]
+    )
+    q.awaitTermination(180)
+    q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    want = _as_dict(_direct(ev, ["event_type"], ["value"]).collect(), ["event_type"])
+    got = _as_dict(inc.read_agg_state(spark, state).collect(), ["event_type"])
+    assert got == want
+    # one state version per non-empty micro-batch
+    assert len(inc._versions(state)) >= 2

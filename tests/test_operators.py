@@ -588,3 +588,28 @@ def test_incremental_export_ships_only_new_rows(spark, sf_dir, tmp_path):
     assert readback.select("o_orderkey").distinct().count() == orders.count()
 
     assert export_incremental(orders, out, "o_orderdate") == 0
+
+
+def test_audio_windows_cover_and_tile(spark):
+    """Window manifest invariants: hop spacing, constant width, full
+    coverage of [0, n_samples - win], sub-window clips yield nothing."""
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.multimodal import audio_windows
+
+    media = spark.createDataFrame(
+        [Row(doc_id=1, n_samples=6400), Row(doc_id=2, n_samples=6399),
+         Row(doc_id=3, n_samples=6400 + 2560 * 3 + 1)]
+    )
+    rows = audio_windows(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc                      # shorter than one window
+    assert [r["start_sample"] for r in by_doc[1]] == [0]
+    w3 = sorted(by_doc[3], key=lambda r: r["win_idx"])
+    assert [r["start_sample"] for r in w3] == [0, 2560, 5120, 7680]
+    for r in w3:
+        assert r["end_sample"] - r["start_sample"] == 6400
+        assert r["end_sample"] <= 6400 + 2560 * 3 + 1
+        assert r["start_ms"] == r["win_idx"] * 160
