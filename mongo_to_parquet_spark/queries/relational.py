@@ -1252,3 +1252,37 @@ def q_sql_recursive(spark, sf):
         SELECT leaf, node, CAST(depth AS INT) AS depth FROM anc
         """
     )
+
+
+@q(
+    "q_agg_distinct_bitmap",
+    """
+    SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct_bitmap(spark, sf):
+    # EXACT count-distinct via bitmap buckets (Spark 4 bitmap_* aggs) —
+    # the third point on the distinct-count frontier alongside
+    # q_agg_distinct (Expand-based exact) and q_agg_approx_distinct (HLL
+    # approx): each 32k-id bucket aggregates into a fixed-size bitmap, so
+    # the shuffle carries (group, bucket, bitmap) blobs whose size depends
+    # on the ID RANGE, not the row count — exact answers with
+    # sketch-shaped shuffle volume. The oracle is plain COUNT(DISTINCT):
+    # the bitmap decomposition must reproduce it bit-for-bit.
+    #
+    # Scale: partial bitmap_construct_agg ORs bitmaps map-side; the final
+    # per-group sum of bucket popcounts is exact under any partitioning.
+    # Sparse/huge ID spaces (uuids) don't fit dense bitmaps — hash to a
+    # dense surrogate first or fall back to HLL.
+    o = T(spark, sf, "orders")
+    buckets = (
+        o.groupBy(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    )
+    return buckets.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers")
+    )
