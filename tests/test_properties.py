@@ -3,6 +3,7 @@ small in-memory tables so each property runs many random cases quickly."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -343,3 +344,60 @@ def test_profile_matches_direct_aggregates(spark, data):
         exp_max = None if nn.empty else str(nn.max())
         assert rep[c]["min_repr"] == exp_min
         assert rep[c]["max_repr"] == exp_max
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
+    """Fixed-point PageRank invariants: total rank mass stays within
+    integer-truncation loss of 1.0 (each node's value loses < 1e-9 x
+    (1 + #in-edges) to div truncation), every rank is positive and above
+    the teleport floor, and node count equals the graph's node count."""
+    from mongo_to_parquet_spark.queries import queries
+
+    rows = queries()["q_graph_pagerank"](spark, sf_dir).collect()
+    scale = 1_000_000_000
+    n = len(rows)
+    total = sum(r["pagerank_scaled"] for r in rows)
+    floor = (15 * scale) // (100 * n)
+    assert all(r["pagerank_scaled"] >= floor for r in rows)
+    # truncation only ever loses mass; bound the loss generously
+    assert total <= scale
+    assert total >= scale - n * 200  # ~2e-7 relative loss headroom
+    # bipartite graph: every node id is C<custkey> or S<suppkey>
+    assert all(r["node"][0] in ("C", "S") for r in rows)
+
+
+def test_interpolation_is_exact_on_hits_and_bounded_between(spark):
+    """Grid points that coincide with an event take the event value;
+    points between two events lie within [min, max] of the neighbor
+    values (linearity ⇒ convex combination)."""
+    import datetime as dt
+
+    from mongo_to_parquet_spark.queries.stream import QUERIES, _STEP_US
+
+    # craft events: user 1 has points exactly ON the 6h grid and between
+    base = dt.datetime(2024, 1, 1)  # epoch-aligned → on-grid
+    rows = [
+        Row(event_id=1, ts=base, user_id=1, event_type="a", value=10.0, props="{}"),
+        Row(event_id=2, ts=base + dt.timedelta(hours=3), user_id=1,
+            event_type="a", value=90.0, props="{}"),
+        Row(event_id=3, ts=base + dt.timedelta(hours=12), user_id=1,
+            event_type="a", value=20.0, props="{}"),
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="interp_")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    try:
+        got = {r["grid_us"]: r["value"] for r in QUERIES["q_ts_interpolate"](spark, d).collect()}
+        t0 = int(base.timestamp()) * 1_000_000
+        assert got[t0] == 10.0                       # exact hit
+        assert got[t0 + _STEP_US] == pytest.approx(
+            90 + (20 - 90) * (6 - 3) / (12 - 3), abs=1e-3
+        )  # linear between 3h(90) and 12h(20) at t=6h
+        for v in got.values():
+            assert 10.0 <= v <= 90.0
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
