@@ -1,0 +1,122 @@
+"""Mongo extended-JSON lines source — a Spark 4 Python DataSource.
+
+The reference's data comes out of MongoDB; its interchange format on disk
+is ``mongoexport`` JSON lines, where BSON types that JSON can't express
+are wrapped in ``$``-keyed envelopes::
+
+    {"_id": {"$oid": "..."}, "created_at": {"$date": "2024-01-01T00:00:00Z"},
+     "n": {"$numberLong": "42"}, "price": 1.5, "tags": ["a", "b"]}
+
+``spark.read.json`` would surface those envelopes as structs and mangle
+the types. This module registers a ``mongoexport`` format on the Spark 4
+Python DataSource API (``pyspark.sql.datasource``) that unwraps the
+common envelopes ($oid, $date, $numberLong/$numberInt/$numberDouble/
+$numberDecimal) during the scan, so downstream operators see plain
+Spark types — the ingestion twin of sources/mongo.py's (jar-gated) live
+connector, with zero external dependencies.
+
+Partitioning: one input partition per file (mongoexport shards dumps
+into files; a 100 TB dump is many files, so file-granular parallelism is
+the natural split — the same contract as Spark's own JSON source before
+splittable compression). The Python reader is Arrow-batched by the
+DataSource framework; per-row cost is stdlib ``json.loads``, the
+unavoidable price of a text interchange format — convert to parquet once
+(the reference's whole purpose) and never scan the JSONL twice.
+
+Usage::
+
+    spark.dataSource.register(MongoExportDataSource)
+    df = (spark.read.format("mongoexport")
+          .schema("_id string, created_at timestamp, n bigint, price double")
+          .load(path))
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def unwrap_extjson(v):
+    """Recursively unwrap mongoexport ``$``-envelopes to plain values."""
+    if isinstance(v, dict):
+        if len(v) == 1:
+            ((k, inner),) = v.items()
+            if k == "$oid":
+                return str(inner)
+            if k == "$date":
+                if isinstance(inner, dict) and "$numberLong" in inner:
+                    ms = int(inner["$numberLong"])
+                    return dt.datetime.fromtimestamp(ms / 1000.0, dt.timezone.utc).replace(tzinfo=None)
+                s = str(inner).replace("Z", "+00:00")
+                out = dt.datetime.fromisoformat(s)
+                return out.astimezone(dt.timezone.utc).replace(tzinfo=None) if out.tzinfo else out
+            if k in ("$numberLong", "$numberInt"):
+                return int(inner)
+            if k in ("$numberDouble", "$numberDecimal"):
+                return float(inner)
+        return {k: unwrap_extjson(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [unwrap_extjson(x) for x in v]
+    return v
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MongoExportReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongoexport source requires a path")
+
+    def partitions(self):
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith((".json", ".jsonl"))
+            )
+        else:
+            files = [p]
+        return [_FilePartition(f) for f in files] or [_FilePartition(p)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        fields = [f.name for f in self.schema.fields]
+        raw_mode = fields == ["doc"]  # schema-less fallback: raw JSON text
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if raw_mode:
+                    yield (line,)
+                    continue
+                doc = unwrap_extjson(json.loads(line))
+                yield tuple(doc.get(f) for f in fields)
+
+
+class MongoExportDataSource(DataSource):
+    """``spark.read.format("mongoexport")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mongoexport"
+
+    def schema(self) -> str:
+        # schema-less reads get the reference's universal fallback: the
+        # raw document as a JSON string (caller extracts with from_json) —
+        # mirrors the reference's "whatever BSON yields" posture without
+        # guessing types (SURVEY §1.1 inferred-then-frozen critique).
+        return "doc string"
+
+    def reader(self, schema) -> MongoExportReader:
+        return MongoExportReader(schema, self.options)

@@ -1,0 +1,103 @@
+"""Round-2 source/sink additions: the mongoexport extended-JSON Python
+DataSource and the observed (in-plan metrics) export."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+
+EXT_ROWS = [
+    {"_id": {"$oid": "65a1"}, "created_at": {"$date": "2020-06-01T12:30:00Z"},
+     "n": {"$numberLong": "42"}, "price": {"$numberDouble": "1.5"},
+     "name": "alpha", "tags": ["a", "b"]},
+    {"_id": {"$oid": "65a2"}, "created_at": {"$date": {"$numberLong": "1716000000000"}},
+     "n": {"$numberInt": "7"}, "price": 2.25, "name": "beta", "tags": []},
+    {"_id": {"$oid": "65a3"}, "created_at": None, "n": None, "price": None,
+     "name": "gamma", "tags": None},
+]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_mongoexport_source_unwraps_envelopes(spark, tmp_path):
+    from mongo_to_parquet_spark.sources.extjson import MongoExportDataSource
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    _write_jsonl(d / "part0.jsonl", EXT_ROWS[:2])
+    _write_jsonl(d / "part1.jsonl", EXT_ROWS[2:])
+    spark.dataSource.register(MongoExportDataSource)
+    df = (
+        spark.read.format("mongoexport")
+        .schema("_id string, created_at timestamp, n bigint, price double, name string")
+        .load(str(d))
+    )
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows["65a1"]["created_at"] == dt.datetime(2020, 6, 1, 12, 30)
+    assert rows["65a1"]["n"] == 42 and rows["65a1"]["price"] == 1.5
+    assert rows["65a2"]["created_at"] == dt.datetime.fromtimestamp(
+        1716000000, dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert rows["65a2"]["n"] == 7 and rows["65a2"]["price"] == 2.25
+    assert rows["65a3"]["created_at"] is None and rows["65a3"]["n"] is None
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_mongoexport_source_schemaless_raw_mode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.extjson import MongoExportDataSource
+
+    f = tmp_path / "dump.jsonl"
+    _write_jsonl(f, EXT_ROWS)
+    spark.dataSource.register(MongoExportDataSource)
+    df = spark.read.format("mongoexport").load(str(f))
+    assert df.columns == ["doc"]
+    names = sorted(
+        r["name"] for r in df.select(F.get_json_object("doc", "$.name").alias("name")).collect()
+    )
+    assert names == ["alpha", "beta", "gamma"]
+
+
+def test_mongoexport_roundtrip_through_export(spark, tmp_path):
+    """The reference's whole pipeline on the new source: extended-JSON in,
+    date-partitioned parquet out, unknown bucket for the null date."""
+    from mongo_to_parquet_spark.sources.export import export_partitioned
+    from mongo_to_parquet_spark.sources.extjson import MongoExportDataSource
+
+    f = tmp_path / "dump.jsonl"
+    _write_jsonl(f, EXT_ROWS)
+    spark.dataSource.register(MongoExportDataSource)
+    df = (
+        spark.read.format("mongoexport")
+        .schema("_id string, created_at timestamp, n bigint, name string")
+        .load(str(f))
+    )
+    out = str(tmp_path / "out")
+    export_partitioned(df, out, date_field="created_at")
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    years = {r["year"] for r in back.select("year").collect()}
+    assert years == {"2020", "2024", "unknown"}
+    assert "_id" not in back.columns  # reference R3: _id dropped at export
+
+
+def test_observed_export_returns_in_plan_metrics(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_partitioned_observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "obs")
+    m = export_partitioned_observed(orders, out, date_field="o_orderdate")
+    back = spark.read.parquet(out)
+    assert m["rows_written"] == orders.count() == back.count()
+    assert m["rows_unknown_year"] == 0  # fixture dates are all valid
+    assert m["n_partitions"] == back.select("year").distinct().count()
