@@ -49,6 +49,10 @@ HEADLINE = [
     "q_graph_pagerank",     # 3 unrolled iterations, 2 shuffles each
 ]
 
+#: the round-1 headline set — reported as a subtotal so totals stay
+#: comparable across rounds as HEADLINE grows
+ROUND1_SET = HEADLINE[:20]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +107,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(HEADLINE),
+                # same-set subtotal for cross-round comparison (the
+                # headline set grows each round; compare THIS number to
+                # earlier rounds' value, not the growing total)
+                "round1_set_total_sec": round(
+                    sum(timings[k] for k in ROUND1_SET if k in timings), 3
+                ),
                 "sf": sf,
                 "export_rows": export_rows,
                 "export_sec": export_sec,

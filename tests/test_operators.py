@@ -613,3 +613,20 @@ def test_audio_windows_cover_and_tile(spark):
         assert r["end_sample"] - r["start_sample"] == 6400
         assert r["end_sample"] <= 6400 + 2560 * 3 + 1
         assert r["start_ms"] == r["win_idx"] * 160
+
+
+def test_arrow_and_pandas_featurizers_agree(spark, sf_dir):
+    """mapInArrow and mapInPandas featurizer paths produce identical
+    features for identical payloads (same deterministic stub, different
+    exchange)."""
+    from mongo_to_parquet_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+        extract_features_arrow,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    m = attach_binary(load_table(spark, sf_dir, "documents").limit(50))
+    a = {r["doc_id"]: (r["n_bytes"], r["feature"]) for r in extract_features(m, fake=True).collect()}
+    b = {r["doc_id"]: (r["n_bytes"], r["feature"]) for r in extract_features_arrow(m, fake=True).collect()}
+    assert a == b and len(a) == 50
