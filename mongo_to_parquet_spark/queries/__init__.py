@@ -26,11 +26,12 @@ from mongo_to_parquet_spark.queries import (
     scalars,
     sinks,
     stream,
+    tpch,
     udf,
     windows,
 )
 
-_MODULES = (relational, windows, scalars, stream, udf, llm, curation, sinks)
+_MODULES = (relational, tpch, windows, scalars, stream, udf, llm, curation, sinks)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

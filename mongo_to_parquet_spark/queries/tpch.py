@@ -1,0 +1,349 @@
+"""Adapted TPC-H pack — the recognizable OLAP yardstick, on the fixture
+star schema.
+
+The fixtures are TPC-H-shaped but trimmed (no partsupp; no
+commit/receipt dates, shipmode, phone, comment columns), so these are
+the classic queries ADAPTED to the available columns — each keeps its
+original join/aggregation shape and selectivity character, which is what
+exercises the planner. Together with q_agg_groupby (Q1), q_sql_surface
+(Q3) and q_agg_custdist (Q13) declared elsewhere, the engine covers the
+TPC-H shapes expressible on this schema.
+
+Determinism: all money aggregates run in DECIMAL and cast to DOUBLE at
+the end (exact rational → bit-identical doubles in both engines — the
+q_join_multiway convention); every LIMIT carries a total order with a
+key tiebreak; Q22's threshold is exact-sum/count, not a float AVG, so
+the boundary comparison cannot drift between engines.
+
+Scale notes: dims broadcast, facts sort-merge on their keys (hinted
+where the test-scale optimizer would otherwise broadcast a fact), and
+every aggregation partial-combines map-side — same posture as the
+relational core (SCALE.md §Joins/§Aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+_REV_SQL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(8,2))))"
+)
+
+
+def _rev():
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    )
+
+
+@q(
+    "q_tpch_q5",
+    f"""
+    SELECT n_name, CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf):
+    # Q5 (local supplier volume): the c_nationkey = s_nationkey residual
+    # makes the supplier join a join-with-filter — revenue only where the
+    # customer and supplier share a nation inside the chosen region.
+    c, o, li = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    s, n, r = T(spark, sf, "supplier"), T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        c.hint("merge")
+        .join(
+            o.hint("merge").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev().cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    # Q6 (forecast revenue change): pure scan-filter-aggregate — every
+    # predicate pushes to parquet, no joins, no shuffle beyond the 1-row
+    # final combine. The discount literals hit the fixture's 2-dec grid
+    # exactly in both engines (same nearest-double).
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(8,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name, CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf):
+    # Q10 (returned-item reporting): who returned the most revenue last
+    # quarter. Group-by customer then global top-20 — the ORDER BY runs
+    # on the decimal-exact revenue so both engines rank identically.
+    c, o, li = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    n = T(spark, sf, "nation")
+    return (
+        c.hint("merge")
+        .join(
+            o.hint("merge").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(
+            li.hint("merge").filter(F.col("l_returnflag") == "R"),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev().cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_tpch_q14",
+    f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST({_REV_SQL} AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark, sf):
+    # Q14 (promotion effect): conditional share of revenue. Numerator and
+    # denominator are each exact decimals → the double division is
+    # bit-identical; ROUND(4) is cosmetic.
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@q(
+    "q_tpch_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q18(spark, sf):
+    # Q18 (large-volume customers): aggregate-then-semi-join shape — the
+    # HAVING subquery reduces lineitem to qualifying orderkeys first, so
+    # the customer join only sees the (few) big orders. Quantities are
+    # small integers stored as doubles: their double sum is exact, so the
+    # >150 cut is engine-stable.
+    li, o, c = T(spark, sf, "lineitem"), T(spark, sf, "orders"), T(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o.hint("merge"), big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q_tpch_q19",
+    f"""
+    SELECT CAST({_REV_SQL} AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark, sf):
+    # Q19 (discounted revenue, disjunctive predicates): the OR-of-ANDs
+    # spans both sides of the join, so it can only be applied post-join —
+    # the planner's job is pushing the per-side residuals (brand IN (...),
+    # quantity range) down anyway. Broadcast part keeps it one pass.
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        _rev().cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q_tpch_q22",
+    """
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey AS INT) AS nat,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark, sf):
+    # Q22 (global sales opportunity): rich customers with no urgent
+    # order, by nation (the fixture has no phone column — nationkey
+    # stands in for the country code; every fixture customer HAS orders,
+    # so the anti-join conditions on urgent ones to stay selective). The
+    # threshold is exact-decimal-sum / count, NOT a float AVG: both
+    # engines derive the identical double, so the c_acctbal > a boundary
+    # cannot drift — the float-avg version is the canonical cross-engine
+    # flake.
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("int").alias("nat"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

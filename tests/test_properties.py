@@ -401,3 +401,62 @@ def test_interpolation_is_exact_on_hits_and_bounded_between(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),            # user_id
+            st.integers(0, 20),           # minutes offset (collisions likely)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_matches_naive_python(spark, data):
+    """Differential: the windowed SCD-2 build equals a straightforward
+    single-threaded reimplementation on arbitrary event streams —
+    including simultaneous timestamps (event_id tiebreak) and
+    single-event users."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=base + dt.timedelta(minutes=m), user_id=u,
+            event_type=t, value=1.0, props="{}")
+        for i, (u, m, t) in enumerate(data)
+    ]
+    d = tempfile.mkdtemp(prefix="scd2_")
+    try:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r["user_id"], r["seg_id"]): (
+                r["event_type"], r["valid_from_us"], r["valid_to_us"],
+                r["is_current"], r["n_events"],
+            )
+            for r in CQ["q_scd2_history"](spark, d).collect()
+        }
+        # naive: sort per user, compress runs
+        want = {}
+        by_user = {}
+        for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            by_user.setdefault(r.user_id, []).append(r)
+        for u, evs in by_user.items():
+            segs = []
+            for r in evs:
+                if segs and segs[-1][0] == r.event_type:
+                    segs[-1][2] += 1
+                else:
+                    segs.append([r.event_type, int(r.ts.timestamp() * 1e6), 1])
+            for i, (t, start, n) in enumerate(segs):
+                nxt = segs[i + 1][1] if i + 1 < len(segs) else None
+                want[(u, i + 1)] = (t, start, nxt, 1 if nxt is None else 0, n)
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
