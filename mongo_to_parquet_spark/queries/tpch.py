@@ -347,3 +347,120 @@ def q_tpch_q22(spark, sf):
             .alias("totacctbal"),
         )
     )
+
+
+@q(
+    "q_tpch_q12",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate > o_orderdate
+                                       + INTERVAL 90 DAY) AS BIGINT) AS late_lines,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate <= o_orderdate
+                                       + INTERVAL 90 DAY) AS BIGINT) AS ontime_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q12(spark, sf):
+    # Q12 (shipping-priority audit, adapted: no shipmode/commit columns —
+    # "late" = shipped more than 90 days after ordering): the predicate
+    # spans BOTH join sides (interval arithmetic on order date vs ship
+    # date), so it evaluates post-join as FILTER'd conditional counts.
+    # Timestamp + interval is exact integer µs math in both engines.
+    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        o.hint("merge")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(late, 1)).alias("late_lines"),
+            F.count(F.when(~late, 1)).alias("ontime_lines"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey, CAST({_REV_SQL} AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark, sf):
+    # Q15 (top supplier): a derived revenue view consumed twice — once
+    # joined to supplier, once reduced to its MAX as a scalar subquery.
+    # The view is tiny post-aggregation (one row per supplier), so the
+    # second consumption is a broadcast of one scalar; revenue is
+    # decimal-exact so "equals the max" cannot straddle engines.
+    li, s = T(spark, sf, "lineitem"), T(spark, sf, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_rev().cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q_tpch_q17",
+    """
+    WITH pa AS (
+        SELECT l_partkey AS pk, 0.2 * (SUM(l_quantity) / COUNT(*)) AS lim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < lim
+    """,
+)
+def q_tpch_q17(spark, sf):
+    # Q17 (small-quantity-order revenue): the classic correlated
+    # aggregate — each lineitem compares against ITS part's average
+    # quantity — decorrelated by hand into a per-part aggregate joined
+    # back (exactly what Catalyst's DecorrelateInnerQuery would emit).
+    # The per-part limit is sum/count of small integers: exact in double,
+    # one division, same literal 0.2 → boundary-stable across engines.
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("lim"))
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#23")),
+                li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+             / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
