@@ -293,3 +293,17 @@ def test_curation_report_single_dedup_shuffle_plus_rollup(spark, sf_dir):
     # the tiny (source, disposition) rollup
     plan = checks.formatted_plan(QS["q_curation_report"](spark, sf_dir))
     assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_tpch_q6_filters_reach_scan(spark, sf_dir):
+    # pure filter-agg: shipdate range + quantity bound all pushed
+    df = QS["q_tpch_q6"](spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    checks.assert_pushed_filter(df, "LessThan(l_quantity")
+    assert checks.has_node(df, "HashAggregate")
+
+
+def test_tpch_q5_broadcasts_dims_keeps_fact_smj(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" in plan               # fact-fact stays shuffle
