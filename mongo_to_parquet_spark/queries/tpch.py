@@ -464,3 +464,217 @@ def q_tpch_q17(spark, sf):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_LATE_SQL = "l_shipdate > o_orderdate + INTERVAL 90 DAY"
+
+
+@q(
+    "q_tpch_q4",
+    f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND {_LATE_SQL})
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf):
+    # Q4 (order-priority checking, adapted: "late" = shipped >90 days
+    # after ordering): correlated EXISTS whose predicate references the
+    # OUTER row's date — as a DataFrame this is a left-semi join whose
+    # condition mixes the equi key with the cross-side inequality; the
+    # equi part keeps it hash-partitionable.
+    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    cond = (filtered.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > filtered.o_orderdate + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        filtered.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q_tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, yr, CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2))) AS vol
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+           OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9')
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q_tpch_q7(spark, sf):
+    # Q7 (volume shipping between two nations): the OR-of-nation-pairs
+    # predicate spans two different join branches (supplier's nation vs
+    # customer's nation), so each branch pre-filters to the two nations
+    # (pushdown) and the pair constraint applies post-join.
+    li, o, c = T(spark, sf, "lineitem"), T(spark, sf, "orders"), T(spark, sf, "customer")
+    s, n = T(spark, sf, "supplier"), T(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_11"))
+        | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_9"))
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        s.join(li.hint("merge"), s.s_suppkey == li.l_suppkey)
+        .join(o.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .join(c.hint("merge"), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q8",
+    f"""
+    SELECT yr,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 4) AS mkt_share
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2))) AS vol
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    GROUP BY yr
+    """,
+)
+def q_tpch_q8(spark, sf):
+    # Q8 (national market share): one nation's slice of a region's
+    # revenue per year — conditional numerator over common denominator,
+    # both exact decimals so the share divides bit-identically.
+    li, o, c = T(spark, sf, "lineitem"), T(spark, sf, "orders"), T(spark, sf, "customer")
+    s, n, r = T(spark, sf, "supplier"), T(spark, sf, "nation"), T(spark, sf, "region")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("rk2"))
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        s.join(li.hint("merge"), s.s_suppkey == li.l_suppkey)
+        .join(o.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .join(c.hint("merge"), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("rk2") == F.col("r_regionkey"),
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q_tpch_q21",
+    f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark, sf):
+    # Q21 (suppliers who kept orders waiting, adapted to ship-lag
+    # lateness): the notorious EXISTS + NOT-EXISTS double correlation.
+    # The DataFrame side is the DE-correlated formulation — per
+    # (order, supplier) compute an is_late flag once, per order count
+    # suppliers and late-suppliers, then "only me late in a multi-
+    # supplier order" is a plain filter (n_supp > 1 AND n_late = 1 AND
+    # me late). One extra aggregation replaces two correlated probes of
+    # the fact table — at 100 TB that is one shuffle instead of two
+    # re-scans of lineitem, and it is exactly the rewrite Catalyst's
+    # decorrelation cannot produce for the NOT-EXISTS arm (the oracle
+    # runs the literal nested form; results must match).
+    li, o, s = T(spark, sf, "lineitem"), T(spark, sf, "orders"), T(spark, sf, "supplier")
+    of = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    ).cast("int")
+    per_os = (
+        li.join(of.hint("merge"), li.l_orderkey == of.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(late).alias("is_late"),
+            # the original counts each LATE LINE of the waiting supplier,
+            # not each (order, supplier) pair — carry the line count
+            F.sum(late).alias("n_late_lines"),
+        )
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    waiting = (
+        per_os.filter(F.col("is_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
