@@ -47,6 +47,8 @@ HEADLINE = [
     "q_dedup_semantic",     # centroid broadcast + per-cluster rank
     "q_sample_weighted",    # weighted TakeOrdered sample, pruned scan
     "q_graph_pagerank",     # 3 unrolled iterations, 2 shuffles each
+    "q_tpch_q5",            # classic 6-table TPC-H join (SMJ facts + bcast dims)
+    "q_tpch_q21",           # decorrelated double-EXISTS (1 extra agg, no rescan)
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay
