@@ -630,3 +630,75 @@ def test_arrow_and_pandas_featurizers_agree(spark, sf_dir):
     a = {r["doc_id"]: (r["n_bytes"], r["feature"]) for r in extract_features(m, fake=True).collect()}
     b = {r["doc_id"]: (r["n_bytes"], r["feature"]) for r in extract_features_arrow(m, fake=True).collect()}
     assert a == b and len(a) == 50
+
+
+def test_flatten_structs_recursive_and_collision(spark):
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators import nested
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                _id=1,
+                user=Row(name="ann", address=Row(city="oslo", zip="0150")),
+                tags=["a", "b"],
+                n=7,
+            )
+        ]
+    )
+    flat = nested.flatten_structs(df)
+    assert set(flat.columns) == {
+        "_id", "user_name", "user_address_city", "user_address_zip", "tags", "n",
+    }
+    r = flat.collect()[0]
+    assert r["user_address_city"] == "oslo" and r["tags"] == ["a", "b"]
+
+    # collision must raise, not shadow
+    import pytest
+
+    bad = spark.createDataFrame([Row(a=Row(b=1), a_b=2)])
+    with pytest.raises(ValueError, match="collision"):
+        nested.flatten_structs(bad)
+
+
+def test_normalize_array_child_table(spark):
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators import nested
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, tags=["x", "y"]), Row(doc_id=2, tags=[]), Row(doc_id=3, tags=None)]
+    )
+    inner = nested.normalize_array(df, "tags", ["doc_id"])
+    assert {(r["doc_id"], r["idx"], r["element"]) for r in inner.collect()} == {
+        (1, 0, "x"), (1, 1, "y"),
+    }
+    outer = nested.normalize_array(df, "tags", ["doc_id"], keep_empty=True)
+    got = {(r["doc_id"], r["idx"], r["element"]) for r in outer.collect()}
+    assert got == {(1, 0, "x"), (1, 1, "y"), (2, None, None), (3, None, None)}
+
+
+def test_infer_parse_flatten_roundtrip(spark, sf_dir):
+    """The Mongo-ingestion idiom on the events fixture: infer the props
+    schema from a sample, parse + flatten, and the flattened field equals
+    the direct json_extract."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators import nested
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    schema = nested.infer_json_schema(spark, ev, "props")
+    assert "k" in schema.fieldNames()
+    flat = nested.parse_and_flatten(ev, "props", schema)
+    assert "props_k" in flat.columns
+    direct = ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("want")
+    )
+    bad = (
+        flat.select("event_id", F.col("props_k").cast("long").alias("got"))
+        .join(direct, "event_id")
+        .filter(F.col("got") != F.col("want"))
+    )
+    assert bad.count() == 0

@@ -307,3 +307,20 @@ def test_tpch_q5_broadcasts_dims_keeps_fact_smj(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_tpch_q5"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
     assert "SortMergeJoin" in plan               # fact-fact stays shuffle
+
+
+def test_flatten_prunes_nested_leaves_at_scan(spark, tmp_path):
+    # nested-schema pruning: flattening then selecting ONE leaf must read
+    # only that leaf from parquet, not the whole struct
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators import nested
+
+    p = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [Row(_id=1, user=Row(name="a", address=Row(city="x", zip="1"), score=1.0))]
+    ).write.parquet(p)
+    df = nested.flatten_structs(spark.read.parquet(p)).select("user_address_city")
+    schemas = checks.read_schemas(df)
+    assert len(schemas) == 1
+    assert "city" in schemas[0] and "score" not in schemas[0] and "name" not in schemas[0]
