@@ -1286,3 +1286,26 @@ def q_agg_distinct_bitmap(spark, sf):
     return buckets.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers")
     )
+
+
+@q(
+    "q_json_flatten",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+)
+def q_json_flatten(spark, sf):
+    # the Mongo-document ingestion idiom as a declared query: parse the
+    # JSON column under an EXPLICIT schema and flatten the struct to
+    # top-level columns (operators/nested.py) — what q_json_extract does
+    # per-field, done once for the whole document with the schema as a
+    # pinned artifact. Zero shuffle; the from_json + struct projection
+    # stay inside codegen.
+    from mongo_to_parquet_spark.operators import nested
+
+    ev = T(spark, sf, "events").select("event_id", "props")
+    return nested.parse_and_flatten(ev, "props", "struct<k: bigint>").select(
+        "event_id", "props_k"
+    )
