@@ -571,3 +571,67 @@ def q_graph_pagerank(spark, sf):
             )
         )
     return pr.select("node", F.col("pr").cast("bigint").alias("pagerank_scaled"))
+
+
+# -------------------------------------------------------- snapshot diff ----
+@q(
+    "q_snapshot_diff",
+    """
+    WITH snap_a AS (
+        SELECT o_orderkey,
+               md5(concat_ws('|',
+                   coalesce(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+                   coalesce(CAST(o_totalprice AS VARCHAR), '<NULL>'))) AS fp
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               md5(concat_ws('|',
+                   coalesce(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+                   coalesce(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                                      THEN o_totalprice + 1.0
+                                      ELSE o_totalprice END AS VARCHAR), '<NULL>'))) AS fp
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT CASE WHEN a.fp IS NULL THEN 'added'
+                WHEN b.fp IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark, sf):
+    # Export reconciliation (operators/diff.py): two snapshots of orders —
+    # "last run" (pre-1997) vs "this run" (1996 onward, with urgent
+    # orders repriced to simulate updates) — classified into added /
+    # removed / changed / unchanged. The diff joins (key, md5 fingerprint)
+    # pairs, never payloads; md5 over the same canonical string makes the
+    # classification identical in both engines. One full-outer SMJ on the
+    # key + a 4-group rollup; at 100 TB the shuffle carries 40 bytes/row.
+    #
+    # CAST-to-string portability note: both engines render these doubles
+    # (2-dec money values) identically; the +1.0 update keeps the mutated
+    # value on the same grid.
+    from mongo_to_parquet_spark.operators import diff as D
+
+    o = T(spark, sf, "orders")
+    snap_a = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    snap_b = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = D.snapshot_diff(
+        snap_a, snap_b, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return D.diff_summary(d)

@@ -702,3 +702,23 @@ def test_infer_parse_flatten_roundtrip(spark, sf_dir):
         .filter(F.col("got") != F.col("want"))
     )
     assert bad.count() == 0
+
+
+def test_snapshot_diff_classes_and_null_handling(spark):
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v=None), Row(k=4, v="gone")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"),        # unchanged
+         Row(k=2, v="B"),        # changed
+         Row(k=3, v=None),       # unchanged (null == null)
+         Row(k=5, v="fresh")]    # added
+    )
+    d = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert d == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+    s = {r["change_type"]: r["n"] for r in diff_summary(snapshot_diff(old, new, ["k"], ["v"])).collect()}
+    assert s == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
