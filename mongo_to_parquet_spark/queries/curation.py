@@ -635,3 +635,48 @@ def q_snapshot_diff(spark, sf):
         snap_a, snap_b, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
     )
     return D.diff_summary(d)
+
+
+# ---------------------------------------------------- tokenizer training ---
+@q(
+    "q_bpe_pairs",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 30
+    """,
+)
+def q_bpe_pairs(spark, sf):
+    # Tokenizer-training prep: adjacent symbol-pair frequencies within
+    # words — the statistic BPE's first merge iteration maximizes (the
+    # top row IS the first merge). Character pairs here; after a merge
+    # the same plan re-runs over the rewritten symbol sequences, so this
+    # is the per-iteration workhorse of corpus-scale BPE training.
+    #
+    # Scale: explode(words) → per-word pair generation via a codegen'd
+    # transform(sequence) — map-only until one count aggregation whose
+    # shuffle carries (pair, partial count): alphabet² keys regardless of
+    # corpus size. Top-k is TakeOrderedAndProject. One scan of text; no
+    # UDFs, no Python.
+    d = T(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
