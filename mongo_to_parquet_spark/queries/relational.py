@@ -1309,3 +1309,66 @@ def q_json_flatten(spark, sf):
     return nested.parse_and_flatten(ev, "props", "struct<k: bigint>").select(
         "event_id", "props_k"
     )
+
+
+@q(
+    "q_sql_pipe",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sql_pipe(spark, sf):
+    # Spark 4 SQL pipe syntax (|>): the same logical plan entered as a
+    # linear FROM → WHERE → AGGREGATE chain — reads in execution order,
+    # composes by appending stages, and parses to the identical Catalyst
+    # plan as the nested-SELECT oracle text (same pushdown, same partial
+    # aggregation).
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+@q(
+    "q_sql_lateral",
+    """
+    SELECT c_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             LIMIT 1)
+    """,
+)
+def q_sql_lateral(spark, sf):
+    # LATERAL correlated derived table: each customer's single biggest
+    # order, expressed as a per-row subquery instead of the window-rank
+    # idiom (q_win_topk_group) — the SQL surface for "top-1 per entity"
+    # that planners decorrelate into exactly that window/aggregation
+    # under the hood. Customers with no orders drop (inner lateral),
+    # matching the oracle.
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 LIMIT 1)
+        """
+    )
