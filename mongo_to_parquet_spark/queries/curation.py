@@ -680,3 +680,63 @@ def q_bpe_pairs(spark, sf):
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(30)
     )
+
+
+# ----------------------------------------------------- n-gram LM training ---
+@q(
+    "q_ngram_lm",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bi AS (
+        SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 2
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM bi),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY w1, w2)
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           ROUND((n12 + 0.5) / (n1 + 0.5 * vsz), 6) AS p_smooth
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    WHERE n12 >= 5
+    """,
+)
+def q_ngram_lm(spark, sf):
+    # Bigram language-model estimation with add-k smoothing (k=0.5):
+    # P(w2|w1) = (c12 + k) / (c1 + k·|V|) — the classic n-gram LM
+    # training step (the model behind q_text_logprob's scoring join, which
+    # consumes exactly this table). Counts are integers, the smoothed
+    # probability is one double division of exactly-representable values,
+    # so ROUND(6) is stable across engines.
+    #
+    # Scale: one explode to bigrams feeding THREE count aggregations that
+    # all partial-combine; the context counts and vocabulary scalar join
+    # back as broadcasts, so corpus text is read once and the only
+    # data-sized shuffle carries (w1, w2, count) partials. The n12 >= 5
+    # support cut is the standard LM pruning knob (and keeps the declared
+    # result compact).
+    d = T(spark, sf, "documents")
+    toks = d.select(F.split("text", " ").alias("ts")).filter(F.size("ts") >= 2)
+    bi = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] as w1, ts[i] as w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = bi.agg(F.countDistinct("w2").alias("vsz"))
+    return (
+        c12.filter(F.col("n12") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(
+                (F.col("n12") + 0.5) / (F.col("n1") + 0.5 * F.col("vsz")), 6
+            ).alias("p_smooth"),
+        )
+    )
