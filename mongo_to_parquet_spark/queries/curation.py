@@ -543,31 +543,39 @@ def q_graph_pagerank(spark, sf):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
-    # Iteration hygiene, measured: the unrolled 3-iteration DAG executes
-    # as ONE action, and ReuseExchange computes the edge relation's
-    # shuffle once even though `en` appears in every iteration — eagerly
-    # localCheckpoint-ing `en` (or each iteration's rank) splits the DAG
-    # into separate jobs, loses that reuse, and measured 1.4–2.3× SLOWER
-    # at sf0.1. Deep unrolls (tens of iterations, where lineage/planning
-    # cost catches up) are where GraphFrames-style per-k checkpointing
-    # pays; at 3 iterations the single fused DAG wins.
-    en = edges.join(deg, "src")
-    nn = deg.select(F.count(F.lit(1)).alias("n"))
-    pr = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("node"), F.expr(f"{_PR_SCALE} div n").alias("pr")
+    # Iteration hygiene: the edge⋈degree relation `en` appears in every
+    # iteration, so it is computed ONCE — repartitioned by src (the join
+    # key every iteration probes) and persisted. The cached
+    # InMemoryRelation reports hashpartitioning(src), so each iteration's
+    # rank join shuffles only the node-sized rank relation to meet it;
+    # the fact-sized edge build (lineitem⋈orders + two aggs) never
+    # re-runs. This is exactly the "partition edges by src, materialize
+    # once" layout a 100 TB / billion-edge run needs (there: a bucketed-
+    # by-src parquet layout via export_bucketed instead of a cache, and
+    # per-iteration checkpoints for deep unrolls).
+    # (measured: localCheckpoint(eager=True) instead of persist() loses
+    # the partitioning — LogicalRDD reports UnknownPartitioning, so every
+    # iteration re-exchanges the edge side: 3.9s vs 2.05s at sf0.1.)
+    en = edges.join(deg, "src").repartition("src").persist()
+    # node count: a bounded 1-row driver scalar (also materializes the
+    # cache before the iteration DAG is planned); folding it into the
+    # plan as a crossJoin(broadcast(nn)) costs an extra exchange per
+    # iteration for a constant.
+    n = en.select(F.countDistinct("src")).first()[0]
+    base = 15 * _PR_SCALE // (100 * n)  # teleport term, integer floor div
+    pr = (
+        en.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(_PR_SCALE // n).alias("pr"))
     )
     for _ in range(3):
         pr = (
-            en.join(pr, en.src == pr.node)
-            .crossJoin(F.broadcast(nn))
-            .groupBy(F.col("dst").alias("node2"), "n")
+            en.join(pr.hint("shuffle_hash"), en.src == pr.node)
+            .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum(F.expr("(pr * w) div wd")).alias("s"))
             .select(
                 F.col("node2").alias("node"),
-                (
-                    F.expr(f"{15 * _PR_SCALE} div (100 * n)")
-                    + F.expr("(85 * s) div 100")
-                ).alias("pr"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).alias("pr"),
             )
         )
     return pr.select("node", F.col("pr").cast("bigint").alias("pagerank_scaled"))
