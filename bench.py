@@ -46,9 +46,12 @@ HEADLINE = [
     "q_ts_interpolate",     # grid resample + two ignore-nulls windows
     "q_dedup_semantic",     # centroid broadcast + per-cluster rank
     "q_sample_weighted",    # weighted TakeOrdered sample, pruned scan
-    "q_graph_pagerank",     # 3 unrolled iterations, 2 shuffles each
+    "q_graph_pagerank",     # persisted co-partitioned edges, 3 iterations
     "q_tpch_q5",            # classic 6-table TPC-H join (SMJ facts + bcast dims)
     "q_tpch_q21",           # decorrelated double-EXISTS (1 extra agg, no rescan)
+    "q_dedup_clusters",     # iterative min-label propagation to fixed point
+    "q_sim_topk_ivf",       # IVF layout: cell-pruned ANN probes
+    "q_profile_approx",     # single-pass HLL profile (q_profile's 100 TB mode)
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay
@@ -95,9 +98,23 @@ def main() -> None:
     export_rows = lineitem.count()
     out = tempfile.mkdtemp(prefix="bench_export_")
     try:
-        t0 = time.perf_counter()
-        export_partitioned(lineitem, f"{out}/lineitem", date_field="l_shipdate")
-        export_sec = round(time.perf_counter() - t0, 3)
+        # warmup at the small sf: first-use costs (committer init, zstd
+        # codec load, output-writer codegen) belong to session startup, not
+        # steady-state throughput — then best-of-2, same as the queries
+        # (round-over-round comparisons of a single cold shot moved ±20%
+        # on identical code)
+        export_partitioned(
+            load_table(spark, warm_dir, "lineitem"),
+            f"{out}/warmup",
+            date_field="l_shipdate",
+        )
+        export_sec = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            export_partitioned(
+                lineitem, f"{out}/lineitem{i}", date_field="l_shipdate"
+            )
+            export_sec = min(export_sec, round(time.perf_counter() - t0, 3))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

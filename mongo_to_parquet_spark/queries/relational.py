@@ -1177,6 +1177,30 @@ def q_profile(spark, sf):
     )
 
 
+@q("q_profile_approx")  # rows-only: HLL distinct counts can't hash-match DuckDB
+def q_profile_approx(spark, sf):
+    # the 100 TB profiling mode: ONE HashAggregate pass over one scan —
+    # approx_count_distinct's fixed-size HLL buffer keeps the distinct
+    # metric out of the Expand+SortAggregate distinct rewrite that makes
+    # exact mode a two-agg split (see q_profile / operators/validate.py).
+    # Registered separately so the bench shows the exact-vs-approx cost
+    # split explicitly.
+    from mongo_to_parquet_spark.operators.validate import profile_columns
+
+    o = T(spark, sf, "orders")
+    return profile_columns(
+        o,
+        {
+            "o_orderkey": None,
+            "o_custkey": None,
+            "o_orderstatus": None,
+            "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+            "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd"),
+        },
+        exact=False,
+    )
+
+
 @q(
     "q_join_fuzzy",
     """
