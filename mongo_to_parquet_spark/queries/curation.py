@@ -311,12 +311,14 @@ def q_scd2_history(spark, sf):
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # null-safe change flag (= the oracle's IS DISTINCT FROM): a NULL
+    # event_type following a non-null one IS a change, and the first row's
+    # NULL lag differs from any value — `lag != col` would return NULL
+    # (→ 0) in both cases and silently glue segments together
     seg = ev.withColumn(
         "chg",
         F.when(
-            F.lag("event_type").over(wo).isNull()
-            | (F.lag("event_type").over(wo) != F.col("event_type")),
-            1,
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
         ).otherwise(0),
     ).withColumn("seg_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
     hist = seg.groupBy("user_id", F.col("seg_id").cast("bigint").alias("seg_id")).agg(

@@ -47,6 +47,14 @@ def with_date_parts(df: DataFrame, date_field: str) -> DataFrame:
     ``year=unknown`` partition (main.py:110). The partition column is kept
     as a separate string column ``year`` so 'unknown' can coexist with
     numeric years, exactly like the reference's directory layout.
+
+    DELIBERATE DIVERGENCE (reference main.py:110): a source document that
+    already contains a ``year``/``month``/``day`` field silently controls
+    its own partition placement in the reference — a poisoned or stale
+    ``year`` value routes the row to the wrong directory with no error.
+    Here those columns are ALWAYS overwritten from ``date_field`` (SURVEY
+    §1.1 flags the reference behavior as a hazard); pinned in
+    tests/test_reference_semantics.py::test_preexisting_year_is_overwritten.
     """
     c = F.col(date_field)
     return (

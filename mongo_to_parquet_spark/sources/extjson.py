@@ -13,7 +13,9 @@ Python DataSource API (``pyspark.sql.datasource``) that unwraps the
 common envelopes ($oid, $date, $numberLong/$numberInt/$numberDouble/
 $numberDecimal) during the scan, so downstream operators see plain
 Spark types — the ingestion twin of sources/mongo.py's (jar-gated) live
-connector, with zero external dependencies.
+connector, with zero external dependencies. ``$numberDecimal``
+(Decimal128) unwraps to ``decimal.Decimal``, never float — bind it to a
+DecimalType schema field to keep money values exact.
 
 Partitioning: one input partition per file (mongoexport shards dumps
 into files; a 100 TB dump is many files, so file-granular parallelism is
@@ -34,6 +36,7 @@ Usage::
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import json
 import os
 from typing import Iterator
@@ -57,8 +60,14 @@ def unwrap_extjson(v):
                 return out.astimezone(dt.timezone.utc).replace(tzinfo=None) if out.tzinfo else out
             if k in ("$numberLong", "$numberInt"):
                 return int(inner)
-            if k in ("$numberDouble", "$numberDecimal"):
+            if k == "$numberDouble":
                 return float(inner)
+            if k == "$numberDecimal":
+                # Decimal128 exists precisely to carry exact decimals
+                # (money) — keep exactness so a DecimalType schema field
+                # binds losslessly; a float round-trip would corrupt the
+                # one type whose purpose is not being a float
+                return decimal.Decimal(str(inner))
         return {k: unwrap_extjson(x) for k, x in v.items()}
     if isinstance(v, list):
         return [unwrap_extjson(x) for x in v]

@@ -71,16 +71,23 @@ def stream_merge_upsert(
     rewrites the same state.
 
     State versions are ``v=N`` directories (operators/incremental.py
-    pattern): a reader never sees a half-written version, and a crashed
-    batch leaves only an orphan directory. At 100 TB the state would live
-    in a table format with real MERGE INTO (Delta/Iceberg); the operator
-    shape — dedupe batch, anti-join state, union — is identical.
+    pattern): a version counts only once its commit marker exists — the
+    marker is written after the parquet completes, so a reader never sees
+    a half-written version and a crashed batch leaves only an orphan
+    directory that subsequent versions are numbered past (never read).
+    At 100 TB the state would live in a table format with real MERGE INTO
+    (Delta/Iceberg); the operator shape — dedupe batch, anti-join state,
+    union — is identical.
     """
     import os
 
     from pyspark.sql import functions as F
 
-    from mongo_to_parquet_spark.operators.incremental import _versions
+    from mongo_to_parquet_spark.operators.incremental import (
+        _all_versions,
+        _commit,
+        _versions,
+    )
     from mongo_to_parquet_spark.operators.merge import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -102,10 +109,12 @@ def stream_merge_upsert(
                 F.col("__cur_seq").isNull() | (F.col(seq_col) > F.col("__cur_seq"))
             ).drop("__cur_seq")
             merged = merge_upsert(state, newer.select(*state.columns), keys)
-            next_v = vs[-1] + 1
         else:
-            merged, next_v = latest, 1
+            merged = latest
+        all_vs = _all_versions(state_dir)
+        next_v = (all_vs[-1] + 1) if all_vs else 1
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
+        _commit(state_dir, next_v, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -18,6 +18,7 @@ def _direct(df, keys, measures):
     for m in measures:
         aggs += [
             F.sum(F.col(m).cast("decimal(38,6)")).alias(f"sum_{m}"),
+            F.count(F.col(m)).alias(f"cnt_{m}"),
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
         ]
@@ -62,6 +63,66 @@ def test_snapshot_derives_avg(spark, sf_dir, tmp_path):
     }
     for k, r in snap.items():
         assert r["avg_o_totalprice"] == pytest.approx(want[k]["avg"], rel=1e-9)
+
+
+def test_orphan_version_is_never_read_as_state(spark, sf_dir, tmp_path):
+    """A v=N directory without its commit marker (crashed mid-write) must
+    be skipped by readers and numbered past by the next refresh — never
+    picked up as the latest state."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys, measures = ["o_orderstatus"], ["o_totalprice"]
+    state_dir = str(tmp_path / "state")
+    inc.refresh_agg_state(spark, state_dir, orders.limit(100), keys, measures)
+
+    # simulate a crashed refresh: parquet written, marker never landed
+    import os
+
+    orphan = os.path.join(state_dir, "v=2")
+    inc.partial_agg_state(orders.limit(1), keys, measures).write.parquet(orphan)
+    assert inc._versions(state_dir) == [1]  # orphan invisible to readers
+    v1 = _as_dict(inc.read_agg_state(spark, state_dir).collect(), keys)
+    assert v1 == _as_dict(_direct(orders.limit(100), keys, measures).collect(), keys)
+
+    # next refresh writes PAST the orphan (v=3), never merging from it
+    inc.refresh_agg_state(spark, state_dir, orders.limit(100), keys, measures)
+    assert inc._versions(state_dir) == [1, 3]
+    got = _as_dict(inc.read_agg_state(spark, state_dir).collect(), keys)
+    want = _as_dict(
+        _direct(orders.limit(100).unionAll(orders.limit(100)), keys, measures).collect(),
+        keys,
+    )
+    assert got == want
+
+
+def test_replayed_batch_id_is_skipped(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-applying a committed batch id must
+    be a no-op instead of double-counting the additive state."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    keys, measures = ["event_type"], ["value"]
+    state_dir = str(tmp_path / "state")
+    assert inc.apply_stream_batch(state_dir, ev, 0, keys, measures) is True
+    once = _as_dict(inc.read_agg_state(spark, state_dir).collect(), keys)
+    # replay of batch 0 (crash between state commit and checkpoint commit)
+    assert inc.apply_stream_batch(state_dir, ev, 0, keys, measures) is False
+    assert _as_dict(inc.read_agg_state(spark, state_dir).collect(), keys) == once
+    assert inc.last_batch_id(state_dir) == 0
+    # the NEXT batch still applies
+    assert inc.apply_stream_batch(state_dir, ev, 1, keys, measures) is True
+    assert inc.last_batch_id(state_dir) == 1
+
+
+def test_snapshot_avg_ignores_nulls(spark):
+    """avg = sum / non-null count — AVG semantics when measures have nulls
+    (sum skips nulls; dividing by n_rows would dilute the average)."""
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None)],
+        "k string, m double",
+    )
+    st = inc.partial_agg_state(df, ["k"], ["m"])
+    snap = {r["k"]: r for r in inc.state_snapshot(st, ["m"]).collect()}
+    assert snap["a"]["avg_m"] == pytest.approx(15.0)  # not 10.0 (= 30/3)
+    assert snap["a"]["n_rows"] == 3 and snap["a"]["cnt_m"] == 2
+    assert snap["b"]["avg_m"] is None  # all-null key: NULL, not an error
 
 
 def test_merge_is_slice_order_invariant(spark, sf_dir):

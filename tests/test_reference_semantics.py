@@ -55,6 +55,23 @@ def test_year_unknown_bucket(spark):
     assert rows["c"]["month"] is None and rows["c"]["day"] is None
 
 
+def test_preexisting_year_is_overwritten(spark):
+    """DELIBERATE DIVERGENCE from reference main.py:110: a document that
+    arrives with its own year/month/day must NOT control partition
+    placement — the reference lets a stale/poisoned `year` field route the
+    row silently; the engine always derives from the date field."""
+    df = spark.createDataFrame(
+        [
+            Row(_id="a", created_at=dt.datetime(2020, 5, 17), year="1999", month=12, day=31),
+            Row(_id="b", created_at=None, year="2030", month=1, day=1),
+        ]
+    )
+    rows = {r["_id"]: r for r in with_date_parts(df, "created_at").collect()}
+    assert rows["a"]["year"] == "2020" and rows["a"]["month"] == 5 and rows["a"]["day"] == 17
+    # even a null date ignores the claimed year: unknown bucket, null parts
+    assert rows["b"]["year"] == UNKNOWN_BUCKET and rows["b"]["month"] is None
+
+
 def test_export_partition_layout(spark, tmp_path):
     out = str(tmp_path / "exp")
     export_partitioned(_mongo_docs(spark), out, "created_at")

@@ -49,6 +49,36 @@ def test_mongoexport_source_unwraps_envelopes(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
 
 
+def test_mongoexport_decimal128_stays_exact(spark, tmp_path):
+    """$numberDecimal (BSON Decimal128 — money) must bind losslessly to a
+    DecimalType field; a float round-trip would corrupt the one BSON
+    numeric type whose purpose is exact decimal representation."""
+    from decimal import Decimal
+
+    from mongo_to_parquet_spark.sources.extjson import (
+        MongoExportDataSource,
+        unwrap_extjson,
+    )
+
+    # 0.1 + 0.2-style values and a 20-significant-digit amount no double holds
+    rows = [
+        {"_id": {"$oid": "d1"}, "amount": {"$numberDecimal": "0.30"}},
+        {"_id": {"$oid": "d2"}, "amount": {"$numberDecimal": "12345678901234567.89"}},
+    ]
+    assert unwrap_extjson(rows[0])["amount"] == Decimal("0.30")
+    f = tmp_path / "dump.jsonl"
+    _write_jsonl(f, rows)
+    spark.dataSource.register(MongoExportDataSource)
+    got = {
+        r["_id"]: r["amount"]
+        for r in spark.read.format("mongoexport")
+        .schema("_id string, amount decimal(19,2)")
+        .load(str(f))
+        .collect()
+    }
+    assert got == {"d1": Decimal("0.30"), "d2": Decimal("12345678901234567.89")}
+
+
 def test_mongoexport_source_schemaless_raw_mode(spark, tmp_path):
     from pyspark.sql import functions as F
 
