@@ -55,6 +55,27 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (correctness baseline for fuzzy dedup)
 # --------------------------------------------------------------------------
+def jaccard_strategy(
+    n_docs: int,
+    vocab_fits_bitset: bool,
+    bitmask_max_docs: int = 200_000,
+    explode_max_docs: int = 200_000,
+) -> str:
+    """Physical-strategy router for exact Jaccard (all paths exact):
+
+    - ``"bitset"``: vocabulary ≤64 shingles AND corpus broadcastable.
+    - ``"explode"``: small corpus — all-token self-join is fine.
+    - ``"prefix"``: large corpus — prefix-filtered candidate join
+      (AllPairs/PPJoin): only each doc's ``sz − ⌈t·sz⌉ + 1`` globally
+      RAREST shingles participate in the pairing join, so hot boilerplate
+      shingles (the explode-join's Σ n_t² quadratic hazard) never join;
+      candidates are then exact-verified. Same exact result, 100 TB-safe.
+    """
+    if vocab_fits_bitset and n_docs <= bitmask_max_docs:
+        return "bitset"
+    return "explode" if n_docs <= explode_max_docs else "prefix"
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -63,10 +84,13 @@ def jaccard_pairs(
     ngram: int = 1,
     bitmask_max_vocab: int = 64,
     bitmask_max_docs: int = 200_000,
+    explode_max_docs: int = 200_000,
+    strategy: str | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with shingle-set Jaccard ≥ threshold.
 
-    Adaptive physical strategy (same exact result either way):
+    Adaptive physical strategy (same exact result on every path; routing
+    in :func:`jaccard_strategy`, overridable via ``strategy=``):
 
       - **bitset path** when the shingle vocabulary fits in 64 bits and the
         corpus is small enough to broadcast: dictionary-encode shingles to
@@ -74,10 +98,14 @@ def jaccard_pairs(
         bit_count(a&b)/bit_count(a|b) over a broadcast nested-loop join.
         On dense low-vocab data this is ~20× the explode-join (the token
         join materializes Σ_t n_t² rows; popcounts don't).
-      - **explode-join path** otherwise: explode distinct shingles,
+      - **explode-join path** for small corpora: explode distinct shingles,
         self-join on shingle to count intersections, join per-doc sizes,
-        filter. Hot shingles are the scale hazard — beyond small candidate
-        sets use :func:`minhash_pairs`.
+        filter. Hot shingles make this quadratic — hence:
+      - **prefix-filter path** beyond ``explode_max_docs``: join only on
+        each doc's prefix of globally-rarest shingles (guaranteed to share
+        one for any pair at Jaccard ≥ t), then exact-verify candidates.
+        Keeps the exact API 100 TB-safe; :func:`minhash_pairs` remains the
+        approximate/recall-tunable alternative.
 
     Strategy probes are deliberately cheap: the corpus size comes from the
     Parquet footer (``docs.count()`` is metadata-only on a scan) and the
@@ -91,13 +119,28 @@ def jaccard_pairs(
     base = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
     )
-    # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
-    cap = min(bitmask_max_vocab, 64)
-    vocab_rows = base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
-    # empty vocab (empty/all-null corpus) falls through: create_map() with
-    # zero entries has type map<void,void> and cannot be keyed by a string
-    if 0 < len(vocab_rows) <= cap and docs.count() <= bitmask_max_docs:
+    if strategy is None:
+        # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
+        cap = min(bitmask_max_vocab, 64)
+        vocab_rows = (
+            base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
+        )
+        # empty vocab (empty/all-null corpus) is not bitset-able: create_map()
+        # with zero entries has type map<void,void>, cannot be keyed by string
+        strategy = jaccard_strategy(
+            docs.count(), 0 < len(vocab_rows) <= cap, bitmask_max_docs, explode_max_docs
+        )
+    else:
+        vocab_rows = None
+    if strategy == "bitset":
+        if vocab_rows is None:
+            cap = min(bitmask_max_vocab, 64)
+            vocab_rows = (
+                base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
+            )
         return _jaccard_pairs_bitset(base, sorted(r["s"] for r in vocab_rows), threshold)
+    if strategy == "prefix":
+        return _jaccard_pairs_prefix(base, threshold)
     doc_sh = base.select("doc", F.explode("sh").alias("s"))
     sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # shuffle both (identical) sides of the self-join so ReuseExchange
@@ -116,6 +159,80 @@ def jaccard_pairs(
         inter.join(sz1, "doc1")
         .join(sz2, "doc2")
         .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _jaccard_pairs_prefix(base: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard via prefix filtering (AllPairs/PPJoin family).
+
+    Theorem: order the global shingle universe by (frequency, shingle); if
+    ``jaccard(A, B) ≥ t`` then ``|A∩B| ≥ ⌈t·|A|⌉``, so A and B must share
+    at least one shingle among the first ``|A| − ⌈t·|A|⌉ + 1`` of each
+    doc's shingles under that order. Joining ONLY on those prefix tokens
+    — by construction the globally RAREST ones — produces a complete
+    candidate set while the hot shingles that make the naive token join
+    quadratic (Σ_t n_t²) never enter the pairing join. A length filter
+    (``min ≥ t·max``) prunes further; candidates are then exact-verified
+    against the full shingle sets, so the result is identical to the
+    explode-join path.
+
+    Shuffles at scale: token-frequency agg, per-doc rank window, the
+    prefix self-join, and the candidate-bounded verify joins — all keyed,
+    none quadratic in corpus size.
+    """
+    from pyspark.sql import Window
+
+    doc_sh = base.select("doc", F.explode("sh").alias("s"))
+    sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    freq = doc_sh.groupBy("s").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = (
+        doc_sh.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("tf", "s")),
+        )
+        .join(sizes, "doc")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc", "s", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+            & (
+                F.least("a.sz", "b.sz").cast("double")
+                >= F.lit(threshold) * F.greatest("a.sz", "b.sz").cast("double")
+            ),
+        )
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .distinct()
+    )
+    # exact verify, candidate-bounded: intersection size via two keyed joins
+    t1 = doc_sh.select(F.col("doc").alias("doc1"), F.col("s").alias("s1"))
+    t2 = doc_sh.select(F.col("doc").alias("__d2"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(t1, "doc1")
+        .join(t2, (F.col("doc2") == F.col("__d2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("doc1", "doc2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),

@@ -195,6 +195,54 @@ def test_jaccard_bitset_and_explode_paths_agree(spark):
     assert c == d
 
 
+def test_jaccard_strategy_routes_by_corpus_size():
+    # small+dense → bitset; small sparse-vocab → explode; large → prefix
+    # (the exact API's 100 TB-safe path — hot shingles never join)
+    assert dedup.jaccard_strategy(1_000, True) == "bitset"
+    assert dedup.jaccard_strategy(1_000, False) == "explode"
+    assert dedup.jaccard_strategy(500_000, False) == "prefix"
+    # a >broadcastable corpus can't take bitset even with a tiny vocab
+    assert dedup.jaccard_strategy(500_000, True) == "prefix"
+    assert dedup.jaccard_strategy(10**9, False) == "prefix"
+
+
+def test_jaccard_prefix_path_is_exact(spark, sf_dir):
+    """The prefix-filtered candidate join must return the IDENTICAL pair
+    set + values as the all-token explode join (it is a pruning, not an
+    approximation) — including under a shared hot boilerplate shingle."""
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    a = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, 0.3, ngram=3, strategy="explode").collect()
+    )
+    b = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, 0.3, ngram=3, strategy="prefix").collect()
+    )
+    assert a == b and len(a) > 0
+    # boilerplate stress: every doc shares one hot token; near-dups exist
+    from pyspark.sql import Row as R
+
+    boiler = spark.createDataFrame(
+        [
+            R(doc_id=i, text="common header " + " ".join(f"tok{i}_{j}" for j in range(8)))
+            for i in range(30)
+        ]
+        + [R(doc_id=100, text="common header " + " ".join(f"tok5_{j}" for j in range(8)))]
+    )
+    e = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(boiler, 0.5, strategy="explode").collect()
+    )
+    p = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(boiler, 0.5, strategy="prefix").collect()
+    )
+    assert e == p and (5, 100, 1.0) in p
+
+
 def test_batch_topk_matches_per_probe(spark, sf_dir):
     """One-scan batched ANN equals N independent exact scans."""
     from mongo_to_parquet_spark.operators.similarity import (
