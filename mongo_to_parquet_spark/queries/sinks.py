@@ -104,6 +104,100 @@ def q_sink_formats(spark, sf):
     )
 
 
+@q(
+    "q_mongo_export",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS year,
+           month(o_orderdate) AS month,
+           day(o_orderdate) AS day,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+      AND o_orderdate <= TIMESTAMP '1995-03-31'
+    """,
+)
+def q_mongo_export(spark, sf):
+    # The reference's WHOLE pipeline end-to-end on Mongo-shaped input
+    # (reference main.py:241-309), executed and oracle-verified: a
+    # mongoexport extended-JSON dump ($oid/$date/$numberLong envelopes,
+    # written from the orders fixture so DuckDB can check the result) →
+    # the `mongoexport` Spark DataSource scan → ExportJob (config-driven
+    # date range, inclusive both ends → date-part derivation → year=
+    # hive layout) → re-read of the parquet it wrote. Hash-matching the
+    # oracle proves the ingestion envelopes, the range filter, and the
+    # partition routing are all lossless. This is the documented Mongo
+    # ingestion route in this jar-less environment; sources/mongo.py's
+    # connector scan slots into the same ExportJob reader seam.
+    import datetime as dtm
+
+    from mongo_to_parquet_spark.config import JobConfig
+    from mongo_to_parquet_spark.sources.extjson import (
+        MongoExportDataSource,
+        write_extjson_lines,
+    )
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    root = os.path.abspath(
+        os.path.join(scratch, "mongo_export", os.path.basename(sf.rstrip("/")))
+    )
+    os.makedirs(root, exist_ok=True)
+    dump = os.path.join(root, "orders.jsonl")
+
+    # fixture dump: one month of orders as extended-JSON lines (driver-side
+    # write of a bounded slice — fixture generation, not a data-path collect)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    rows = (
+        T(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01"))
+            & (F.col("o_orderdate") <= F.lit("1995-03-31"))
+        )
+        .select(*cols)
+        .collect()
+    )
+    write_extjson_lines(
+        dump,
+        (
+            {"_id": f"{r['o_orderkey']:024x}", **{c: r[c] for c in cols}}
+            for r in rows
+        ),
+    )
+
+    spark.dataSource.register(MongoExportDataSource)
+    schema = (
+        "_id string, o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string"
+    )
+    cfg = JobConfig(
+        output_dir=os.path.join(root, "out"),
+        date_collections={"orders": "o_orderdate"},
+        start_date=dtm.datetime(1995, 3, 1),
+        end_date=dtm.datetime(1995, 3, 31),
+    )
+    ExportJob(
+        spark,
+        cfg,
+        reader=lambda coll: spark.read.format("mongoexport")
+        .schema(schema)
+        .load(os.path.join(root, f"{coll}.jsonl")),
+    ).run()
+
+    back = spark.read.parquet(os.path.join(cfg.output_dir, "orders"))
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("year").cast("string").alias("year"),
+        "month",
+        "day",
+        "o_orderpriority",
+    )
+
+
 _Z = zorder_oracle_expr("a", "b", 8)
 
 

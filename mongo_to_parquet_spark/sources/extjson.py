@@ -74,6 +74,45 @@ def unwrap_extjson(v):
     return v
 
 
+def wrap_extjson(v):
+    """Inverse of :func:`unwrap_extjson`: plain Python values → mongoexport
+    envelopes (ints → $numberLong, datetimes → $date, Decimal →
+    $numberDecimal; floats/strings/None stay plain, like mongoexport)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return {"$numberLong": str(v)}
+    if isinstance(v, dt.datetime):
+        return {"$date": v.isoformat(timespec="milliseconds") + "Z"}
+    if isinstance(v, decimal.Decimal):
+        return {"$numberDecimal": str(v)}
+    if isinstance(v, list):
+        return [wrap_extjson(x) for x in v]
+    if isinstance(v, dict):
+        return {k: wrap_extjson(x) for k, x in v.items()}
+    return v
+
+
+def write_extjson_lines(path: str, docs, id_field: str = "_id") -> int:
+    """Write documents as a mongoexport-shaped JSONL file; returns count.
+
+    Test/fixture helper for the ingestion round-trip (q_mongo_export):
+    real dumps come from ``mongoexport`` itself; this produces the same
+    shape so the scan path can be verified end-to-end without a mongod.
+    Values under ``id_field`` are emitted as ``{"$oid": ...}``.
+    """
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        for doc in docs:
+            enc = {
+                k: ({"$oid": str(v)} if k == id_field else wrap_extjson(v))
+                for k, v in doc.items()
+            }
+            fh.write(json.dumps(enc) + "\n")
+            n += 1
+    return n
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path

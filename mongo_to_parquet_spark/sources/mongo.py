@@ -10,9 +10,12 @@ pushdown (main.py:288-293) with connector pushdown.
 The connector jar is not present in this environment, so this module is
 import-gated: ``read_collection`` raises a clear error when the format is
 unavailable, and the rest of the engine (catalog/export/queries) never
-depends on it. ``ExportJob`` runs the reference's full multi-collection
-job (main.py:241-309) against any table-providing source, defaulting to
-the parquet fixture catalog.
+depends on it. The DOCUMENTED jar-less Mongo ingestion route is the
+``mongoexport`` extended-JSON DataSource (sources/extjson.py), verified
+end-to-end — dump → scan → ExportJob → re-read — by the oracle-checked
+``q_mongo_export`` query. ``ExportJob`` runs the reference's full
+multi-collection job (main.py:241-309) against any table-providing
+source, defaulting to the parquet fixture catalog.
 """
 
 from __future__ import annotations
@@ -48,25 +51,61 @@ class ExportJob:
 
     The reference fans out one Python thread per database (main.py:266-273)
     because its cursor is single-threaded; on Spark each scan is already
-    partition-parallel, so collections are submitted sequentially and Spark's
-    scheduler overlaps their tasks. ``reader`` maps a collection name to a
-    DataFrame (defaults injection point for tests / parquet fixtures).
+    partition-parallel, so ``max_concurrent=1`` (default) submits
+    collections sequentially and Spark's scheduler parallelizes their
+    TASKS. That leaves cores idle when a config holds many SMALL
+    collections (each job has fewer tasks than cores, and per-job
+    scheduling/commit latency serializes); ``max_concurrent>1`` restores
+    the reference's overlap Spark-first: a thread pool submits up to N
+    collection exports at once under a FAIR scheduler pool, so short jobs
+    interleave instead of queueing behind long ones. Threads only submit
+    and block on Spark actions — the data path is identical, and per-
+    collection totals are unchanged (tests/test_reference_semantics.py).
+
+    ``reader`` maps a collection name to a DataFrame (defaults injection
+    point for tests / parquet fixtures).
     """
 
-    def __init__(self, spark: SparkSession, cfg: JobConfig, reader):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: JobConfig,
+        reader,
+        max_concurrent: int = 1,
+    ):
         self.spark = spark
         self.cfg = cfg
         self.reader = reader  # Callable[[str], DataFrame]
+        self.max_concurrent = max(1, max_concurrent)
+
+    def _export_one(self, coll: str, date_field: str) -> int:
+        df = self.reader(coll)
+        out = f"{self.cfg.output_dir}/{coll}"
+        export_partitioned(
+            df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date
+        )
+        return self.spark.read.parquet(out).count()
 
     def run(self) -> dict[str, int]:
         """Export every configured collection; returns rows written per
         collection (reference's R12 count observability, main.py:104,158)."""
-        totals: dict[str, int] = {}
-        for coll, date_field in sorted(self.cfg.date_collections.items()):
-            df = self.reader(coll)
-            out = f"{self.cfg.output_dir}/{coll}"
-            export_partitioned(
-                df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date
-            )
-            totals[coll] = self.spark.read.parquet(out).count()
-        return totals
+        items = sorted(self.cfg.date_collections.items())
+        if self.max_concurrent == 1 or len(items) <= 1:
+            return {coll: self._export_one(coll, f) for coll, f in items}
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        def submit(coll: str, date_field: str) -> int:
+            # per-thread local property: jobs land in a FAIR pool so a
+            # small collection's tasks interleave with a big one's
+            sc.setLocalProperty("spark.scheduler.pool", "export")
+            try:
+                return self._export_one(coll, date_field)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
+            futures = {coll: pool.submit(submit, coll, f) for coll, f in items}
+            return {coll: fut.result() for coll, fut in sorted(futures.items())}

@@ -193,6 +193,43 @@ def test_export_job_multi_collection_totals(spark, sf_dir, tmp_path):
     assert {"year", "month", "day"} <= set(back.columns)
 
 
+def test_export_job_concurrent_overlaps_and_totals_match(spark, sf_dir, tmp_path):
+    """max_concurrent>1 restores the reference's per-database thread
+    overlap (main.py:266-273) Spark-first: collection exports are
+    SUBMITTED concurrently (observed overlap below) and the per-collection
+    totals are identical to the sequential run."""
+    import threading
+    import time
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    colls = {"orders": "o_orderdate", "lineitem": "l_shipdate", "events": "ts"}
+    lock, active, seen_overlap = threading.Lock(), [0], [0]
+
+    def reader(coll):
+        with lock:
+            active[0] += 1
+            seen_overlap[0] = max(seen_overlap[0], active[0])
+        time.sleep(0.3)  # hold the slot long enough for siblings to enter
+        try:
+            return load_table(spark, sf_dir, coll)
+        finally:
+            with lock:
+                active[0] -= 1
+
+    cfg = JobConfig(output_dir=str(tmp_path / "conc"), date_collections=colls)
+    totals = ExportJob(spark, cfg, reader=reader, max_concurrent=3).run()
+    assert seen_overlap[0] >= 2  # at least two exports in flight at once
+    seq_cfg = JobConfig(output_dir=str(tmp_path / "seq"), date_collections=colls)
+    seq = ExportJob(
+        spark, seq_cfg, reader=lambda c: load_table(spark, sf_dir, c)
+    ).run()
+    assert totals == seq
+    for c in colls:
+        assert totals[c] == load_table(spark, sf_dir, c).count()
+
+
 def test_export_compression_and_file_rolling(spark, sf_dir, tmp_path):
     """Sink heritage pinned at the file level: outputs are zstd-compressed
     (reference main.py:23) and roll into multiple files when the row cap
