@@ -601,10 +601,17 @@ def connected_components(
     small; for adversarial long-chain graphs swap in large-star/small-star
     (same join+agg building blocks, O(log n) rounds).
 
-    Each round ends in ``localCheckpoint`` — labels are tiny (two ids per
+    Physical iteration shape: the edge relation is computed ONCE,
+    repartitioned by the propagation join key and PERSISTED — the cached
+    InMemoryRelation reports hashpartitioning(b), so every round's
+    propagate join shuffles only the node-sized label table (the edge
+    side would otherwise re-exchange per round; localCheckpoint loses
+    partitioning — same measurement as q_graph_pagerank). Each round's
+    labels end in ``localCheckpoint`` — labels are tiny (two ids per
     node) and checkpointing truncates the otherwise exponentially growing
-    iterative lineage; on a cluster prefer ``checkpoint()`` to survive
-    executor loss. Convergence is detected from the label-sum invariant:
+    iterative lineage; on a cluster prefer ``checkpoint()`` (and a
+    bucketed-by-key edge layout) to survive executor loss.
+    Convergence is detected from the label-sum invariant:
     propagation takes a min, so every label is non-increasing — the total
     is strictly decreasing until the fixpoint. Comparing per-round sums is
     one scan of the (checkpointed, node-count-sized) label table; the
@@ -616,7 +623,8 @@ def connected_components(
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .repartition("b")
+        .persist()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -632,7 +640,8 @@ def connected_components(
     prev_sum = label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(
-            labels.select(F.col("node").alias("b"), "comp"), "b"
+            labels.select(F.col("node").alias("b"), "comp").hint("shuffle_hash"),
+            "b",
         ).select(F.col("a").alias("node"), "comp")
         new_labels = (
             labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp"))
