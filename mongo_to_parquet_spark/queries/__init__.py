@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_parquet_spark.queries import (
     curation,
+    lakehouse,
     llm,
     relational,
     scalars,
@@ -31,7 +32,10 @@ from mongo_to_parquet_spark.queries import (
     windows,
 )
 
-_MODULES = (relational, tpch, windows, scalars, stream, udf, llm, curation, sinks)
+_MODULES = (
+    relational, tpch, windows, scalars, stream, udf, llm, curation, lakehouse,
+    sinks,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

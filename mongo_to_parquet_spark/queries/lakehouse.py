@@ -1,0 +1,289 @@
+"""Lakehouse / table-maintenance queries, round 3.
+
+The reference's export is write-once (main.py:287-309); a real lake needs
+the maintenance operators around it: CDC materialization, SCD-2 dimension
+merges, time-series downsampling, and embedding compression for the ANN
+serving path. Same contract discipline as every family: declarative plans,
+oracle-exact determinism, a 100 TB scale note per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# ------------------------------------------------------------ CDC apply ----
+@q(
+    "q_cdc_apply",
+    """
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_id AS last_event_id,
+           value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf):
+    # CDC log → materialized table state (operators/merge.py apply_cdc):
+    # the event stream is read as an I/U/D change feed keyed by user, and
+    # the table is each key's LATEST op's payload — keys whose latest op
+    # is a delete are absent. The op mapping (signup=insert, error=delete)
+    # makes the fixture a deterministic feed.
+    #
+    # Scale: ONE hash aggregation — max_by(struct(payload), struct(seq))
+    # partial-combines map-side, so the shuffle carries one candidate row
+    # per (key, partition), never the log; then a filter. The oracle's
+    # row_number()-over-window formulation (what most warehouses run)
+    # shuffles AND sorts every log row — this shape is why merge-on-read
+    # at 100 TB wants the aggregate, not the window.
+    from mongo_to_parquet_spark.operators.merge import apply_cdc
+
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    st = apply_cdc(log, keys=["user_id"], seq_cols=["ts", "event_id"], op_col="op")
+    return st.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        "value",
+    )
+
+
+# ------------------------------------------------------- SCD-2 merge -------
+@q(
+    "q_merge_scd2_apply",
+    """
+    WITH dim AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS segment
+                 FROM customer),
+    upd AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment || '_V2' AS segment
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        FROM customer WHERE c_custkey % 6 = 3
+        UNION ALL
+        SELECT CAST(c_custkey + 10000000 AS BIGINT), 'NEWSEG'
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    t AS (SELECT CAST(epoch_us(TIMESTAMP '1990-01-01') AS BIGINT) AS t0,
+                 CAST(epoch_us(TIMESTAMP '1998-06-01') AS BIGINT) AS eff)
+    SELECT d.k AS c_custkey, d.segment, t0 AS valid_from_us,
+           CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+    FROM dim d LEFT JOIN upd u USING (k) CROSS JOIN t
+    WHERE u.segment IS NULL OR u.segment = d.segment
+    UNION ALL
+    SELECT d.k, d.segment, t0, eff, FALSE
+    FROM dim d JOIN upd u USING (k) CROSS JOIN t WHERE u.segment <> d.segment
+    UNION ALL
+    SELECT d.k, u.segment, eff, CAST(NULL AS BIGINT), TRUE
+    FROM dim d JOIN upd u USING (k) CROSS JOIN t WHERE u.segment <> d.segment
+    UNION ALL
+    SELECT u.k, u.segment, eff, CAST(NULL AS BIGINT), TRUE
+    FROM upd u LEFT JOIN dim d USING (k) CROSS JOIN t WHERE d.k IS NULL
+    """,
+)
+def q_merge_scd2_apply(spark, sf):
+    # SCD-2 MERGE (operators/merge.py merge_scd2): apply one batch of
+    # attribute changes to a validity-interval dimension — changed keys
+    # close their current row at the effective ts and append a new open
+    # version, no-op updates leave the row untouched, unseen keys insert.
+    # Complements q_scd2_history (build history FROM events) with the
+    # maintenance op that KEEPS a dimension historized. The update batch is
+    # synthesized deterministically from customer (⅙ changed, ⅙ identical
+    # = no-op, 1/50 brand-new shifted keys).
+    #
+    # Scale: the dimension is read once; the current slice left-joins the
+    # update batch (broadcast — a merge batch is daily-increment-sized),
+    # change detection is null-safe column comparison, and the output is a
+    # shuffle-free unionByName of history/kept/new slices. No window, no
+    # second pass over the dimension.
+    from mongo_to_parquet_spark.operators.merge import merge_scd2
+
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_mktsegment"
+    )
+    t0 = F.lit("1990-01-01").cast("timestamp")
+    eff = F.lit("1998-06-01").cast("timestamp")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 6 == 0)
+        .select(
+            "c_custkey", F.concat("c_mktsegment", F.lit("_V2")).alias("segment")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 6 == 3).select(
+                "c_custkey", F.col("c_mktsegment").alias("segment")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("segment"),
+            )
+        )
+        .withColumn("eff", eff)
+    )
+    out = merge_scd2(
+        dim,
+        updates,
+        keys=["c_custkey"],
+        tracked=["segment"],
+        effective_col="eff",
+    )
+    return out.select(
+        "c_custkey",
+        "segment",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+# ------------------------------------------------------ OHLC downsample ----
+@q(
+    "q_ts_ohlc",
+    """
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS bucket_us,
+           first(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc(spark, sf):
+    # time-series downsampling to OHLC bars (the storage-shrinking rollup
+    # every metrics/tick pipeline runs): per (series, hour bucket), the
+    # first/highest/lowest/last observation. first/last are min_by/max_by
+    # over the (ts, id) total order — single-pass argmin/argmax aggregates
+    # with map-side partial combine, NOT a sort of the series: at 100 TB
+    # the shuffle carries one 5-number candidate per (key, partition).
+    # Complements q_ts_interpolate (upsample) with the downsample
+    # direction; q_agg_time_weighted handles irregular-interval averaging.
+    ev = T(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        )
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+# -------------------------------------------------- embedding quantization -
+@q(
+    "q_embed_quantize",
+    """
+    WITH dims AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY pos)
+    SELECT vec_id, pos,
+           CAST(CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(255, FLOOR((val - mn) * 256.0 / (mx - mn)))
+                END AS INT) AS qv
+    FROM dims JOIN rng USING (pos)
+    """,
+)
+def q_embed_quantize(spark, sf):
+    # int8 scalar quantization (SQ8) — the standard 4× compression of an
+    # ANN corpus: per-DIMENSION global [min, max] ranges, each component
+    # mapped to its 0..255 bucket by floor((v-mn)·256/(mx-mn)), clamped.
+    # floor (not round) keeps the bucket function identical across engines
+    # at representable boundaries; all arithmetic is double with one fixed
+    # association order, so the hash matches exactly.
+    #
+    # Scale: the range table is DIM rows (one per dimension) — a global
+    # agg whose shuffle is partial-combined to nothing, then BROADCAST
+    # back; quantization itself is a map-only projection. At 100 TB this
+    # is the layout-prep pass before IVF/PQ serving (operators/similarity
+    # consumes the same cell-layout idea); re-ranking reads the fp32
+    # vectors for the candidate set only.
+    e = T(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    rng = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    return dims.join(F.broadcast(rng), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor(
+                    (F.col("val") - F.col("mn"))
+                    * F.lit(256.0)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("qv"),
+    )

@@ -770,3 +770,68 @@ def test_snapshot_diff_classes_and_null_handling(spark):
     assert d == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
     s = {r["change_type"]: r["n"] for r in diff_summary(snapshot_diff(old, new, ["k"], ["v"])).collect()}
     assert s == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_apply_cdc_latest_op_wins_and_deletes_drop(spark):
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.merge import apply_cdc
+
+    log = spark.createDataFrame(
+        [
+            Row(k=1, op="I", seq=1, v="a"),
+            Row(k=1, op="U", seq=2, v="b"),   # latest for k=1
+            Row(k=2, op="I", seq=1, v="x"),
+            Row(k=2, op="D", seq=2, v=None),  # k=2 deleted
+            Row(k=3, op="D", seq=1, v=None),
+            Row(k=3, op="I", seq=2, v="re"),  # re-insert AFTER delete survives
+            Row(k=4, op="U", seq=5, v="dup"),
+            Row(k=4, op="U", seq=5, v="dup"),  # at-least-once replay: same row twice
+        ]
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
+    assert got == {1: "b", 3: "re", 4: "dup"}
+    assert "op" not in apply_cdc(log, ["k"], ["seq"]).columns
+
+
+def test_merge_scd2_all_four_branches(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.merge import merge_scd2
+
+    t0, t9, eff = (
+        dt.datetime(1990, 1, 1),
+        dt.datetime(1995, 1, 1),
+        dt.datetime(1998, 6, 1),
+    )
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, attr="old", valid_from=t0, valid_to=t9),   # history row
+            Row(k=1, attr="cur", valid_from=t9, valid_to=None),  # will change
+            Row(k=2, attr="same", valid_from=t0, valid_to=None),  # no-op update
+            Row(k=3, attr="keep", valid_from=t0, valid_to=None),  # no update
+        ]
+    )
+    upd = spark.createDataFrame(
+        [
+            Row(k=1, attr="new", eff=eff),
+            Row(k=2, attr="same", eff=eff),
+            Row(k=9, attr="born", eff=eff),  # brand-new key
+        ]
+    )
+    out = merge_scd2(dim, upd, keys=["k"], tracked=["attr"], effective_col="eff")
+    rows = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "old", t0, t9),      # history untouched
+            (1, "cur", t9, eff),     # current closed at effective ts
+            (1, "new", eff, None),   # new open version
+            (2, "same", t0, None),   # no-op update leaves row open
+            (3, "keep", t0, None),   # unmatched key untouched
+            (9, "born", eff, None),  # brand-new key inserted open
+        ]
+    )
