@@ -375,3 +375,38 @@ def linear_score(
         F.lit(1.0) + F.exp(-dot(F.col(vec_col).cast("array<double>"), w))
     )
     return emb.select(F.col(id_col), F.round(score, 4).alias("score"))
+
+
+def sq8_dims(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, pos, qv): int8 scalar quantization of every vector component.
+
+    Per-DIMENSION global [min, max] ranges (a DIM-row aggregate, broadcast
+    back), components bucketed by ``floor((v − mn)·256/(mx − mn))`` clamped
+    to 255 — floor, not round, so the bucket function is bit-identical
+    across engines. The 4× compression pass an ANN corpus runs before
+    IVF/PQ coding; downstream integer arithmetic (see q_embed_pq) is
+    exactly reproducible. Constant-range dimensions quantize to 0.
+    """
+    dims = emb.select(
+        id_col, F.posexplode(vec_col).alias("pos", "val")
+    ).select(id_col, "pos", F.col("val").cast("double").alias("val"))
+    rng = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    return dims.join(F.broadcast(rng), "pos").select(
+        id_col,
+        "pos",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor(
+                    (F.col("val") - F.col("mn"))
+                    * F.lit(256.0)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("qv"),
+    )

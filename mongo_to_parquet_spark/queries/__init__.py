@@ -24,6 +24,7 @@ from mongo_to_parquet_spark.queries import (
     lakehouse,
     llm,
     relational,
+    retrieval,
     scalars,
     sinks,
     stream,
@@ -34,7 +35,7 @@ from mongo_to_parquet_spark.queries import (
 
 _MODULES = (
     relational, tpch, windows, scalars, stream, udf, llm, curation, lakehouse,
-    sinks,
+    retrieval, sinks,
 )
 
 

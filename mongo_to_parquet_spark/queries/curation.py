@@ -750,3 +750,100 @@ def q_ngram_lm(spark, sf):
             ).alias("p_smooth"),
         )
     )
+
+
+# ------------------------------------------------------------ A/B stats ----
+@q(
+    "q_abtest_stats",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(38,6))) AS sm,
+               SUM(CAST(value * value AS DECIMAL(38,6))) AS sq
+        FROM base GROUP BY event_type, arm
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(CAST(a.sm AS DOUBLE) / a.n, 6) AS mean_a,
+           ROUND(CAST(b.sm AS DOUBLE) / b.n, 6) AS mean_b,
+           ROUND(CAST(b.sm AS DOUBLE) / b.n - CAST(a.sm AS DOUBLE) / a.n, 6)
+               AS lift,
+           ROUND(
+               (CAST(b.sm AS DOUBLE) / b.n - CAST(a.sm AS DOUBLE) / a.n)
+               / sqrt(
+                   ((CAST(a.sq AS DOUBLE)
+                     - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE) / a.n)
+                    / (a.n - 1)) / a.n
+                   + ((CAST(b.sq AS DOUBLE)
+                       - CAST(b.sm AS DOUBLE) * CAST(b.sm AS DOUBLE) / b.n)
+                      / (b.n - 1)) / b.n
+               ), 4) AS t_stat
+    FROM s a JOIN s b USING (event_type)
+    WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
+    """,
+)
+def q_abtest_stats(spark, sf):
+    # A/B experiment readout (Welch's t): users split into two arms by
+    # id parity, per event_type the arm means, lift, and t-statistic.
+    # The float-parity discipline that makes a STATISTICAL query
+    # hash-checkable: every per-arm moment (n, Σx, Σx²) is an exact
+    # DECIMAL aggregate — order-independent — and the t formula is one
+    # identical double expression tree over those exact inputs in both
+    # engines; ROUND only at the end.
+    #
+    # Scale: one hash aggregation over (metric, arm) — six numbers per
+    # group — then a self-join of the tiny per-arm stats table. The raw
+    # events never shuffle twice; this is the moment-sketch pattern every
+    # experimentation platform runs at 100 TB.
+    ev = T(spark, sf, "events").filter(F.col("value").isNotNull())
+    s = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "value",
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sm"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).alias("sq"),
+        )
+    )
+    a = s.filter((F.col("arm") == 0) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sm").cast("double").alias("sm_a"),
+        F.col("sq").cast("double").alias("sq_a"),
+    )
+    b = s.filter((F.col("arm") == 1) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sm").cast("double").alias("sm_b"),
+        F.col("sq").cast("double").alias("sq_b"),
+    )
+    mean_a = F.col("sm_a") / F.col("n_a")
+    mean_b = F.col("sm_b") / F.col("n_b")
+    var_a = (F.col("sq_a") - F.col("sm_a") * F.col("sm_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sq_b") - F.col("sm_b") * F.col("sm_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )

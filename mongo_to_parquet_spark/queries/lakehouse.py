@@ -265,25 +265,6 @@ def q_embed_quantize(spark, sf):
     # is the layout-prep pass before IVF/PQ serving (operators/similarity
     # consumes the same cell-layout idea); re-ranking reads the fp32
     # vectors for the candidate set only.
-    e = T(spark, sf, "embeddings")
-    dims = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
-    rng = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-    return dims.join(F.broadcast(rng), "pos").select(
-        "vec_id",
-        "pos",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
-        .otherwise(
-            F.least(
-                F.lit(255).cast("long"),
-                F.floor(
-                    (F.col("val") - F.col("mn"))
-                    * F.lit(256.0)
-                    / (F.col("mx") - F.col("mn"))
-                ),
-            )
-        )
-        .cast("int")
-        .alias("qv"),
-    )
+    from mongo_to_parquet_spark.operators.similarity import sq8_dims
+
+    return sq8_dims(T(spark, sf, "embeddings"))

@@ -1,0 +1,243 @@
+"""Text / vector retrieval queries, round 3.
+
+The serving-side counterparts of the curation ops: an inverted index and
+BM25 ranking over the documents corpus (what the dedup/quality pipeline
+feeds), and product-quantization codes over the embedding corpus (what the
+IVF layout serves). Same contract discipline: declarative plans,
+oracle-exact determinism, a 100 TB scale note per query.
+
+Float-parity notes (queries/__init__ rules applied):
+  - BM25 per-term scores are doubles computed by an identical expression
+    tree in both engines, then cast DECIMAL(38,18) BEFORE the per-doc sum
+    so the aggregation is exact and order-independent.
+  - PQ distances are INTEGER arithmetic over SQ8-quantized components
+    (operators/similarity.sq8_dims) — argmin is exactly reproducible,
+    no float tie ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# -------------------------------------------------------- inverted index ---
+@q(
+    "q_inverted_index",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM toks WHERE tok <> '' GROUP BY tok
+    """,
+)
+def q_inverted_index(spark, sf):
+    # the inverted index: token → (document frequency, collection
+    # frequency, sorted posting list). The core serving structure for
+    # lexical retrieval AND the statistics table BM25 consumes.
+    #
+    # Scale: one explode + one hash aggregation keyed by token;
+    # collect_set holds doc ids (postings), sorted per group — state per
+    # token is its posting list, the index's own size, nothing larger.
+    # At 100 TB the long-tail tokens partial-combine to almost nothing
+    # map-side; the few hot tokens are exactly the rows a serving system
+    # would shard (or stop-list) — and they're visible in df. Postings
+    # serialize to a comma string so both engines hash identically.
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+    )
+
+
+# ------------------------------------------------------------------ BM25 ---
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@q(
+    "q_bm25",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE tok IN {_BM25_TERMS!r} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(38, 18)) AS s
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25(spark, sf):
+    # BM25 ranking for a fixed 3-term query over the corpus (Okapi
+    # k1=1.2, b=0.75): idf·tf saturation·length normalization. Every input
+    # to the float expression is an INTEGER aggregate (tf, df, dl, N, and
+    # avgdl = exact-int-sum / count), and the expression tree is identical
+    # in both engines, so per-term doubles match bit-for-bit; the per-doc
+    # sum runs over DECIMAL(38,18) casts to stay order-independent.
+    #
+    # Scale: term filter BEFORE the tf aggregate (only query terms leave
+    # the scan), df is a tiny agg over tf, dl/avgdl are corpus stats a
+    # serving system precomputes (q_inverted_index's table); final is a
+    # TakeOrdered top-20. No window, no join wider than the query's terms.
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    s = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(38,18)")
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- product quantization ----
+@q(
+    "q_embed_pq",
+    """
+    WITH dims AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY pos),
+    qv AS (
+        SELECT vec_id, pos,
+               CAST(CASE WHEN mx = mn THEN 0
+                         ELSE LEAST(255, FLOOR((val - mn) * 256.0 / (mx - mn)))
+                    END AS INT) AS qv
+        FROM dims JOIN rng USING (pos)
+    ),
+    h AS (SELECT CAST((MAX(pos) + 1) // 2 AS INT) AS half FROM qv),
+    qs AS (SELECT vec_id, pos, qv,
+                  CASE WHEN pos >= half THEN 1 ELSE 0 END AS sub
+           FROM qv CROSS JOIN h),
+    cb AS (SELECT vec_id AS cid, pos, qv AS cqv FROM qs WHERE vec_id < 16),
+    dist AS (
+        SELECT d.vec_id, d.sub, c.cid,
+               SUM(CAST((d.qv - c.cqv) * (d.qv - c.cqv) AS BIGINT)) AS dist
+        FROM qs d JOIN cb c USING (pos)
+        GROUP BY d.vec_id, d.sub, c.cid
+    ),
+    best AS (
+        SELECT vec_id, sub, cid, dist,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM dist
+    )
+    SELECT vec_id,
+           CAST(MIN(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code0,
+           CAST(MIN(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code1,
+           MIN(CASE WHEN sub = 0 THEN dist END) AS dist0,
+           MIN(CASE WHEN sub = 1 THEN dist END) AS dist1
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_embed_pq(spark, sf):
+    # product quantization (PQ) encode: split each vector into two
+    # subspaces, assign each half to its nearest codebook centroid
+    # (deterministic codebook = the first 16 vectors by id — a real system
+    # trains k-means; the ENCODE dataflow is identical), emit the 2-byte
+    # code per vector. Runs on SQ8-quantized components so distances are
+    # INTEGER sums — exact cross-engine argmin, cid tiebreak.
+    #
+    # Scale: the codebook is 16 rows/subspace → broadcast; distance
+    # computation is a map-side join + hash aggregation keyed by
+    # (vector, subspace, centroid) — 32 partials per vector, partial-
+    # combined; argmin is a min(struct) aggregate, no window over data.
+    # This is the compression step that turns a 100 TB fp32 corpus into a
+    # ~1.5 TB code table the IVF layout (operators/similarity) serves.
+    from mongo_to_parquet_spark.operators.similarity import sq8_dims
+
+    e = T(spark, sf, "embeddings")
+    qv = sq8_dims(e)
+    half = e.select(F.floor(F.size("embedding") / 2).cast("int").alias("h")).first()[
+        "h"
+    ]
+    qs = qv.withColumn("sub", (F.col("pos") >= half).cast("int"))
+    cb = qs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cqv")
+    )
+    diff = F.col("qv") - F.col("cqv")
+    dist = (
+        qs.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(F.sum((diff * diff).cast("bigint")).alias("dist"))
+    )
+    best = dist.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.min(F.when(F.col("sub") == 0, F.col("b.cid"))).cast("bigint").alias("code0"),
+        F.min(F.when(F.col("sub") == 1, F.col("b.cid"))).cast("bigint").alias("code1"),
+        F.min(F.when(F.col("sub") == 0, F.col("b.dist"))).alias("dist0"),
+        F.min(F.when(F.col("sub") == 1, F.col("b.dist"))).alias("dist1"),
+    )
