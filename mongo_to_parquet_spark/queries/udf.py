@@ -179,3 +179,91 @@ def q_udf_sql(spark, sf):
         "l_linenumber",
         F.expr("charge_of(l_extendedprice, l_discount, l_tax)").alias("charge"),
     )
+
+
+@q(
+    "q_udtf_kwic",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM base)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(toks[greatest(1, i - 2):least(len(toks), i + 2)], ' ')
+               AS context
+    FROM pos WHERE toks[i] = 'spark'
+    """,
+)
+def q_udtf_kwic(spark, sf):
+    # the REAL Spark 4 Python UDTF surface, exercised end-to-end as a
+    # LATERAL table function: keyword-in-context — each occurrence of the
+    # term expands to (position, +-2-token window). Genuinely procedural
+    # row expansion (per-match variable-length yield) is where a UDTF
+    # earns its Arrow round-trip; pure tokenization stays explode(split)
+    # (q_udtf_split's point). The UDTF runs once per input row with
+    # LATERAL correlation; the outer columns never copy into Python —
+    # only text crosses the boundary.
+    from pyspark.sql.functions import udtf
+
+    from mongo_to_parquet_spark.sources.catalog import register_views
+
+    @udtf(returnType="pos int, context string")
+    class KwicUdtf:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for j, t in enumerate(toks):
+                if t == "spark":
+                    lo, hi = max(0, j - 2), min(len(toks), j + 3)
+                    yield j, " ".join(toks[lo:hi])
+
+    register_views(spark, sf)
+    spark.udtf.register("kwic_udtf", KwicUdtf)
+    return spark.sql(
+        """
+        SELECT d.doc_id, k.pos, k.context
+        FROM documents d, LATERAL kwic_udtf(d.text) k
+        """
+    )
+
+
+@q(
+    "q_udf_grouped_arrow",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MAX(value) - MIN(value) AS v_range
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udf_grouped_arrow(spark, sf):
+    # grouped-map applyInArrow: the zero-pandas twin of applyInPandas —
+    # each group arrives as ONE pyarrow.Table and returns one, no pandas
+    # materialization of the batch (the win for wide/binary columns;
+    # operators/multimodal.py uses the mapInArrow streaming variant).
+    # Min/max/count picks are exact, so the oracle hash-match carries no
+    # float hazard. Same scale constraint as any grouped map: a group
+    # must fit an executor.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = (
+        "event_type string, n bigint, v_min double, v_max double, v_range double"
+    )
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        vals = tbl.column("value")
+        mm = pc.min_max(vals)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "v_min": [lo],
+                "v_max": [hi],
+                "v_range": [hi - lo],
+            }
+        )
+
+    e = T(spark, sf, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(stats, schema=schema)

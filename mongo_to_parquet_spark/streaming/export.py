@@ -124,3 +124,89 @@ def stream_merge_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously materialized CDC table: each micro-batch of I/U/D ops
+    folds into a persisted latest-per-key state; deletes REMOVE keys
+    (the case ``stream_merge_upsert`` cannot express).
+
+    Semantics match the batch :func:`operators.merge.apply_cdc` over the
+    full log (pinned in tests/test_streaming.py): per key the latest op
+    by ``seq_cols`` wins across batches, and a key whose latest op is the
+    delete op is absent from the state. Idempotent under micro-batch
+    replay by construction — a replayed op's seq is ≤ the state's seq for
+    its key, so it never regresses the state (same guard family as
+    stream_merge_upsert; no batch-id bookkeeping needed because the state
+    keeps the seq columns).
+
+    State versions follow the commit-marker discipline
+    (operators/incremental.py): readers only see fully-written versions.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.incremental import (
+        _all_versions,
+        _commit,
+        _versions,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [c for c in batch_df.columns if c not in keys]
+        # collapse the batch: latest op per key, op column KEPT (a delete
+        # that is the batch's last word must win)
+        latest = batch_df.groupBy(*keys).agg(
+            F.max_by(F.struct(*payload), F.struct(*seq_cols)).alias("__last")
+        ).select(*keys, *[F.col(f"__last.{c}").alias(c) for c in payload])
+        vs = _versions(state_dir)
+        if vs:
+            state = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+            cur_seq = state.select(
+                *keys, *[F.col(c).alias(f"__cur_{c}") for c in seq_cols]
+            )
+            newer = (
+                latest.join(cur_seq, keys, "left")
+                .filter(
+                    F.col(f"__cur_{seq_cols[0]}").isNull()
+                    | (
+                        F.struct(*seq_cols)
+                        > F.struct(*[f"__cur_{c}" for c in seq_cols])
+                    )
+                )
+                .drop(*[f"__cur_{c}" for c in seq_cols])
+            )
+            survivors = state.join(
+                newer.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = survivors.unionByName(
+                newer.filter(F.col(op_col) != delete_op).select(*state.columns)
+            )
+        else:
+            merged = latest.filter(F.col(op_col) != delete_op)
+        all_vs = _all_versions(state_dir)
+        next_v = (all_vs[-1] + 1) if all_vs else 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={next_v}")
+        )
+        _commit(state_dir, next_v, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

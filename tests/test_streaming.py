@@ -345,3 +345,69 @@ def test_state_store_reader_exposes_window_state(spark, tmp_path):
     )
     assert len(cnts) == 2
     assert sum(cnts) == 12
+
+
+def test_stream_cdc_apply_matches_batch_apply_cdc(spark, sf_dir, tmp_path):
+    """Streaming CDC materialization == batch apply_cdc over the full log:
+    latest op per key wins across micro-batches, delete-last keys are
+    absent, replays never regress the state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.incremental import _versions
+    from mongo_to_parquet_spark.operators.merge import apply_cdc
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import windows as sw
+    from mongo_to_parquet_spark.streaming.export import stream_cdc_apply
+
+    def to_log(df):
+        return df.select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "value",
+        )
+
+    state = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run():
+        q = stream_cdc_apply(
+            to_log(sw.replay_events(spark, sf_dir)),
+            state,
+            ckpt,
+            keys=["user_id"],
+            seq_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run()
+    assert len(_versions(state)) >= 2  # multiple micro-batches folded
+    v = _versions(state)[-1]
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(os.path.join(state, f"v={v}")).collect()
+    }
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in apply_cdc(
+            to_log(load_table(spark, sf_dir, "events")),
+            keys=["user_id"],
+            seq_cols=["ts", "event_id"],
+        ).collect()
+    }
+    assert got == want
+    # restart with nothing new: checkpoint makes it a no-op on the state
+    run()
+    v2 = _versions(state)[-1]
+    got2 = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(os.path.join(state, f"v={v2}")).collect()
+    }
+    assert got2 == want
