@@ -131,3 +131,50 @@ def test_observed_export_returns_in_plan_metrics(spark, sf_dir, tmp_path):
     assert m["rows_written"] == orders.count() == back.count()
     assert m["rows_unknown_year"] == 0  # fixture dates are all valid
     assert m["n_partitions"] == back.select("year").distinct().count()
+
+
+def test_mongoexport_streaming_source_tails_new_files(spark, tmp_path):
+    """The streaming twin of the mongoexport reader: new dump files become
+    new micro-batches; restarts resume from the checkpoint with no dupes
+    and no gaps — the jar-less analog of tailing a Mongo change feed."""
+    import time
+
+    from mongo_to_parquet_spark.sources.extjson import MongoExportDataSource
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(MongoExportDataSource)
+
+    def run():
+        q = (
+            spark.readStream.format("mongoexport")
+            .schema("_id string, n bigint, name string")
+            .load(str(dump))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def mk(path, rows):
+        _write_jsonl(path, rows)
+
+    mk(dump / "part0.jsonl", [{"_id": {"$oid": "a1"}, "n": {"$numberLong": "1"}, "name": "one"}])
+    mk(dump / "part1.jsonl", [{"_id": {"$oid": "a2"}, "n": {"$numberLong": "2"}, "name": "two"}])
+    run()
+    got = {r["_id"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got == {"a1": 1, "a2": 2}
+
+    time.sleep(0.1)
+    mk(dump / "part2.jsonl", [{"_id": {"$oid": "a3"}, "n": {"$numberLong": "3"}, "name": "three"}])
+    run()  # restart: only the NEW file lands — no dupes, no gaps
+    got = sorted((r["_id"], r["n"]) for r in spark.read.parquet(out).collect())
+    assert got == [("a1", 1), ("a2", 2), ("a3", 3)]
+
+    run()  # nothing new: no-op
+    assert spark.read.parquet(out).count() == 3
