@@ -52,6 +52,8 @@ HEADLINE = [
     "q_dedup_clusters",     # iterative min-label propagation to fixed point
     "q_sim_topk_ivf",       # IVF layout: cell-pruned ANN probes
     "q_profile_approx",     # single-pass HLL profile (q_profile's 100 TB mode)
+    "q_cdc_apply",          # CDC log -> state via one max_by aggregation
+    "q_bm25",               # BM25 ranking: decimal-exact scoring + TakeOrdered
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay

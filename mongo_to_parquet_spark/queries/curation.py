@@ -847,3 +847,152 @@ def q_abtest_stats(spark, sf):
             4,
         ).alias("t_stat"),
     )
+
+
+# ------------------------------------------------- sequence patterns -------
+@q(
+    "q_seq_pattern",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP),
+                          event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((length(s) - length(replace(s, 'error>error', '')))
+                // length('error>error') AS BIGINT) AS n_error_bursts,
+           CAST((length(s) - length(replace(s, 'view>click>purchase', '')))
+                // length('view>click>purchase') AS BIGINT) AS n_funnel_runs
+    FROM seq
+    """,
+)
+def q_seq_pattern(spark, sf):
+    # sequence-pattern matching over per-user event strings — the
+    # MATCH_RECOGNIZE analog Spark lacks as syntax, expressed as encode +
+    # string scan: each user's type sequence (total (ts,id) order) becomes
+    # one delimited string; patterns ('error>error' bursts, the
+    # view>click>purchase funnel) count by non-overlapping replace-length
+    # arithmetic — pure string ops, so both engines count identically with
+    # zero regex-dialect risk. Complements q_events_transitions (1-step
+    # Markov) and q_funnel (stage survivors) with arbitrary-length motifs.
+    #
+    # Scale: ONE shuffle by user (the sort_array(collect_list) aggregate
+    # partial-combines); state per key is the user's own sequence string —
+    # session-bounded, the same constraint every sessionization op has.
+    ev = T(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type"
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("s"),
+    )
+
+    def n_occ(pat: str):
+        return (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(pat))))
+            / F.lit(len(pat))
+        ).cast("bigint")
+
+    return seq.select(
+        "user_id",
+        "n_events",
+        n_occ("error>error").alias("n_error_bursts"),
+        n_occ("view>click>purchase").alias("n_funnel_runs"),
+    )
+
+
+# ---------------------------------------------------- correlation matrix ---
+@q(
+    "q_agg_corr_matrix",
+    """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS se,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS see,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqe,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sed
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y,
+           ROUND((n * sqe - sq * se)
+                 / sqrt((n * sqq - sq * sq) * (n * see - se * se)), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((n * sed - se * sd)
+                 / sqrt((n * see - se * se) * (n * sdd - sd * sd)), 6)
+    FROM m
+    """,
+)
+def q_agg_corr_matrix(spark, sf):
+    # pairwise Pearson correlation matrix over the fact table's numeric
+    # columns. Built-in corr() accumulates co-moments in float — summation
+    # order moves the result across engines; here every moment (n, Σx,
+    # Σxy, Σx²) is an exact DECIMAL aggregate and the correlation formula
+    # is one identical double expression over those exact inputs — the
+    # same moment-sketch discipline as q_abtest_stats.
+    #
+    # Scale: ONE scan, one 10-number aggregate (partial-combined to a
+    # single row), then a 3-row projection. A k-column matrix is k(k+1)/2
+    # moment columns in the same single pass — never k² scans.
+    li = T(spark, sf, "lineitem")
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,6)")).cast("double")
+
+    qn, ep, dc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(qn).alias("sq"),
+        dsum(ep).alias("se"),
+        dsum(dc).alias("sd"),
+        dsum(qn * qn).alias("sqq"),
+        dsum(ep * ep).alias("see"),
+        dsum(dc * dc).alias("sdd"),
+        dsum(qn * ep).alias("sqe"),
+        dsum(qn * dc).alias("sqd"),
+        dsum(ep * dc).alias("sed"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    wide = m.select(
+        corr("sqe", "sq", "se", "sqq", "see").alias("c1"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("c2"),
+        corr("sed", "se", "sd", "see", "sdd").alias("c3"),
+    )
+    # unpivot via stack: the 1-row aggregate is computed ONCE (a 3-way
+    # union of projections would re-derive it per branch)
+    return wide.selectExpr(
+        "stack(3, "
+        "'l_quantity', 'l_extendedprice', c1, "
+        "'l_quantity', 'l_discount', c2, "
+        "'l_extendedprice', 'l_discount', c3) AS (var_x, var_y, corr)"
+    )
