@@ -241,3 +241,186 @@ def q_embed_pq(spark, sf):
         F.min(F.when(F.col("sub") == 0, F.col("b.dist"))).alias("dist0"),
         F.min(F.when(F.col("sub") == 1, F.col("b.dist"))).alias("dist1"),
     )
+
+
+# ----------------------------------------------------- frequency sketch ----
+_CMS_W, _CMS_D = 64, 4
+_CMS_PROBES = ("join", "hash", "spark", "scan", "zzz_absent_token")
+
+
+def _cms_bucket_sql(tok_expr: str, i_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cms', CAST({i_expr} AS VARCHAR), "
+        f"':', {tok_expr})), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@q(
+    "q_sketch_cms",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    ii AS (SELECT unnest(range({_CMS_D})) AS i),
+    cells AS (
+        SELECT i, {_cms_bucket_sql("tok", "i")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks CROSS JOIN ii GROUP BY i, b
+    ),
+    probes AS (SELECT unnest({list(_CMS_PROBES)!r}) AS tok),
+    pb AS (SELECT tok, i, {_cms_bucket_sql("tok", "i")} AS b
+           FROM probes CROSS JOIN ii),
+    est AS (SELECT tok, MIN(c) AS est FROM pb JOIN cells USING (i, b)
+            GROUP BY tok),
+    exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY tok)
+    SELECT tok, est, COALESCE(exact_n, CAST(0 AS BIGINT)) AS exact_n
+    FROM est LEFT JOIN exact USING (tok)
+    """,
+)
+def q_sketch_cms(spark, sf):
+    # count-min sketch, EXACTLY reproduced in both engines: d=4 md5-derived
+    # hash rows × w=64 buckets (md5 exists in both, so unlike xxhash
+    # sketches this one is hash-checkable, not rows-only). Probe tokens
+    # (incl. one absent) read back est = min over rows — the CMS guarantee
+    # est ≥ exact is visible in the output columns.
+    #
+    # Scale: the sketch is a FIXED d×w cell table regardless of corpus
+    # size — the shuffle after map-side partial aggregation carries at
+    # most d·w·partitions rows. This is the frequency oracle you consult
+    # before q_text_vocab-style exact top-k: heavy hitters at 100 TB for
+    # the cost of a constant-size aggregate.
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    ii = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(tok_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), i_col.cast("string"), F.lit(":"), tok_col
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    cells = (
+        toks.select("tok", F.explode(ii).alias("i"))
+        .groupBy("i", bucket(F.col("tok"), F.col("i")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "tok string")
+    pb = probes.select("tok", F.explode(ii).alias("i")).select(
+        "tok", "i", bucket(F.col("tok"), F.col("i")).alias("b")
+    )
+    est = (
+        pb.join(cells, ["i", "b"]).groupBy("tok").agg(F.min("c").alias("est"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "tok", "left").select(
+        "tok",
+        "est",
+        F.coalesce("exact_n", F.lit(0).cast("bigint")).alias("exact_n"),
+    )
+
+
+# ----------------------------------------------------- bloom membership ----
+_BLOOM_M, _BLOOM_K = 512, 3
+_BLOOM_PROBES = ("join", "customer", "spark", "no_such_tok", "zzz_absent_token")
+
+
+def _bloom_bit_sql(tok_expr: str, i_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bloom', CAST({i_expr} AS VARCHAR), "
+        f"':', {tok_expr})), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@q(
+    "q_sketch_bloom",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    ii AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    bits AS (
+        SELECT DISTINCT {_bloom_bit_sql("tok", "i")} AS bit
+        FROM toks CROSS JOIN ii
+    ),
+    probes AS (SELECT unnest({list(_BLOOM_PROBES)!r}) AS tok),
+    pb AS (SELECT tok, {_bloom_bit_sql("tok", "i")} AS bit
+           FROM probes CROSS JOIN ii),
+    hits AS (
+        SELECT pb.tok, CAST(COUNT(bits.bit) AS BIGINT) AS bits_set
+        FROM pb LEFT JOIN bits ON pb.bit = bits.bit GROUP BY pb.tok
+    )
+    SELECT tok, bits_set,
+           bits_set = {_BLOOM_K} AS maybe_present,
+           tok IN (SELECT tok FROM toks) AS actually_present
+    FROM hits
+    """,
+)
+def q_sketch_bloom(spark, sf):
+    # Bloom-filter membership, exactly reproduced in both engines (md5
+    # bit positions, m=512, k=3): the corpus vocabulary sets bits; probe
+    # tokens test all k. maybe_present=false ⇒ definitely absent (the
+    # decontamination precheck: at 100 TB you consult the fixed-size
+    # filter before q_decontaminate's exact trigram join); the output
+    # pairs the filter's answer with ground truth so false positives are
+    # visible when they occur.
+    #
+    # Scale: the filter is ≤m DISTINCT bit rows — constant state. Setting
+    # bits is one distinct-aggregate over the vocabulary; probing is a
+    # broadcast join of probe bits against it.
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).distinct()
+    ii = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+
+    def bit(tok_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom"), i_col.cast("string"), F.lit(":"), tok_col
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    bits = (
+        toks.select(F.explode(ii).alias("i"), "tok")
+        .select(bit(F.col("tok"), F.col("i")).alias("bit"))
+        .distinct()
+    )
+    probes = spark.createDataFrame([(t,) for t in _BLOOM_PROBES], "tok string")
+    pb = probes.select("tok", F.explode(ii).alias("i")).select(
+        "tok", bit(F.col("tok"), F.col("i")).alias("bit")
+    )
+    hits = (
+        pb.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("tok")
+        .agg(F.count("__set").alias("bits_set"))
+    )
+    return hits.join(
+        toks.select(F.col("tok"), F.lit(True).alias("__in")), "tok", "left"
+    ).select(
+        "tok",
+        "bits_set",
+        (F.col("bits_set") == _BLOOM_K).alias("maybe_present"),
+        F.coalesce("__in", F.lit(False)).alias("actually_present"),
+    )
