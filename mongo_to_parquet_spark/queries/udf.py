@@ -206,7 +206,7 @@ def q_udtf_kwic(spark, sf):
 
     from mongo_to_parquet_spark.sources.catalog import register_views
 
-    @udtf(returnType="pos int, context string")
+    @udtf(returnType="pos int, context string", useArrow=True)
     class KwicUdtf:
         def eval(self, text: str):
             toks = (text or "").split(" ")

@@ -120,15 +120,37 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
     surface — everything else stays fully JVM-side."""
     from mongo_to_parquet_spark.queries import queries
 
-    arrow_ok = {"q_udf_scalar_pandas", "q_udaf_grouped", "q_udf_grouped_map", "q_mm_features"}
+    arrow_ok = {
+        "q_udf_scalar_pandas",
+        "q_udaf_grouped",
+        "q_udf_grouped_map",
+        "q_mm_features",
+        "q_udtf_kwic",          # Arrow-optimized Python UDTF (useArrow=True)
+        "q_udf_grouped_arrow",  # grouped-map applyInArrow
+    }
     for key, fn in sorted(queries().items()):
         plan = checks.formatted_plan(fn(spark, sf_dir))
-        assert "BatchEvalPython" not in plan, f"{key} plans a row-Python UDF"
+        # BatchEvalPythonUDTF is the (arrow-less) UDTF node — the scalar
+        # row-UDF node we ban is exactly "BatchEvalPython"
+        assert "BatchEvalPython\n" not in plan and "BatchEvalPython (" not in plan and (
+            "BatchEvalPython" not in plan or "BatchEvalPythonUDTF" in plan
+        ), f"{key} plans a row-Python UDF"
+        if key in arrow_ok:
+            assert "BatchEvalPythonUDTF" not in plan, (
+                f"{key}: UDTF lost its Arrow path (useArrow=True)"
+            )
         # a true cartesian (both sides unbounded) must never appear; the
         # sim/dedup cross joins are all broadcast-NL with a tiny build side
         assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
         if key not in arrow_ok:
-            for node in ("ArrowEvalPython", "MapInPandas", "ArrowAggregatePython", "FlatMapGroupsInPandas"):
+            for node in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "ArrowAggregatePython",
+                "FlatMapGroupsInPandas",
+                "MapInArrow",
+                "PythonUDTF",
+            ):
                 assert node not in plan, f"{key} unexpectedly crosses into Python ({node})"
 
 
@@ -324,3 +346,61 @@ def test_flatten_prunes_nested_leaves_at_scan(spark, tmp_path):
     schemas = checks.read_schemas(df)
     assert len(schemas) == 1
     assert "city" in schemas[0] and "score" not in schemas[0] and "name" not in schemas[0]
+
+
+def test_pagerank_iterations_reuse_cached_copartitioned_edges(spark, sf_dir):
+    # the edge relation must come from an InMemoryRelation (built once);
+    # its cached hashpartitioning(src) feeds all three iteration joins
+    plan = checks.formatted_plan(QS["q_graph_pagerank"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cdc_apply_is_one_aggregate_no_window(spark, sf_dir):
+    # max_by collapse: a partial-combined aggregate, never a window sort
+    plan = checks.formatted_plan(QS["q_cdc_apply"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine of the max_by buffers
+
+
+def test_scd2_merge_broadcasts_update_batch(spark, sf_dir):
+    # the dimension side never shuffles for the change-detection join
+    plan = checks.formatted_plan(QS["q_merge_scd2_apply"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_terms_before_tf_aggregate(spark, sf_dir):
+    # only query terms survive into the tf aggregate; top-20 short-circuits
+    df = QS["q_bm25"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the 3-term IN filter sits below the tf aggregate (scan-side, not
+    # post-agg): it appears as a Filter condition on the token column
+    assert "tok" in plan and "spark" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_pq_broadcasts_codebook(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_embed_pq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_has_no_cartesian_or_nested_loop(spark, sf_dir):
+    from mongo_to_parquet_spark.operators import dedup
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = checks.formatted_plan(
+        dedup.jaccard_pairs(docs, 0.5, ngram=3, strategy="prefix")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_cms_aggregates_partial(spark, sf_dir):
+    # the d x w cell table partial-combines map-side
+    plan = checks.formatted_plan(QS["q_sketch_cms"](spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
