@@ -29,20 +29,52 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", required=True, help="JSON job config (reference-compatible)")
     ap.add_argument(
         "--source-dir",
-        help="read collections as <dir>/<name>.parquet instead of MongoDB",
+        help="read collections from this directory instead of MongoDB",
+    )
+    ap.add_argument(
+        "--source-format",
+        choices=("parquet", "mongoexport"),
+        default="parquet",
+        help="with --source-dir: <dir>/<name>.parquet tables, or "
+        "<dir>/<name>.jsonl (or <dir>/<name>/ shards) mongoexport "
+        "extended-JSON dumps with sampled schema inference",
     )
     ap.add_argument("--database", default="default", help="Mongo database (connector path)")
+    ap.add_argument(
+        "--max-concurrent",
+        type=int,
+        default=1,
+        help="collection exports submitted at once (FAIR pool overlap for "
+        "many-small-collection configs; reference main.py:266-273)",
+    )
     args = ap.parse_args(argv)
 
     cfg = JobConfig.from_json(args.config)
     spark = get_spark("mongo-to-parquet-spark-export")
-    if args.source_dir:
+    if args.source_dir and args.source_format == "mongoexport":
+        import os
+
+        from mongo_to_parquet_spark.sources.extjson import (
+            MongoExportDataSource,
+            infer_extjson_schema,
+        )
+
+        spark.dataSource.register(MongoExportDataSource)
+
+        def reader(coll):
+            p = os.path.join(args.source_dir, f"{coll}.jsonl")
+            if not os.path.exists(p):
+                p = os.path.join(args.source_dir, coll)
+            schema = infer_extjson_schema(spark, p)
+            return spark.read.format("mongoexport").schema(schema).load(p)
+
+    elif args.source_dir:
         reader = lambda coll: spark.read.parquet(f"{args.source_dir}/{coll}.parquet")  # noqa: E731
     else:
         reader = lambda coll: read_collection(  # noqa: E731
             spark, cfg.mongo_uri, args.database, coll
         )
-    totals = ExportJob(spark, cfg, reader).run()
+    totals = ExportJob(spark, cfg, reader, max_concurrent=args.max_concurrent).run()
     # one JSON line per collection — the reference's END log (main.py:309)
     print(json.dumps({"rows_written": totals}))
     return 0

@@ -268,3 +268,35 @@ def q_embed_quantize(spark, sf):
     from mongo_to_parquet_spark.operators.similarity import sq8_dims
 
     return sq8_dims(T(spark, sf, "embeddings"))
+
+
+# ----------------------------------------------------- multimodal dedup ----
+@q(
+    "q_mm_dedup",
+    """
+    SELECT sha256(text) AS payload_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_mm_dedup(spark, sf):
+    # exact dedup over BINARY media payloads (operators/multimodal
+    # attach_binary models docs as image rows; real pipelines point this
+    # at the blob column directly): sha256 of the payload bytes groups
+    # copies, min-id keeps deterministically, byte size rides along from
+    # the typed metadata struct. The oracle hashes the same utf-8 bytes,
+    # so the check is end-to-end over the binary path.
+    #
+    # Scale: identical to q_dedup_exact — the shuffle carries
+    # (hash, id, n_bytes), never the payload; a 100 TB media corpus
+    # dedups by moving 40-byte rows.
+    from mongo_to_parquet_spark.operators import multimodal
+
+    media = multimodal.attach_binary(T(spark, sf, "documents"))
+    return media.groupBy(F.sha2(F.col("payload"), 256).alias("payload_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col("meta.n_bytes")).alias("n_bytes"),
+    )

@@ -160,9 +160,8 @@ def q_bm25(spark, sf):
 
 
 # ------------------------------------------------- product quantization ----
-@q(
-    "q_embed_pq",
-    """
+#: shared quantize→codebook→assign CTE prefix (q_embed_pq, q_sim_topk_pq)
+_PQ_CTES = """
     WITH dims AS (
         SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS val
@@ -180,7 +179,7 @@ def q_bm25(spark, sf):
     qs AS (SELECT vec_id, pos, qv,
                   CASE WHEN pos >= half THEN 1 ELSE 0 END AS sub
            FROM qv CROSS JOIN h),
-    cb AS (SELECT vec_id AS cid, pos, qv AS cqv FROM qs WHERE vec_id < 16),
+    cb AS (SELECT vec_id AS cid, pos, qv AS cqv, sub FROM qs WHERE vec_id < 16),
     dist AS (
         SELECT d.vec_id, d.sub, c.cid,
                SUM(CAST((d.qv - c.cqv) * (d.qv - c.cqv) AS BIGINT)) AS dist
@@ -193,6 +192,13 @@ def q_bm25(spark, sf):
                                   ORDER BY dist, cid) AS rn
         FROM dist
     )
+"""
+
+
+@q(
+    "q_embed_pq",
+    _PQ_CTES
+    + """
     SELECT vec_id,
            CAST(MIN(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code0,
            CAST(MIN(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code1,
@@ -423,4 +429,95 @@ def q_sketch_bloom(spark, sf):
         "bits_set",
         (F.col("bits_set") == _BLOOM_K).alias("maybe_present"),
         F.coalesce("__in", F.lit(False)).alias("actually_present"),
+    )
+
+
+@q(
+    "q_sim_topk_pq",
+    _PQ_CTES
+    + """
+    , codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+    pairdist AS (
+        SELECT a.cid AS ca, b.cid AS cb2, a.sub,
+               SUM(CAST((a.cqv - b.cqv) * (a.cqv - b.cqv) AS BIGINT)) AS pd
+        FROM cb a JOIN cb b ON a.pos = b.pos
+        GROUP BY a.cid, b.cid, a.sub
+    ),
+    probe AS (SELECT sub, cid AS pcid FROM codes WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id, SUM(pd) AS pq_dist
+        FROM codes c
+        JOIN probe p ON c.sub = p.sub
+        JOIN pairdist d ON d.sub = c.sub AND d.ca = c.cid AND d.cb2 = p.pcid
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, pq_dist FROM scored WHERE vec_id <> 0
+    ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk_pq(spark, sf):
+    # the PQ SEARCH step completing quantize → encode → serve: symmetric
+    # PQ distance between the probe's code and every corpus code via a
+    # precomputed 16×16-per-subspace centroid-pair distance table — the
+    # classic ADC/SDC lookup. All arithmetic is integer over SQ8
+    # components, so ranks are exactly reproducible (no float ties).
+    #
+    # Scale: the pair table is 2·16² rows and the probe's code is 2 rows —
+    # both broadcast; scoring the corpus is a map-side join over the code
+    # table (2 rows/vector, NOT the embeddings) + a 2-term sum. This is
+    # the memory-bandwidth shape that makes PQ serving fast: the fp32
+    # corpus is never touched after encoding. Exact re-rank of the PQ
+    # top-k (brute_force_topk over just those ids) is the standard second
+    # stage.
+    from mongo_to_parquet_spark.operators.similarity import sq8_dims
+
+    e = T(spark, sf, "embeddings")
+    qv = sq8_dims(e)
+    half = e.select(F.floor(F.size("embedding") / 2).cast("int").alias("h")).first()[
+        "h"
+    ]
+    qs = qv.withColumn("sub", (F.col("pos") >= half).cast("int"))
+    cb = qs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cqv"), "sub"
+    )
+    diff = F.col("qv") - F.col("cqv")
+    dist = (
+        qs.join(F.broadcast(cb.drop("sub")), "pos")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(F.sum((diff * diff).cast("bigint")).alias("dist"))
+    )
+    codes = (
+        dist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", "sub", F.col("b.cid").alias("cid"))
+    )
+    cdiff = F.col("a_cqv") - F.col("b_cqv")
+    pairdist = (
+        cb.select(
+            F.col("cid").alias("ca"), "pos", F.col("cqv").alias("a_cqv"),
+            F.col("sub").alias("psub"),
+        )
+        .join(
+            cb.select(F.col("cid").alias("cb2"), "pos", F.col("cqv").alias("b_cqv")),
+            "pos",
+        )
+        .groupBy("ca", "cb2", "psub")
+        .agg(F.sum((cdiff * cdiff).cast("bigint")).alias("pd"))
+    )
+    probe = codes.filter(F.col("vec_id") == 0).select(
+        "sub", F.col("cid").alias("pcid")
+    )
+    return (
+        codes.join(F.broadcast(probe), "sub")
+        .join(
+            F.broadcast(pairdist),
+            (F.col("cid") == F.col("ca"))
+            & (F.col("pcid") == F.col("cb2"))
+            & (F.col("sub") == F.col("psub")),  # pair table is per-subspace
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("pd").alias("pq_dist"))
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
     )

@@ -118,6 +118,44 @@ def write_extjson_lines(path: str, docs, id_field: str = "_id") -> int:
     return n
 
 
+def infer_extjson_schema(spark, path: str, sample_rows: int = 1000):
+    """Schema for a mongoexport dump from a bounded driver-side sample.
+
+    Same posture as operators/nested.infer_json_schema: the sample is
+    read once, envelopes are UNWRAPPED first (so ``$date`` infers as
+    timestamp and ``$numberLong`` as bigint, not as structs), and the
+    resulting schema is an explicit, reviewable artifact the caller pins —
+    not the reference's silent first-batch freeze (main.py:212-218).
+    """
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".json", ".jsonl"))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    docs = []
+    for fp in files:
+        with open(fp, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    doc = unwrap_extjson(json.loads(line))
+                    if isinstance(doc, dict):
+                        docs.append(doc)
+                if len(docs) >= sample_rows:
+                    break
+        if len(docs) >= sample_rows:
+            break
+    if not docs:
+        from pyspark.sql.types import StructType
+
+        return StructType([])
+    return spark.createDataFrame(docs).schema
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path

@@ -254,3 +254,50 @@ def test_export_compression_and_file_rolling(spark, sf_dir, tmp_path):
         assert meta.row_group(0).column(0).compression == "ZSTD"
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+
+
+def test_cli_export_job_mongoexport_source(spark, sf_dir, tmp_path):
+    """CLI end-to-end on Mongo-shaped input: a mongoexport dump directory,
+    sampled schema inference (envelopes unwrapped first), config-driven
+    export — the reference's console workflow without a mongod."""
+    import json as _json
+
+    from mongo_to_parquet_spark.__main__ import main as cli_main
+    from mongo_to_parquet_spark.sources.extjson import write_extjson_lines
+
+    src = tmp_path / "dumps"
+    src.mkdir()
+    write_extjson_lines(
+        src / "orders.jsonl",
+        (
+            {
+                "_id": f"{i:x}",
+                "o_orderkey": i,
+                "o_orderdate": dt.datetime(1996 + i % 2, 3, 1 + i % 28),
+                "o_total": float(i) + 0.25,
+            }
+            for i in range(200)
+        ),
+    )
+    cfg = {
+        "output_dir": str(tmp_path / "out"),
+        "date_collections": {"orders": "o_orderdate"},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    rc = cli_main(
+        [
+            "--config", str(cfg_path),
+            "--source-dir", str(src),
+            "--source-format", "mongoexport",
+            "--max-concurrent", "2",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(tmp_path / "out" / "orders"))
+    assert back.count() == 200
+    assert set(r["year"] for r in back.select("year").distinct().collect()) == {
+        "1996", "1997",
+    }
+    assert "_id" not in back.columns  # R3: _id dropped at export
+    assert dict(back.dtypes)["o_orderkey"] == "bigint"  # $numberLong inferred
