@@ -996,3 +996,209 @@ def q_agg_corr_matrix(spark, sf):
         "'l_quantity', 'l_discount', c2, "
         "'l_extendedprice', 'l_discount', c3) AS (var_x, var_y, corr)"
     )
+
+
+# -------------------------------------------------------- graph triangles --
+@q(
+    "q_graph_triangles",
+    """
+    WITH s AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM s a JOIN s b ON a.ok = b.ok AND a.p < b.p
+    ),
+    deg AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+             ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_vertices, n_edges, n_wedges, t AS n_triangles,
+           ROUND(CAST(3 * t AS DOUBLE) / n_wedges, 6) AS gcc
+    FROM tot, ne, tri
+    """,
+)
+def q_graph_triangles(spark, sf):
+    # triangle counting + global clustering coefficient over the part
+    # co-occurrence graph (parts linked when they appear in the same
+    # order). Implemented with the DEGREE-ORDERED orientation: each
+    # undirected edge points from its lower-(degree, id) endpoint to the
+    # higher one, wedges are enumerated only at each edge's tail, and a
+    # final edge join closes them. Every triangle is counted exactly once,
+    # so the count equals the oracle's simpler id-ordered enumeration.
+    #
+    # Scale: degree orientation is THE reason this survives 100 TB — it
+    # bounds every vertex's out-degree by O(sqrt(m)) regardless of how
+    # skewed the raw degree distribution is, so the wedge join generates
+    # O(m^1.5) candidates worst-case instead of sum(deg^2) (a hot part in
+    # every order would otherwise square). All stages are equi-joins and
+    # hash aggregations; the wedge count comes from the degree table
+    # (orientation-independent Σ d(d-1)/2), never from materialized wedges.
+    li = T(spark, sf, "lineitem")
+    s = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    a, b = s.alias("a"), s.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    de = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    w1 = de.select("src", F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    w2 = de.select("src", F.col("dst").alias("c"), F.col("ddst").alias("dc"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = de.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tot.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.round((F.lit(3) * F.col("t")).cast("double") / F.col("n_wedges"), 6).alias(
+                "gcc"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------- drift (PSI) ---
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 500.0
+_PSI_SPLIT = "2024-01-16"  # reference period before, current period after
+_PSI_B = _PSI_BINS + 2     # smoothing denominator: interior + 2 overflow bins
+
+
+@q(
+    "q_drift_psi",
+    f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value < {_PSI_LO} THEN 0
+                    WHEN value >= {_PSI_HI} THEN {_PSI_BINS + 1}
+                    ELSE CAST(FLOOR((value - {_PSI_LO})
+                              / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS}))
+                              AS BIGINT) + 1 END AS bucket,
+               CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bucket,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY event_type, bucket
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM counts GROUP BY event_type
+    ),
+    terms AS (
+        SELECT c.event_type, t_ref, t_cur,
+               CAST(
+                   (CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_B})
+                    - CAST(n_ref + 1 AS DOUBLE) / (t_ref + {_PSI_B}))
+                   * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_B}))
+                        / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + {_PSI_B})))
+               AS DECIMAL(38, 18)) AS term
+        FROM counts c JOIN tot t ON c.event_type = t.event_type
+    )
+    SELECT event_type, t_ref AS n_ref, t_cur AS n_cur,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY event_type, t_ref, t_cur
+    """,
+)
+def q_drift_psi(spark, sf):
+    # data-drift monitor: Population Stability Index of the value
+    # distribution per event type, reference period (before the split
+    # date) vs current. Equi-width bins with overflow buckets (mirroring
+    # q_agg_histogram's exact float bucketing), Laplace-smoothed
+    # proportions so empty-on-one-side bins stay finite. Every float
+    # flows from integer counts through an identical expression tree;
+    # per-bin terms are summed as DECIMAL(38,18) so the reduction is
+    # order-independent — PSI is hash-exact, not approximately equal.
+    #
+    # Scale: ONE pass over events into a (type × bucket × period) count
+    # cube — a map-side-combinable aggregation with ≤ types·(bins+2) rows
+    # of state; totals and PSI terms are computed on that tiny cube. This
+    # is the shape of a production drift monitor: the fixed bin edges are
+    # frozen from the reference period, so the daily check is a single
+    # aggregation, never a re-sort of history.
+    ev = T(spark, sf, "events")
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    bucket = (
+        F.when(F.col("value") < _PSI_LO, F.lit(0))
+        .when(F.col("value") >= _PSI_HI, F.lit(_PSI_BINS + 1))
+        .otherwise(
+            F.floor((F.col("value") - F.lit(_PSI_LO)) / F.lit(width)).cast("bigint")
+            + F.lit(1)
+        )
+        .cast("bigint")
+    )
+    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    counts = (
+        ev.select("event_type", bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _PSI_B)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + _PSI_B)
+    terms = counts.join(tot, "event_type").select(
+        "event_type",
+        "t_ref",
+        "t_cur",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(38,18)").alias("term"),
+    )
+    return terms.groupBy("event_type", "t_ref", "t_cur").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi")
+    ).select(
+        "event_type",
+        F.col("t_ref").alias("n_ref"),
+        F.col("t_cur").alias("n_cur"),
+        "psi",
+    )

@@ -17,6 +17,7 @@ Float-parity notes (queries/__init__ rules applied):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.sources.catalog import load_table as T
@@ -521,3 +522,254 @@ def q_sim_topk_pq(spark, sf):
         .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------- hybrid fusion ---
+_RRF_K = 60          # standard RRF dampening constant
+_RRF_LIST = 50       # depth of each retriever's candidate list
+
+
+def _bm25_scored(spark, sf):
+    """The q_bm25 scoring pipeline up to (doc_id, score) — shared by the
+    fusion query so both rankings come from the same scorer."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    s = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(38,18)")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("score"))
+    )
+
+
+#: shared BM25-scoring CTE prefix for the fusion oracle (same CTEs as q_bm25)
+_BM25_CTES = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE tok IN {_BM25_TERMS!r} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(38, 18)) AS s
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    bm25 AS (
+        SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS score
+        FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@q(
+    "q_hybrid_rrf",
+    _BM25_CTES
+    + f"""
+    , lex AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_lex
+        FROM (SELECT * FROM bm25
+              ORDER BY score DESC, doc_id ASC LIMIT {_RRF_LIST})
+    ),
+    probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(pv AS DOUBLE[])), 4) AS sim
+        FROM embeddings, probe WHERE vec_id <> 0
+    ),
+    vec AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS r_vec
+        FROM (SELECT * FROM cos ORDER BY sim DESC, doc_id ASC LIMIT {_RRF_LIST})
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+               COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark, sf):
+    # hybrid retrieval by reciprocal-rank fusion: the lexical (BM25) and
+    # vector (cosine-to-probe) top-50 lists are fused by
+    # Σ 1/(60 + rank) — the standard score-free list-fusion that needs no
+    # cross-retriever calibration. Both ranks are integers from totally
+    # ordered (rounded score, id) lists, so 1/(60+r) and their fixed-order
+    # two-term sum are bit-identical across engines.
+    #
+    # Scale: each retriever's list is produced by its own scale path
+    # (BM25: term-filtered aggregation + TakeOrdered; cosine: one corpus
+    # scan + TakeOrdered) and is only _RRF_LIST rows; ranking and fusion
+    # happen on those tiny lists (single-partition window over ≤50 rows,
+    # broadcast-sized full-outer join). Fusion cost is independent of
+    # corpus size — exactly how a serving tier composes retrievers.
+    from mongo_to_parquet_spark.functions.vector import cosine
+
+    e = T(spark, sf, "embeddings")
+    rrf_k, depth = _RRF_K, _RRF_LIST
+    lex = (
+        _bm25_scored(spark, sf)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(depth)
+        .withColumn(
+            "r_lex",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("doc_id", "r_lex")
+    )
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    )
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("sim"),
+        )
+    )
+    vec = (
+        cos.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(depth)
+        .withColumn(
+            "r_vec",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("doc_id", "r_vec")
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------ context assembly ---
+_RAG_TOPK = 5
+_RAG_BUDGET = 150  # token budget for the assembled context
+
+
+@q(
+    "q_rag_context",
+    f"""
+    WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(pv AS DOUBLE[])), 4) AS sim
+        FROM embeddings, probe WHERE vec_id <> 0
+    ),
+    top AS (
+        SELECT vec_id, sim, CAST(row_number() OVER (
+                   ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
+        FROM (SELECT * FROM cos ORDER BY sim DESC, vec_id ASC LIMIT {_RAG_TOPK})
+    ),
+    ctx AS (
+        SELECT t.vec_id AS doc_id, t.rk, t.sim,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    ),
+    run AS (
+        SELECT doc_id, rk, sim, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM ctx
+    )
+    SELECT doc_id, rk, sim, n_tokens, cum_tokens
+    FROM run WHERE cum_tokens <= {_RAG_BUDGET} OR rk = 1
+    """,
+)
+def q_rag_context(spark, sf):
+    # RAG context assembly: retrieve the top-5 docs for the probe, then
+    # pack them into a fixed token budget in rank order (greedy prefix —
+    # the highest-ranked doc always survives, later docs only while the
+    # running token total fits). The last step every retrieval pipeline
+    # runs before prompting.
+    #
+    # Scale: retrieval is the one corpus-sized stage (TakeOrdered top-k);
+    # everything after — the rank window, the documents join, the running
+    # sum — operates on k rows. The documents join is k lookups (Spark
+    # broadcasts the k-row side); budget packing is a single-partition
+    # window over k rows, not a corpus sort.
+    from mongo_to_parquet_spark.functions.vector import cosine
+    from mongo_to_parquet_spark.operators.similarity import brute_force_topk
+
+    e = T(spark, sf, "embeddings")
+    d = T(spark, sf, "documents")
+    top = (
+        brute_force_topk(e, probe_id=0, k=_RAG_TOPK)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc()))
+            .cast("bigint"),
+        )
+    )
+    ctx = (
+        F.broadcast(top)
+        .join(d, top["vec_id"] == d["doc_id"])
+        .select(
+            "doc_id",
+            "rk",
+            "sim",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = ctx.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return run.filter(
+        (F.col("cum_tokens") <= _RAG_BUDGET) | (F.col("rk") == 1)
+    ).select("doc_id", "rk", "sim", "n_tokens", "cum_tokens")

@@ -404,3 +404,37 @@ def test_sketch_cms_aggregates_partial(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_sketch_cms"](spark, sf_dir))
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangles_all_equi_joins_no_cartesian(spark, sf_dir):
+    # degree-ordered orientation keeps every stage an equi-join; a
+    # cartesian/NL anywhere means the wedge enumeration degenerated
+    plan = checks.formatted_plan(QS["q_graph_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the three scalar totals (deg, edges, triangles) combine via
+    # broadcast 1-row cross joins only
+    assert "partial_count" in plan
+
+
+def test_drift_psi_single_pass_partial_cube(spark, sf_dir):
+    # the (type x bucket x period) cube partial-combines map-side; no
+    # window, no join wider than the broadcast totals
+    df = QS["q_drift_psi"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_two_takeordered_lists(spark, sf_dir):
+    # each retriever list is TakeOrdered (k rows), never a global sort
+    plan = checks.formatted_plan(QS["q_hybrid_rrf"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rag_context_retrieval_is_takeordered(spark, sf_dir):
+    # corpus-sized work is the one TakeOrdered top-k; packing windows
+    # run on k rows
+    plan = checks.formatted_plan(QS["q_rag_context"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
