@@ -1202,3 +1202,65 @@ def q_drift_psi(spark, sf):
         F.col("t_cur").alias("n_cur"),
         "psi",
     )
+
+
+# ------------------------------------------------------------- BPE apply ---
+#: fixed merge table (rank order matters — BPE applies merges in sequence);
+#: pairs over the corpus alphabet, '·' is the intra-word separator
+_BPE_MERGES = (("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"))
+
+
+@q(
+    "q_bpe_apply",
+    f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, w ->
+               len(list_filter(string_split(
+                   replace(replace(replace(replace(
+                       regexp_replace(w, '(.)', '\\1·', 'g'),
+                       't·h', 'th'), 'th·e', 'the'), 'e·r', 'er'), 'a·n', 'an'),
+                   '·'), x -> x <> ''))
+           )) AS BIGINT) AS n_subwords
+    FROM docs
+    """,
+)
+def q_bpe_apply(spark, sf):
+    # BPE tokenizer APPLY (inference): each word is spelled into '·'-
+    # separated symbols, then a fixed rank-ordered merge table is applied
+    # (leftmost-first, the BPE convention — SQL REPLACE's left-to-right
+    # non-overlapping scan in both engines) and the resulting subword
+    # count per document is emitted. The counterpart of q_bpe_pairs
+    # (which TRAINS the merge statistics): together they close the
+    # tokenizer loop — count pairs, pick merges, apply them.
+    #
+    # Scale: map-only — zero shuffles, zero joins; every document is
+    # tokenized independently inside whole-stage-codegen'd array HOFs
+    # (the merge table is folded into the expression tree as literals,
+    # the way a real tokenizer broadcasts its merge file). At 100 TB this
+    # runs at scan speed; the downstream n_subwords feeds q_text_pack's
+    # budget packing.
+    d = T(spark, sf, "documents")
+    merged = "regexp_replace(w, '(.)', '$1·')"
+    for x, y in _BPE_MERGES:
+        merged = f"replace({merged}, '{x}·{y}', '{x}{y}')"
+    sub_count = (
+        f"size(filter(split({merged}, '·'), x -> x != ''))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("bigint")
+        .alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(text, ' '), w -> w != ''), "
+            f"w -> {sub_count}), 0L, (acc, x) -> acc + x)"
+        )
+        .cast("bigint")
+        .alias("n_subwords"),
+    )

@@ -773,3 +773,122 @@ def q_rag_context(spark, sf):
     return run.filter(
         (F.col("cum_tokens") <= _RAG_BUDGET) | (F.col("rk") == 1)
     ).select("doc_id", "rk", "sim", "n_tokens", "cum_tokens")
+
+
+# ------------------------------------------------------------ KMV sketch ---
+_KMV_K = 64
+_U32 = 4294967296  # md5-prefix hash space (2^32)
+
+
+def _kmv_h_sql(col: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('kmv:', CAST({col} AS VARCHAR))), "
+        f"1, 8)) AS BIGINT)"
+    )
+
+
+@q(
+    "q_sketch_kmv",
+    f"""
+    WITH a AS (SELECT DISTINCT {_kmv_h_sql('user_id')} AS h
+               FROM events WHERE event_type = 'error'),
+    b AS (SELECT DISTINCT {_kmv_h_sql('user_id')} AS h
+          FROM events WHERE value >= 250.0),
+    ka AS (SELECT h FROM a ORDER BY h ASC LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h ASC LIMIT {_KMV_K}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+           ORDER BY h ASC LIMIT {_KMV_K}),
+    su AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS theta FROM ku),
+    rho AS (SELECT CAST(COUNT(*) AS BIGINT) AS rho
+            FROM ka JOIN kb USING (h) CROSS JOIN su WHERE ka.h <= theta),
+    ex AS (
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM
+                     (SELECT h FROM a UNION SELECT h FROM b)) AS BIGINT)
+                   AS exact_union,
+               CAST((SELECT COUNT(*) FROM a JOIN b USING (h)) AS BIGINT)
+                   AS exact_int
+    )
+    SELECT n_a, n_b, exact_union, exact_int,
+           ROUND(CASE WHEN m < {_KMV_K} THEN CAST(exact_union AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_U32}.0 / theta END, 4) AS est_union,
+           ROUND(CASE WHEN m < {_KMV_K} THEN CAST(exact_int AS DOUBLE)
+                      ELSE CAST(rho AS DOUBLE)
+                           * (({_KMV_K} - 1) * {_U32}.0 / theta) / {_KMV_K}
+                 END, 4) AS est_int
+    FROM ex CROSS JOIN su CROSS JOIN rho
+    """,
+)
+def q_sketch_kmv(spark, sf):
+    # KMV (k-minimum-values) distinct sketch with md5-derived hashes —
+    # hash-checkable like q_sketch_cms/_bloom. Two audiences (users with
+    # error events; users with a high-value event) each keep their k=64
+    # smallest hash values; the union estimate is (k-1)·2^32/θ with θ the
+    # k-th smallest of the merged sketch, and the INTERSECTION estimate is
+    # (ρ/k)·est_union with ρ the shared values below θ — the set-overlap
+    # capability HLL cannot provide. Exact counts ride alongside so the
+    # estimate quality is visible; below k survivors the sketch is exact
+    # by construction (both engines take the same CASE branch).
+    #
+    # Scale: each sketch is a TakeOrdered k-smallest over a distinct-hash
+    # set — per-partition top-k then a k·partitions merge, never a global
+    # sort; merging sketches is a 2k-row operation, and audience-overlap
+    # questions at 100 TB (retention, campaign reach) are answered by
+    # intersecting 64-row states instead of joining raw event logs.
+    ev = T(spark, sf, "events")
+    k = _KMV_K
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    a = ev.filter(F.col("event_type") == "error").select(h).distinct()
+    b = ev.filter(F.col("value") >= 250.0).select(h).distinct()
+    ka = a.orderBy("h").limit(k)
+    kb = b.orderBy("h").limit(k)
+    ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+    su = ku.agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("theta"))
+    rho = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(su))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    ex = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            a.unionAll(b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+        .crossJoin(a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_int")))
+    )
+    est_u = (F.lit(k - 1) * F.lit(float(_U32))) / F.col("theta")
+    return (
+        ex.crossJoin(su)
+        .crossJoin(rho)
+        .select(
+            "n_a",
+            "n_b",
+            "exact_union",
+            "exact_int",
+            F.round(
+                F.when(F.col("m") < k, F.col("exact_union").cast("double")).otherwise(
+                    est_u
+                ),
+                4,
+            ).alias("est_union"),
+            F.round(
+                F.when(F.col("m") < k, F.col("exact_int").cast("double")).otherwise(
+                    F.col("rho").cast("double") * est_u / F.lit(k)
+                ),
+                4,
+            ).alias("est_int"),
+        )
+    )

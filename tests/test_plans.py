@@ -438,3 +438,15 @@ def test_rag_context_retrieval_is_takeordered(spark, sf_dir):
     # run on k rows
     plan = checks.formatted_plan(QS["q_rag_context"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_apply_is_map_only(spark, sf_dir):
+    # tokenizer apply runs at scan speed: no exchange, no join
+    plan = checks.formatted_plan(QS["q_bpe_apply"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_kmv_sketches_are_takeordered(spark, sf_dir):
+    # each k-smallest sketch is per-partition top-k + merge, no global sort
+    plan = checks.formatted_plan(QS["q_sketch_kmv"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
