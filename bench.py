@@ -54,6 +54,9 @@ HEADLINE = [
     "q_profile_approx",     # single-pass HLL profile (q_profile's 100 TB mode)
     "q_cdc_apply",          # CDC log -> state via one max_by aggregation
     "q_bm25",               # BM25 ranking: decimal-exact scoring + TakeOrdered
+    "q_graph_triangles",    # degree-ordered edge-centric triangle count
+    "q_hybrid_rrf",         # RRF fusion of BM25 + cosine lists
+    "q_drift_psi",          # one-pass binned drift cube
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay

