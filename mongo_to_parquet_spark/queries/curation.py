@@ -1173,25 +1173,40 @@ def q_drift_psi(spark, sf):
     # frozen from the reference period, so the daily check is a single
     # aggregation, never a re-sort of history.
     ev = T(spark, sf, "events")
+    binned = ev.select(
+        "event_type", drift_bucket().alias("bucket"), drift_is_ref().alias("is_ref")
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    return psi_from_counts(counts)
+
+
+def drift_bucket(value_col: str = "value"):
+    """The frozen equi-width PSI bin (0 / interior 1..n / n+1 overflow)."""
     width = (_PSI_HI - _PSI_LO) / _PSI_BINS
-    bucket = (
-        F.when(F.col("value") < _PSI_LO, F.lit(0))
-        .when(F.col("value") >= _PSI_HI, F.lit(_PSI_BINS + 1))
+    return (
+        F.when(F.col(value_col) < _PSI_LO, F.lit(0))
+        .when(F.col(value_col) >= _PSI_HI, F.lit(_PSI_BINS + 1))
         .otherwise(
-            F.floor((F.col("value") - F.lit(_PSI_LO)) / F.lit(width)).cast("bigint")
+            F.floor((F.col(value_col) - F.lit(_PSI_LO)) / F.lit(width)).cast("bigint")
             + F.lit(1)
         )
         .cast("bigint")
     )
-    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz")
-    counts = (
-        ev.select("event_type", bucket.alias("bucket"), is_ref.alias("is_ref"))
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-        )
-    )
+
+
+def drift_is_ref(ts_col: str = "ts"):
+    """Reference-period predicate (before the frozen split date)."""
+    return F.col(ts_col) < F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+
+
+def psi_from_counts(counts):
+    """PSI per event type from a (event_type, bucket, n_ref, n_cur) count
+    cube — the same final formula whether the cube came from one batch
+    pass (q_drift_psi) or was folded incrementally by the streaming
+    refresh (tests/test_streaming.py)."""
     tot = counts.groupBy("event_type").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
@@ -1272,4 +1287,63 @@ def q_bpe_apply(spark, sf):
         )
         .cast("bigint")
         .alias("n_subwords"),
+    )
+
+
+# ------------------------------------------------- degree distribution -----
+@q(
+    "q_graph_degree_stats",
+    """
+    WITH s AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM s a JOIN s b ON a.ok = b.ok AND a.p < b.p
+    ),
+    deg AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x
+    )
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS lb,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(d) AS min_deg, MAX(d) AS max_deg,
+           CAST(SUM(d) AS BIGINT) AS sum_deg
+    FROM deg GROUP BY lb
+    """,
+)
+def q_graph_degree_stats(spark, sf):
+    # degree-distribution census of the part co-occurrence graph: vertices
+    # histogrammed into power-of-two degree buckets (⌊log2 d⌋ computed as
+    # the binary-string length — pure INTEGER semantics, no float log at
+    # bucket boundaries). This is the pre-flight read for every graph
+    # op: whether the tail is heavy decides salting for q_dedup_clusters'
+    # propagation joins and confirms why q_graph_triangles' degree
+    # orientation matters (max_deg in the top bucket vs the √m bound).
+    #
+    # Scale: edge building is the shared equi-join path; the census
+    # itself is two map-combinable aggregations (degree, then bucket) —
+    # shuffle state is one row per vertex then one per bucket (~32 rows
+    # total regardless of graph size).
+    li = T(spark, sf, "lineitem")
+    s = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = s.alias("a"), s.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lb = (F.length(F.bin(F.col("d"))) - 1).cast("bigint")
+    return deg.groupBy(lb.alias("lb")).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("d").alias("min_deg"),
+        F.max("d").alias("max_deg"),
+        F.sum("d").alias("sum_deg"),
     )

@@ -892,3 +892,93 @@ def q_sketch_kmv(spark, sf):
             ).alias("est_int"),
         )
     )
+
+
+# ------------------------------------------------- matryoshka truncation ---
+_MRL_DIMS = 16   # truncated prefix dimensionality (of 64)
+_MRL_K = 10
+
+
+@q(
+    "q_sim_matryoshka",
+    f"""
+    WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    full_sim AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(pv AS DOUBLE[])), 4) AS sim_full
+        FROM embeddings, probe WHERE vec_id <> 0
+    ),
+    trunc_sim AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[]),
+                                            CAST(pv[1:{_MRL_DIMS}] AS DOUBLE[])), 4)
+                   AS sim_trunc
+        FROM embeddings, probe WHERE vec_id <> 0
+    ),
+    tf AS (
+        SELECT doc_id, sim_full, CAST(row_number() OVER (
+                   ORDER BY sim_full DESC, doc_id ASC) AS BIGINT) AS r_full
+        FROM (SELECT * FROM full_sim ORDER BY sim_full DESC, doc_id ASC
+              LIMIT {_MRL_K})
+    ),
+    tt AS (
+        SELECT doc_id, sim_trunc, CAST(row_number() OVER (
+                   ORDER BY sim_trunc DESC, doc_id ASC) AS BIGINT) AS r_trunc
+        FROM (SELECT * FROM trunc_sim ORDER BY sim_trunc DESC, doc_id ASC
+              LIMIT {_MRL_K})
+    )
+    SELECT COALESCE(tf.doc_id, tt.doc_id) AS doc_id,
+           r_full, sim_full, r_trunc, sim_trunc
+    FROM tf FULL OUTER JOIN tt ON tf.doc_id = tt.doc_id
+    """,
+)
+def q_sim_matryoshka(spark, sf):
+    # Matryoshka-style truncated retrieval audit: the top-10 list by full
+    # 64-dim cosine vs the top-10 by the FIRST-16-dims prefix (the MRL
+    # deployment pattern — serve a cheap prefix index, re-rank with full
+    # vectors). The full-outer join of the two ranked lists shows exactly
+    # which neighbors the truncated index keeps, loses, and re-orders —
+    # the recall evidence you collect before switching serving to the
+    # prefix.
+    #
+    # Scale: both scoring passes are ONE corpus scan each ending in
+    # TakeOrdered (the truncated pass reads 4× less vector data — at
+    # serving time it is the only pass, with the full vectors touched
+    # just for the k re-rank candidates); the rank windows and the
+    # fusion join run on ≤k rows.
+    from mongo_to_parquet_spark.functions.vector import cosine
+
+    e = T(spark, sf, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    )
+    corpus = e.filter(F.col("vec_id") != 0).crossJoin(probe)
+
+    def ranked(sim_col, sim_name, rank_name):
+        return (
+            corpus.select(
+                F.col("vec_id").alias("doc_id"), F.round(sim_col, 4).alias(sim_name)
+            )
+            .orderBy(F.col(sim_name).desc(), F.col("doc_id").asc())
+            .limit(_MRL_K)
+            .withColumn(
+                rank_name,
+                F.row_number()
+                .over(Window.orderBy(F.col(sim_name).desc(), F.col("doc_id").asc()))
+                .cast("bigint"),
+            )
+        )
+
+    tf = ranked(cosine(F.col("embedding"), F.col("pv")), "sim_full", "r_full")
+    tt = ranked(
+        cosine(
+            F.slice(F.col("embedding"), 1, _MRL_DIMS),
+            F.slice(F.col("pv"), 1, _MRL_DIMS),
+        ),
+        "sim_trunc",
+        "r_trunc",
+    )
+    return tf.join(tt, "doc_id", "full").select(
+        "doc_id", "r_full", "sim_full", "r_trunc", "sim_trunc"
+    )

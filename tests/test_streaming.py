@@ -411,3 +411,45 @@ def test_stream_cdc_apply_matches_batch_apply_cdc(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(state, f"v={v2}")).collect()
     }
     assert got2 == want
+
+
+def test_stream_drift_cube_converges_to_batch_psi(spark, sf_dir, tmp_path):
+    # streaming drift monitor: each micro-batch folds its (type, bucket,
+    # period) counts into the versioned aggregate state; PSI computed from
+    # the final state equals the one-pass batch q_drift_psi exactly
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators import incremental
+    from mongo_to_parquet_spark.queries import curation
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CUR_Q
+
+    stream = sw.replay_events(spark, sf_dir)
+    ts_norm = (
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        if dict(stream.dtypes).get("ts") == "bigint"
+        else F.col("ts")
+    )
+    binned = stream.withColumn("__ts", ts_norm).select(
+        "event_type",
+        curation.drift_bucket().alias("bucket"),
+        curation.drift_is_ref("__ts").alias("is_ref"),
+    )
+    state_dir, ck = str(tmp_path / "drift_state"), str(tmp_path / "ck")
+    q = incremental.stream_refresh_agg_state(
+        binned, state_dir, ck, keys=["event_type", "bucket", "is_ref"], measures=[]
+    )
+    q.awaitTermination(120)
+    state = incremental.read_agg_state(spark, state_dir)
+    counts = state.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("n_rows")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n_rows"))).alias("n_cur"),
+    )
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in curation.psi_from_counts(counts).collect()
+    }
+    batch = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in CUR_Q["q_drift_psi"](spark, sf_dir).collect()
+    }
+    assert got == batch
