@@ -1047,6 +1047,11 @@ def q_graph_triangles(spark, sf):
     # arrays (4.4s) — shuffle volume is the adjacency table (Σ outdeg =
     # m entries), intermediate rows stay at m. All joins are equi-joins
     # on vertex ids; the wedge denominator comes from the degree table.
+    # The edge list feeds four consumers but is NOT persisted: AQE's
+    # runtime ReuseExchange already dedupes the identical subtrees, and a
+    # persist() was measured 2.5× SLOWER here (11.2s vs 4.4s — cache
+    # build + losing AQE across the cache boundary; contrast pagerank,
+    # where persist wins because ITERATIONS, not DAG branches, reuse it).
     li = T(spark, sf, "lineitem")
     s = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     a, b = s.alias("a"), s.alias("b")
