@@ -9,6 +9,7 @@ oracle-exact determinism, a 100 TB scale note per query.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.sources.catalog import load_table as T
@@ -299,4 +300,108 @@ def q_mm_dedup(spark, sf):
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
         F.min(F.col("meta.n_bytes")).alias("n_bytes"),
+    )
+
+
+# ----------------------------------------------- perceptual near-dup -------
+_PH_DIM = 16   # signature bits (production pHash: 64 over DCT coefficients)
+_PH_MOD = 997
+
+
+@q(
+    "q_mm_phash_dedup",
+    f"""
+    WITH ch AS (
+        SELECT doc_id,
+               (generate_subscripts(string_split(text, ''), 1) - 1) % {_PH_DIM} AS j,
+               ord(unnest(string_split(text, ''))) AS code
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, j, CAST(SUM(code) % {_PH_MOD} AS BIGINT) AS s
+        FROM ch WHERE code <> 0 GROUP BY doc_id, j
+    ),
+    bits AS (
+        SELECT doc_id, j, s,
+               SUM(s) OVER (PARTITION BY doc_id) AS tot
+        FROM feat
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN {_PH_DIM} * s >= tot
+                             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id
+    ),
+    halves AS (
+        SELECT doc_id, sig, 0 AS hx, sig % 256 AS hv FROM sig
+        UNION ALL
+        SELECT doc_id, sig, 1, sig // 256 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               a.sig AS sig1, b.sig AS sig2
+        FROM halves a JOIN halves b
+          ON a.hx = b.hx AND a.hv = b.hv AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig1, sig2)) <= 1
+    """,
+)
+def q_mm_phash_dedup(spark, sf):
+    # perceptual near-dup over media payloads: a 16-bit pHash-style
+    # signature (positional byte-fold features thresholded against their
+    # own mean — INTEGER arithmetic end to end, so the signature is
+    # hash-exact cross-engine), then hamming≤1 pair mining via the
+    # pigeonhole bucket join (two 8-bit chunks — a pair within distance 1
+    # must agree on one chunk). The fixture payload is the text's bytes
+    # (attach_binary's model); a real pipeline swaps the byte-fold for
+    # DCT coefficients and widens to 64 bits — the bucketing, threshold,
+    # and verify stages are unchanged (same shape as simhash_table).
+    #
+    # Scale: features partial-combine to DIM fixed-width rows per doc;
+    # the only window runs inside a doc's 16 feature rows; candidate
+    # generation never compares all pairs — only same-chunk buckets join,
+    # and the exact hamming verify runs on candidates alone.
+    d = T(spark, sf, "documents")
+    ch = d.select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("pos", "c")
+    ).filter(F.col("c") != "")
+    feat = (
+        ch.groupBy("doc_id", (F.col("pos") % _PH_DIM).alias("j"))
+        .agg((F.sum(F.ascii("c")) % _PH_MOD).cast("bigint").alias("s"))
+    )
+    w = Window.partitionBy("doc_id")
+    bits = feat.withColumn("tot", F.sum("s").over(w))
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.lit(_PH_DIM) * F.col("s") >= F.col("tot"),
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    halves = sig.select(
+        "doc_id", "sig", F.lit(0).alias("hx"), (F.col("sig") % 256).alias("hv")
+    ).unionAll(
+        sig.select(
+            "doc_id", "sig", F.lit(1).alias("hx"), F.expr("sig div 256").alias("hv")
+        )
+    )
+    a = halves.select(
+        F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"), "hx", "hv"
+    )
+    b = halves.select(
+        F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"), "hx", "hv"
+    )
+    cand = (
+        a.join(b, ["hx", "hv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sig1 ^ sig2")).cast("bigint")
+    return cand.select("id1", "id2", ham.alias("hamming")).filter(
+        F.col("hamming") <= 1
     )
