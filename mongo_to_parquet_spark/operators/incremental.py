@@ -143,12 +143,48 @@ def last_batch_id(state_dir: str) -> int | None:
         return json.load(fh).get("batch_id")
 
 
-def read_agg_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest committed state version, or None before the first refresh."""
+def read_agg_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read the aggregate state — latest committed version by default, or
+    a specific committed one (time travel: "the view as of refresh N",
+    for auditing a refresh or diffing two refreshes with snapshot_diff).
+
+    Requesting an uncommitted / missing version raises rather than
+    silently reading a crashed write's orphan.
+    """
     vs = _versions(state_dir)
     if not vs:
         return None
+    if version is not None:
+        if version not in vs:
+            raise ValueError(
+                f"version {version} is not committed in {state_dir} "
+                f"(committed: {vs})"
+            )
+        return spark.read.parquet(os.path.join(state_dir, f"v={version}"))
     return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+
+
+def prune_versions(state_dir: str, keep_last: int = 2) -> list[int]:
+    """Vacuum old state: delete committed versions beyond the newest
+    ``keep_last`` plus every uncommitted orphan; returns deleted version
+    numbers. The latest committed version is never deleted (keep_last
+    is clamped to ≥1), so readers of the current state are unaffected —
+    the retention trade is only how far back time travel reaches.
+    """
+    import shutil
+
+    keep_last = max(1, keep_last)
+    committed = _versions(state_dir)
+    keep = set(committed[-keep_last:])
+    deleted = []
+    for v in _all_versions(state_dir):
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+        deleted.append(v)
+    return deleted
 
 
 def refresh_agg_state(

@@ -210,3 +210,45 @@ def test_stream_refresh_converges_to_batch_agg(spark, sf_dir, tmp_path):
     assert got == want
     # one state version per non-empty micro-batch
     assert len(inc._versions(state)) >= 2
+
+
+def test_time_travel_reads_named_version_and_rejects_orphans(spark, sf_dir, tmp_path):
+    import os
+
+    d = str(tmp_path / "tt")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    s1, s2 = ev.limit(100), ev.subtract(ev.limit(100))
+    inc.refresh_agg_state(spark, d, s1, ["event_type"], ["value"])
+    inc.refresh_agg_state(spark, d, s2, ["event_type"], ["value"])
+    latest = inc.read_agg_state(spark, d)
+    v1 = inc.read_agg_state(spark, d, version=1)
+    # v=1 holds only the first slice's rows; latest holds both
+    assert v1.agg(F.sum("n_rows")).first()[0] == 100
+    assert latest.agg(F.sum("n_rows")).first()[0] == 200
+    # an uncommitted orphan version is not addressable
+    os.makedirs(os.path.join(d, "v=9"), exist_ok=True)
+    with pytest.raises(ValueError):
+        inc.read_agg_state(spark, d, version=9)
+    with pytest.raises(ValueError):
+        inc.read_agg_state(spark, d, version=3)
+
+
+def test_prune_versions_keeps_latest_and_drops_orphans(spark, sf_dir, tmp_path):
+    import os
+
+    d = str(tmp_path / "vac")
+    ev = load_table(spark, sf_dir, "events").limit(150)
+    for i in range(3):
+        inc.refresh_agg_state(
+            spark, d, ev.limit(50 * (i + 1)), ["event_type"], ["value"]
+        )
+    os.makedirs(os.path.join(d, "v=7"), exist_ok=True)  # crashed-write orphan
+    before = inc.read_agg_state(spark, d).collect()
+    deleted = inc.prune_versions(d, keep_last=1)
+    assert set(deleted) == {1, 2, 7}
+    # the surviving state is exactly the pre-vacuum latest
+    after = inc.read_agg_state(spark, d).collect()
+    assert sorted(map(str, after)) == sorted(map(str, before))
+    # keep_last is clamped: even 0 keeps the newest committed version
+    assert inc.prune_versions(d, keep_last=0) == []
+    assert inc.read_agg_state(spark, d) is not None
