@@ -29,12 +29,19 @@ def asof_join(
     right_time: str,
     carry: list[str],
     suffix: str = "_asof",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right[right_time] <= left[left_time]`` within the same ``on`` key.
 
     ``carry``: right-side columns to bring across (suffixed). Left rows with
     no prior right row get nulls — ASOF LEFT semantics.
+
+    ``tolerance_us``: when set, a match older than this many µs before the
+    left time is treated as NO match (every carried column nulls out) —
+    the bounded-staleness variant every market-data/attribution as-of
+    needs. Implemented as a post-fill guard, so the plan (one union + one
+    running window, no join) is unchanged.
     """
     is_left = "__is_left"
     t = "__t"
@@ -51,14 +58,25 @@ def asof_join(
         .orderBy(F.col(t).asc(), F.col(is_left).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in carry
-        ],
-    )
+    fills = [
+        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
+        for c in carry
+    ]
+    if tolerance_us is not None:
+        # the matched row's own time, filled alongside the carried columns
+        # (all CASE-null the same rows, so the fills stay row-consistent)
+        mt = F.when(F.col(is_left) == 0, F.col(t))
+        fills.append(F.last(mt, ignorenulls=True).over(w).alias("__f_mt"))
+    filled = unioned.select("*", *fills)
     out = filled.filter(F.col(is_left) == 1)
+    if tolerance_us is not None:
+        fresh = (
+            F.unix_micros(F.col(t).cast("timestamp"))
+            - F.unix_micros(F.col("__f_mt").cast("timestamp"))
+        ) <= tolerance_us
+        for c in carry:
+            out = out.withColumn(f"__f_{c}", F.when(fresh, F.col(f"__f_{c}")))
+        out = out.drop("__f_mt")
     for c in carry:
         out = out.drop(f"{c}{suffix}").withColumnRenamed(f"__f_{c}", f"{c}{suffix}")
     return out.drop(is_left, t)

@@ -1352,3 +1352,78 @@ def q_graph_degree_stats(spark, sf):
         F.max("d").alias("max_deg"),
         F.sum("d").alias("sum_deg"),
     )
+
+
+# ------------------------------------------------------ attribution --------
+_ATTR_TOUCHES = ("view", "click")
+
+
+@q(
+    "q_attribution_last_touch",
+    f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+        FROM events
+    ),
+    la AS (
+        SELECT *,
+            last_value(CASE WHEN event_type IN {_ATTR_TOUCHES!r}
+                            THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+            last_value(CASE WHEN event_type IN {_ATTR_TOUCHES!r}
+                            THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+            last_value(CASE WHEN event_type IN {_ATTR_TOUCHES!r}
+                            THEN us END IGNORE NULLS) OVER w AS touch_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, us AS purchase_us,
+           touch_id AS touch_event_id, touch_type,
+           us - touch_us AS gap_us
+    FROM la WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark, sf):
+    # last-touch conversion attribution: each purchase credits the user's
+    # most recent preceding view/click (strictly before, (ts, event_id)
+    # total order). The three filled columns CASE-null the same rows, so
+    # they always describe ONE touch row — no join back. Purchases with
+    # no prior touch keep NULL credit (organic conversions stay visible).
+    #
+    # Scale: the as-of idiom's shape — one user-partitioned running
+    # window over the event stream, no self-join, state per task bounded
+    # by one user's history; the µs integer timeline keeps gap arithmetic
+    # exact cross-engine.
+    ev = T(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_ATTR_TOUCHES)
+    la = ev.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return la.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.col("touch_id").alias("touch_event_id"),
+        "touch_type",
+        (F.col("us") - F.col("touch_us")).alias("gap_us"),
+    )

@@ -275,6 +275,43 @@ def q_join_asof(spark, sf):
     return out.select("event_id", "user_id", F.col("ts_asof").alias("signup_ts"))
 
 
+_ASOF_TOL_US = 86_400_000_000  # 1 day
+
+
+@q(
+    "q_join_asof_tolerance",
+    f"""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN s.ts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(s.ts) <= {_ASOF_TOL_US}
+                THEN s.ts END AS signup_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def q_join_asof_tolerance(spark, sf):
+    # bounded-staleness as-of: a prior signup only matches within 1 day
+    # of the event — older state is treated as missing (market-data /
+    # attribution semantics: a quote from last week is not "the" quote).
+    # Same union + one running window plan as q_join_asof; the tolerance
+    # is a post-fill guard, not an extra join (operators/asof.py).
+    from mongo_to_parquet_spark.operators.asof import asof_join
+
+    e = T(spark, sf, "events")
+    left = e.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        carry=["ts"], tolerance_us=_ASOF_TOL_US,
+    )
+    return out.select("event_id", "user_id", F.col("ts_asof").alias("signup_ts"))
+
+
 # ----------------------------------------------------------------- aggs ----
 @q(
     "q_agg_global",
