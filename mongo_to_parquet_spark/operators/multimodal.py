@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -98,6 +99,53 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> Data
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, scale_div: int = 4, fake: bool = False
+) -> DataFrame:
+    """Resize/downscale blobs -> smaller blobs via Arrow-batched mapInPandas.
+
+    Real resize (PIL thumbnail / ffmpeg scale) is unavailable in this
+    container -> stubbed behind ``fake=True`` with a deterministic
+    byte-subsample (every ``scale_div``-th byte), which preserves exactly
+    the property the Spark plumbing must handle: the output payload is a
+    transformed SMALLER binary with its own size metadata. Same
+    iterator-of-batches shape as extract_features -- one Arrow batch in
+    flight per task, the whole partition never materializes; at 100 TB
+    this is the standard map-only preprocessing pass in front of a
+    GPU/vision featurizer (pair with repartition_by_bytes so tasks are
+    byte-balanced, not row-balanced).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media resize requires image/video libraries not present "
+                    "in this container; pass fake=True for the deterministic stub"
+                )
+            small = pdf["payload"].map(lambda b: bytes(b)[::scale_div])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": small,
+                    "n_bytes_in": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes_out": small.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def repartition_by_bytes(

@@ -172,6 +172,22 @@ def test_multimodal_real_decode_raises(spark):
         multimodal.extract_features(media, fake=False).collect()
 
 
+def test_multimodal_resize_stub_shrinks_payloads(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefgh"), Row(doc_id=2, text="xy")]
+    )
+    media = multimodal.attach_binary(docs)
+    out = {r["doc_id"]: r for r in multimodal.resize_media(media, scale_div=4, fake=True).collect()}
+    assert out[1]["n_bytes_in"] == 8 and out[1]["n_bytes_out"] == 2
+    assert bytes(out[1]["payload"]) == b"ae"  # every 4th byte, deterministic
+    assert out[2]["n_bytes_out"] == 1
+    # real decode path is gated, like extract_features
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.resize_media(media, fake=False).collect()
+
+
 def test_jaccard_bitset_and_explode_paths_agree(spark):
     # vocab > 64 must NOT take the bitset path even if the knob allows it
     # (bit positions beyond a long wrap); both paths return identical pairs.
