@@ -45,7 +45,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -131,7 +133,7 @@ def infer_extjson_schema(spark, path: str, sample_rows: int = 1000):
         sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
-            if f.endswith((".json", ".jsonl"))
+            if f.endswith((".json", ".jsonl")) and not f.startswith(("_", "."))
         )
         if os.path.isdir(path)
         else [path]
@@ -174,7 +176,7 @@ class MongoExportReader(DataSourceReader):
             files = sorted(
                 os.path.join(p, f)
                 for f in os.listdir(p)
-                if f.endswith((".json", ".jsonl"))
+                if f.endswith((".json", ".jsonl")) and not f.startswith(("_", "."))
             )
         else:
             files = [p]
@@ -221,7 +223,7 @@ class MongoExportStreamReader(DataSourceStreamReader):
             return sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
-                if f.endswith((".json", ".jsonl"))
+                if f.endswith((".json", ".jsonl")) and not f.startswith(("_", "."))
             )
         return [self.path] if os.path.exists(self.path) else []
 
@@ -244,6 +246,70 @@ class MongoExportStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to clean up
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, count: int):
+        self.path = path
+        self.count = count
+
+
+class MongoExportWriter(DataSourceWriter):
+    """Executor-side JSONL writer: each task writes one ``part-*.jsonl``
+    with every row re-wrapped into mongoexport envelopes (wrap_extjson;
+    an ``_id`` column becomes ``{"$oid": ...}``), and the driver-side
+    commit records a manifest — the standard task-file + driver-commit
+    protocol, so a failed task's partial file is simply never committed.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongoexport writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_PartFile":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(
+            self.path, f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        )
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                doc = row.asDict(recursive=True)
+                enc = {
+                    k: ({"$oid": str(v)} if k == "_id" and v is not None
+                        else wrap_extjson(v))
+                    for k, v in doc.items()
+                }
+                fh.write(json.dumps(enc) + "\n")
+                n += 1
+        return _PartFile(out, n)
+
+    def commit(self, messages) -> None:
+        committed = {os.path.basename(m.path): m.count for m in messages}
+        manifest = os.path.join(self.path, "_SUCCESS.json")
+        keep = dict(committed)
+        if not self.overwrite and os.path.isfile(manifest):
+            with open(manifest) as fh:
+                keep.update(json.load(fh).get("files", {}))
+        # anything not in the manifest union is a previous overwrite's data
+        # or a failed/speculative task attempt's partial file — drop it
+        for f in os.listdir(self.path):
+            if f.endswith(".jsonl") and f not in keep:
+                os.remove(os.path.join(self.path, f))
+        with open(manifest, "w") as fh:
+            json.dump({"files": keep, "rows": sum(keep.values())}, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
 
 
 class MongoExportDataSource(DataSource):
@@ -270,3 +336,6 @@ class MongoExportDataSource(DataSource):
 
     def streamReader(self, schema) -> MongoExportStreamReader:
         return MongoExportStreamReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> MongoExportWriter:
+        return MongoExportWriter(self.options, overwrite)

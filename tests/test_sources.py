@@ -178,3 +178,55 @@ def test_mongoexport_streaming_source_tails_new_files(spark, tmp_path):
 
     run()  # nothing new: no-op
     assert spark.read.parquet(out).count() == 3
+
+
+def test_mongoexport_writer_roundtrip_and_overwrite(spark, tmp_path):
+    # df.write.format("mongoexport") → dump dir → read back identically;
+    # overwrite replaces the previous write's files (manifest-driven)
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.sources.extjson import MongoExportDataSource
+
+    spark.dataSource.register(MongoExportDataSource)
+    rows = [
+        Row(_id="a1", n=7, price=1.5, name="x",
+            created_at=dt.datetime(2024, 1, 1, 12, 0, 0, 250000)),
+        Row(_id="a2", n=None, price=None, name=None, created_at=None),
+    ]
+    df = spark.createDataFrame(
+        rows, "_id string, n long, price double, name string, created_at timestamp"
+    )
+    out = str(tmp_path / "dump")
+    df.write.format("mongoexport").mode("append").save(out)
+    back = (
+        spark.read.format("mongoexport")
+        .schema("_id string, n bigint, price double, name string, created_at timestamp")
+        .load(out)
+    )
+    got = {r["_id"]: r for r in back.collect()}
+    assert set(got) == {"a1", "a2"}
+    assert got["a1"]["n"] == 7 and got["a1"]["price"] == 1.5
+    # $date carries millisecond precision (mongoexport's own grain)
+    assert got["a1"]["created_at"] == dt.datetime(2024, 1, 1, 12, 0, 0, 250000)
+    assert got["a2"]["n"] is None and got["a2"]["created_at"] is None
+
+    # overwrite: only the second write's rows survive
+    df2 = spark.createDataFrame(
+        [Row(_id="b1", n=1, price=0.5, name="y", created_at=None)],
+        "_id string, n long, price double, name string, created_at timestamp",
+    )
+    df2.write.format("mongoexport").mode("overwrite").save(out)
+    back2 = (
+        spark.read.format("mongoexport")
+        .schema("_id string, n bigint, price double, name string, created_at timestamp")
+        .load(out)
+    )
+    assert [r["_id"] for r in back2.collect()] == ["b1"]
+
+    # append accumulates onto the manifest
+    df.write.format("mongoexport").mode("append").save(out)
+    assert (
+        spark.read.format("mongoexport").schema("_id string").load(out).count() == 3
+    )
