@@ -1427,3 +1427,65 @@ def q_attribution_last_touch(spark, sf):
         "touch_type",
         (F.col("us") - F.col("touch_us")).alias("gap_us"),
     )
+
+
+# --------------------------------------------------------- journey paths ---
+@q(
+    "q_seq_trigrams",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_id
+        FROM events
+    ),
+    steps AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM steps WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def q_seq_trigrams(spark, sf):
+    # most common 3-step user journeys: each user's event stream windowed
+    # into consecutive type-trigrams (lead×2 over the (ts, event_id)
+    # total order), counted globally with per-path user reach. The
+    # discovery query behind funnel design — q_funnel checks a KNOWN
+    # path, this surfaces the paths worth checking.
+    #
+    # Scale: one user-partitioned window (state = one user's stream per
+    # task), then a hash aggregation on a |types|³-bounded key space that
+    # partial-combines to almost nothing map-side; top-10 is TakeOrdered.
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        steps.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
