@@ -87,6 +87,10 @@ def main() -> None:
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[key] = round(best, 3)
+        # iterative queries persist their edge/state relations and leave the
+        # cleanup to the caller; drop them so cached blocks from one query
+        # don't pressure the next one's heap (isolation, not speed-up)
+        spark.catalog.clearCache()
 
     # the reference's core operation: date-partitioned parquet export
     # (scan → year/month/day derivation → hive year= write, zstd). Timed

@@ -1489,3 +1489,182 @@ def q_seq_trigrams(spark, sf):
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------- data mixing ----
+_MIX_WEIGHTS = (("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1))
+
+
+@q(
+    "q_mix_plan",
+    f"""
+    WITH avail AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    w (source, weight) AS (
+        VALUES {", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in _MIX_WEIGHTS)}
+    ),
+    caps AS (
+        SELECT source, weight, avail_tokens,
+               CAST(FLOOR(avail_tokens / weight) AS BIGINT) AS cap_total
+        FROM avail JOIN w USING (source)
+    ),
+    t AS (SELECT MIN(cap_total) AS t_max FROM caps)
+    SELECT source, weight, avail_tokens,
+           CAST(FLOOR(weight * t_max) AS BIGINT) AS quota_tokens,
+           ROUND(CAST(CAST(FLOOR(weight * t_max) AS BIGINT) AS DOUBLE)
+                 / avail_tokens, 4) AS utilization
+    FROM caps CROSS JOIN t
+    """,
+)
+def q_mix_plan(spark, sf):
+    # pretraining data-mixture planning: given per-source target weights,
+    # the largest total token budget T is bounded by the scarcest source
+    # (T = min over s of avail_s / w_s); each source's quota is then
+    # floor(w_s · T) and utilization shows which source is the binding
+    # constraint (=1.0) vs how much of the others goes unused. This is
+    # the sizing pass run before q_sample_stratified draws the actual
+    # mixture.
+    #
+    # Scale: one count-aggregation per source (map-combined, |sources|
+    # rows of state), a broadcast join against the literal weight table,
+    # and a 1-row min folded back with a broadcast cross join — plan cost
+    # is independent of corpus size beyond the single token-count scan.
+    d = T(spark, sf, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    )
+    w = spark.createDataFrame(list(_MIX_WEIGHTS), "source string, weight double")
+    caps = avail.join(F.broadcast(w), "source").withColumn(
+        "cap_total", F.floor(F.col("avail_tokens") / F.col("weight")).cast("bigint")
+    )
+    t = caps.agg(F.min("cap_total").alias("t_max"))
+    quota = F.floor(F.col("weight") * F.col("t_max")).cast("bigint")
+    return (
+        caps.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "weight",
+            "avail_tokens",
+            quota.alias("quota_tokens"),
+            F.round(
+                quota.cast("double") / F.col("avail_tokens"), 4
+            ).alias("utilization"),
+        )
+    )
+
+
+# ----------------------------------------------------------- winsorizing ---
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+@q(
+    "q_winsorize",
+    f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(CEIL({_WINS_LO} * n) AS BIGINT)
+                        THEN value END) AS lo,
+               MIN(CASE WHEN rn = CAST(CEIL({_WINS_HI} * n) AS BIGINT)
+                        THEN value END) AS hi,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM ranked GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT r.event_type, b.n, b.lo, b.hi,
+               CASE WHEN r.value < b.lo THEN 1 ELSE 0 END AS cl,
+               CASE WHEN r.value > b.hi THEN 1 ELSE 0 END AS ch,
+               CAST(least(greatest(r.value, b.lo), b.hi)
+                    AS DECIMAL(18, 6)) AS wv,
+               CAST(r.value AS DECIMAL(18, 6)) AS rv
+        FROM ranked r JOIN bounds b USING (event_type)
+    )
+    SELECT event_type, n, ROUND(lo, 4) AS p05, ROUND(hi, 4) AS p95,
+           CAST(SUM(cl) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(ch) AS BIGINT) AS n_clamped_high,
+           ROUND(CAST(SUM(rv) AS DOUBLE) / n, 4) AS mean_raw,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / n, 4) AS mean_winsorized
+    FROM clamped GROUP BY event_type, n, lo, hi
+    """,
+)
+def q_winsorize(spark, sf):
+    # robust-stats preprocessing: winsorize each event type's value at
+    # its exact p05/p95 (DISCRETE percentiles — pure rank SELECTION over
+    # the (value, event_id) total order, no interpolation arithmetic to
+    # drift cross-engine), then report clamp counts and the mean shift.
+    # The standard outlier-taming pass before training a quality model
+    # on heavy-tailed signals; complements q_anomaly_zscore (which flags
+    # rows, this fixes the distribution).
+    #
+    # Scale: one window shuffle keyed by event_type computes ranks and
+    # group sizes together; bounds collapse to |types| rows broadcast
+    # back onto the same shuffled layout; means sum in DECIMAL so the
+    # reduction is order-independent.
+    ev = T(spark, sf, "events")
+    wo = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(_WINS_LO * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(_WINS_HI * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    clamped = ranked.drop("n").join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("ch"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("decimal(18,6)")
+        .alias("wv"),
+        F.col("value").cast("decimal(18,6)").alias("rv"),
+    )
+    return (
+        clamped.groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum("cl").alias("n_clamped_low"),
+            F.sum("ch").alias("n_clamped_high"),
+            F.sum("rv").alias("srv"),
+            F.sum("wv").alias("swv"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("lo"), 4).alias("p05"),
+            F.round(F.col("hi"), 4).alias("p95"),
+            "n_clamped_low",
+            "n_clamped_high",
+            F.round(F.col("srv").cast("double") / F.col("n"), 4).alias("mean_raw"),
+            F.round(F.col("swv").cast("double") / F.col("n"), 4).alias(
+                "mean_winsorized"
+            ),
+        )
+    )
