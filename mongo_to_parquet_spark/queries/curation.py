@@ -1668,3 +1668,115 @@ def q_winsorize(spark, sf):
             ),
         )
     )
+
+
+# --------------------------------------------------- point-in-time join ----
+_PIT_STATES = ("signup", "error")
+
+
+@q(
+    "q_join_pit_scd2",
+    f"""
+    WITH st AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_id
+        FROM events WHERE event_type IN {_PIT_STATES!r}
+    ),
+    chg AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    seg AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM chg
+    ),
+    dim AS (
+        SELECT user_id, MIN(event_type) AS state_type,
+               CAST(MIN(us) AS BIGINT) AS valid_from_us,
+               lead(CAST(MIN(us) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY seg_id) AS valid_to_us
+        FROM seg GROUP BY user_id, seg_id
+    ),
+    fact AS (
+        SELECT event_id, user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS purchase_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.purchase_us,
+           d.state_type, d.valid_from_us AS state_from_us
+    FROM fact f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.purchase_us >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR f.purchase_us < d.valid_to_us)
+    """,
+)
+def q_join_pit_scd2(spark, sf):
+    # point-in-time dimension lookup: each purchase joined to the SCD-2
+    # validity interval (built from the user's signup/error state runs)
+    # covering its timestamp — "what state was this user in when they
+    # bought". The [from, to) half-open intervals partition each user's
+    # timeline, so every fact matches at most one version; facts before
+    # the first state event stay NULL (LEFT semantics).
+    #
+    # Scale: the join is an equi hash join on user_id with the interval
+    # containment as a residual filter — per-key fan is (facts_per_user ×
+    # versions_per_user), fine for dimension-like churn; for keys whose
+    # version count is unbounded (sensor state every second) use the
+    # as-of union-window form instead (q_join_asof — one window, no
+    # fan). The dimension build is the q_scd2_history gaps-and-islands
+    # single shuffle.
+    ev = T(spark, sf, "events")
+    st = ev.filter(F.col("event_type").isin(*_PIT_STATES)).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = st.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "seg_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg_id")
+    dim = (
+        seg.groupBy("user_id", "seg_id")
+        .agg(
+            F.min("event_type").alias("state_type"),
+            F.min("us").cast("bigint").alias("valid_from_us"),
+        )
+        .select(
+            "user_id",
+            "state_type",
+            "valid_from_us",
+            F.lead("valid_from_us").over(ws).alias("valid_to_us"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+    )
+    d = dim.alias("d")
+    f_ = fact.alias("f")
+    return f_.join(
+        d,
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.purchase_us") >= F.col("d.valid_from_us"))
+        & (
+            F.col("d.valid_to_us").isNull()
+            | (F.col("f.purchase_us") < F.col("d.valid_to_us"))
+        ),
+        "left",
+    ).select(
+        "f.event_id",
+        "f.user_id",
+        "f.purchase_us",
+        "d.state_type",
+        F.col("d.valid_from_us").alias("state_from_us"),
+    )

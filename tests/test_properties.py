@@ -460,3 +460,74 @@ def test_scd2_matches_naive_python(spark, data):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    # degree-ordered edge-centric count == naive Python enumeration on the
+    # same sf0.001 co-occurrence graph
+    from itertools import combinations
+
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    by_order: dict[int, set[int]] = {}
+    for r in li.collect():
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if b < c  # (a < b < c) counts each triangle once
+    )
+    row = CQ["q_graph_triangles"](spark, sf_dir).first()
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert 0.0 <= row["gcc"] <= 1.0
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+
+
+def test_kmv_is_exact_below_k(spark, sf_dir):
+    # at sf0.001 both audiences have < k distinct members → the sketch
+    # takes the exact branch and the estimates equal the exact counts
+    from mongo_to_parquet_spark.queries.retrieval import QUERIES as RQ
+
+    r = RQ["q_sketch_kmv"](spark, sf_dir).first()
+    assert r["n_a"] < 64 and r["n_b"] < 64
+    assert r["est_union"] == float(r["exact_union"])
+    assert r["est_int"] == float(r["exact_int"])
+    assert r["exact_int"] <= min(r["n_a"], r["n_b"])
+    assert r["exact_union"] >= max(r["n_a"], r["n_b"])
+
+
+def test_rrf_scores_follow_rank_formula(spark, sf_dir):
+    from mongo_to_parquet_spark.queries.retrieval import QUERIES as RQ
+
+    for r in RQ["q_hybrid_rrf"](spark, sf_dir).collect():
+        want = 0.0
+        if r["r_lex"] is not None:
+            want += 1.0 / (60 + r["r_lex"])
+        if r["r_vec"] is not None:
+            want += 1.0 / (60 + r["r_vec"])
+        assert r["rrf"] == round(want, 6)
+        assert r["r_lex"] is not None or r["r_vec"] is not None
+
+
+def test_winsorize_bounds_and_clamp_fractions(spark, sf_dir):
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ
+
+    for r in CQ["q_winsorize"](spark, sf_dir).collect():
+        assert r["p05"] <= r["p95"]
+        # rank selection at ceil(q*n): strictly-below-p05 rows < 5% of n,
+        # strictly-above-p95 rows ≤ 5% of n
+        assert r["n_clamped_low"] < 0.05 * r["n"]
+        assert r["n_clamped_high"] <= 0.05 * r["n"]
+        assert r["p05"] <= r["mean_winsorized"] <= r["p95"]
