@@ -230,3 +230,15 @@ def test_mongoexport_writer_roundtrip_and_overwrite(spark, tmp_path):
     assert (
         spark.read.format("mongoexport").schema("_id string").load(out).count() == 3
     )
+
+
+def test_run_query_cli_lists_and_runs(spark, sf_dir, capsys):
+    from mongo_to_parquet_spark import run_query
+
+    assert run_query.main(["--list"]) == 0
+    listed = capsys.readouterr().out
+    assert "q_agg_global\toracle" in listed
+    assert run_query.main(["q_agg_global", "--sf-dir", sf_dir, "--json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and '"cnt"' in out[0]
+    assert run_query.main(["no_such_key"]) == 2
