@@ -982,3 +982,139 @@ def q_sim_matryoshka(spark, sf):
     return tf.join(tt, "doc_id", "full").select(
         "doc_id", "r_full", "sim_full", "r_trunc", "sim_trunc"
     )
+
+
+# -------------------------------------------------------------- PCA --------
+_PCA_ITERS = 3
+
+
+@q(
+    "q_embed_pca",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM dims),
+    mu AS (
+        SELECT pos,
+               CAST(SUM(CAST(val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*) AS mu
+        FROM dims GROUP BY pos
+    ),
+    c AS (SELECT vec_id, pos, val - mu AS v FROM dims JOIN mu USING (pos)),
+    cov AS (
+        SELECT a.pos AS i, b.pos AS j,
+               CAST(SUM(CAST(a.v * b.v AS DECIMAL(38, 18))) AS DOUBLE)
+                   / (n - 1) AS cv
+        FROM c a JOIN c b USING (vec_id) CROSS JOIN n
+        GROUP BY a.pos, b.pos, n
+    ),
+    v0 AS (SELECT CAST(unnest(range(64)) AS INT) AS j, 0.125 AS v),
+    y1 AS (SELECT i, CAST(SUM(CAST(cv * v AS DECIMAL(38, 18))) AS DOUBLE) AS y
+           FROM cov JOIN v0 ON cov.j = v0.j GROUP BY i),
+    v1 AS (SELECT i AS j, y / sqrt((SELECT CAST(SUM(CAST(y * y AS DECIMAL(38, 18)))
+                                              AS DOUBLE) FROM y1)) AS v FROM y1),
+    y2 AS (SELECT i, CAST(SUM(CAST(cv * v AS DECIMAL(38, 18))) AS DOUBLE) AS y
+           FROM cov JOIN v1 ON cov.j = v1.j GROUP BY i),
+    v2 AS (SELECT i AS j, y / sqrt((SELECT CAST(SUM(CAST(y * y AS DECIMAL(38, 18)))
+                                              AS DOUBLE) FROM y2)) AS v FROM y2),
+    y3 AS (SELECT i, CAST(SUM(CAST(cv * v AS DECIMAL(38, 18))) AS DOUBLE) AS y
+           FROM cov JOIN v2 ON cov.j = v2.j GROUP BY i),
+    v3 AS (SELECT i AS j, y / sqrt((SELECT CAST(SUM(CAST(y * y AS DECIMAL(38, 18)))
+                                              AS DOUBLE) FROM y3)) AS v FROM y3),
+    lam AS (
+        SELECT CAST(SUM(CAST(cov.cv * a.v * b.v AS DECIMAL(38, 18))) AS DOUBLE)
+                   AS lam
+        FROM cov JOIN v3 a ON cov.i = a.j JOIN v3 b ON cov.j = b.j
+    )
+    SELECT j AS pos, ROUND(v, 6) AS component,
+           ROUND((SELECT lam FROM lam), 4) AS eigenvalue
+    FROM v3
+    """,
+)
+def q_embed_pca(spark, sf):
+    # top principal component of the embedding corpus by POWER ITERATION
+    # (3 fixed steps from a deterministic uniform start): center, exact
+    # decimal-summed covariance, then v ← normalize(Cv) three times with
+    # every reduction (matrix-vector products, norms, the Rayleigh
+    # quotient) summed in DECIMAL(38,18) so the result is bit-identical
+    # cross-engine — iterative linear algebra under the same fixed-point
+    # discipline as PageRank. The direction every embedding-drift /
+    # whitening / debiasing pass needs first.
+    #
+    # Scale: the covariance build is the one corpus-sized stage — a
+    # vec_id-keyed self-join emitting d² partial products that partial-
+    # combine to a d×d matrix (d=64 → 4096 rows; state is the matrix,
+    # not the corpus). Every iteration is a broadcast join of the d-row
+    # vector against the d²-row matrix: iteration cost is INDEPENDENT of
+    # corpus size, so 100 iterations on 100 TB cost the same as on 100 MB
+    # once the covariance is built.
+    e = T(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    n = dims.select(F.countDistinct("vec_id").alias("n"))
+    mu = dims.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    c = dims.join(mu, "pos").select(
+        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("v")
+    )
+    a = c.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
+    b = c.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
+    cov = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("i", "j", "n")
+        .agg(
+            (
+                F.sum((F.col("va") * F.col("vb")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / (F.col("n") - 1)
+            ).alias("cv")
+        )
+        .select("i", "j", "cv")
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        y = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cv") * F.col("v")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            y.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), (F.col("y") / F.col("nrm")).alias("v"))
+        )
+    va = v.select(F.col("j").alias("i"), F.col("v").alias("via"))
+    vb = v.select("j", F.col("v").alias("vjb"))
+    lam = (
+        cov.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum((F.col("cv") * F.col("via") * F.col("vjb")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("lam")
+        )
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").alias("pos"),
+        F.round("v", 6).alias("component"),
+        F.round("lam", 4).alias("eigenvalue"),
+    )
