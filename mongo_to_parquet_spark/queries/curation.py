@@ -1791,3 +1791,94 @@ def q_join_pit_scd2(spark, sf):
         "d.state_type",
         F.col("d.valid_from_us").alias("state_from_us"),
     )
+
+
+@q(
+    "q_mix_draw",
+    f"""
+    WITH avail AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    w (source, weight) AS (
+        VALUES {", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in _MIX_WEIGHTS)}
+    ),
+    caps AS (
+        SELECT source, weight,
+               CAST(FLOOR(avail_tokens / weight) AS BIGINT) AS cap_total
+        FROM avail JOIN w USING (source)
+    ),
+    t AS (SELECT MIN(cap_total) AS t_max FROM caps),
+    quota AS (
+        SELECT source, CAST(FLOOR(weight * t_max) AS BIGINT) AS quota_tokens
+        FROM caps CROSS JOIN t
+    ),
+    docs AS (
+        SELECT d.source, d.doc_id, q.quota_tokens,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               md5(concat('mix:', CAST(d.doc_id AS VARCHAR))) AS ord_key
+        FROM documents d JOIN quota q ON d.source = q.source
+    ),
+    run AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM docs
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_drawn,
+           quota_tokens
+    FROM run WHERE cum <= quota_tokens
+    GROUP BY source, quota_tokens
+    """,
+)
+def q_mix_draw(spark, sf):
+    # EXECUTE the mixture plan: greedily draw documents per source in
+    # content-addressed order (md5 of doc_id — the q_split_train
+    # discipline: no RNG state, re-runs and backfills select the same
+    # docs) until the q_mix_plan quota is filled; report drawn docs and
+    # tokens against quota. Together with q_mix_plan this is the
+    # plan→draw loop a pretraining data team runs per mixture revision.
+    #
+    # Scale: quotas are |sources| broadcast rows; the draw is ONE
+    # source-partitioned running-sum window over the candidate docs —
+    # the same single-shuffle shape as q_text_pack, selection stays
+    # deterministic under any partitioning because the order key is
+    # content-addressed.
+    d = T(spark, sf, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    )
+    w = spark.createDataFrame(list(_MIX_WEIGHTS), "source string, weight double")
+    caps = avail.join(F.broadcast(w), "source").withColumn(
+        "cap_total", F.floor(F.col("avail_tokens") / F.col("weight")).cast("bigint")
+    )
+    t = caps.agg(F.min("cap_total").alias("t_max"))
+    quota = caps.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.floor(F.col("weight") * F.col("t_max")).cast("bigint").alias("quota_tokens"),
+    )
+    docs = d.join(F.broadcast(quota), "source").select(
+        "source",
+        "doc_id",
+        "quota_tokens",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias(
+            "ord_key"
+        ),
+    )
+    wr = (
+        Window.partitionBy("source")
+        .orderBy(F.col("ord_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = docs.withColumn("cum", F.sum("n_tokens").over(wr))
+    return (
+        run.filter(F.col("cum") <= F.col("quota_tokens"))
+        .groupBy("source", "quota_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_drawn"),
+        )
+        .select("source", "n_docs", "tokens_drawn", "quota_tokens")
+    )
