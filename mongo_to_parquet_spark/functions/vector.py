@@ -34,3 +34,18 @@ def norm(a) -> Column:
 def cosine(a, b) -> Column:
     """Cosine similarity a·b / (‖a‖‖b‖), double precision throughout."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_dist(a, b) -> Column:
+    """Euclidean distance ‖a−b‖ in double precision (sequential fold,
+    list order — same determinism contract as :func:`dot`)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )

@@ -1118,3 +1118,46 @@ def q_embed_pca(spark, sf):
         F.round("v", 6).alias("component"),
         F.round("lam", 4).alias("eigenvalue"),
     )
+
+
+# ----------------------------------------------------------- L2 top-k ------
+@q(
+    "q_sim_topk_l2",
+    """
+    WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_distance(CAST(embedding AS DOUBLE[]),
+                               CAST(pv AS DOUBLE[])), 4) AS dist
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_topk_l2(spark, sf):
+    # nearest neighbors by EUCLIDEAN distance — the metric most ANN
+    # indexes (IVF/PQ/HNSW) are built on; completes the metric surface
+    # next to cosine (q_sim_topk) and the quantized integer distances
+    # (q_sim_topk_pq). Ordered by the rounded distance with id tiebreak,
+    # same determinism contract as every top-k here.
+    #
+    # Scale: identical shape to q_sim_topk — broadcast probe, one corpus
+    # scan, TakeOrdered per-partition top-k + driver merge of k×
+    # partitions rows; swap in the IVF layout (cells built on the same
+    # metric) when one probe per full scan stops being acceptable.
+    from mongo_to_parquet_spark.functions.vector import l2_dist
+
+    e = T(spark, sf, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            F.round(l2_dist(F.col("embedding"), F.col("pv")), 4).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
