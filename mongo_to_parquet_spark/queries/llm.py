@@ -1446,3 +1446,98 @@ def q_mm_audio_windows(spark, sf):
         "doc_id", (F.col("n_chars") * 320).alias("n_samples")
     )
     return multimodal.audio_windows(media)
+
+
+# ----------------------------------------------------- exact winnowing -----
+_WN_W = 4  # winnowing window over the trigram-shingle hash stream
+
+
+@q(
+    "q_text_winnow",
+    f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION ALL
+        SELECT doc_id, 1, text FROM base WHERE len(toks) < 3
+    ),
+    h AS (
+        SELECT doc_id, pos,
+               CAST(concat('0x', substr(md5(concat('wn:', s)), 1, 12)) AS BIGINT)
+                   AS h
+        FROM sh
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               MIN(h * 4096 + (4095 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING)
+                   AS selkey,
+               MAX(pos) OVER (PARTITION BY doc_id) AS m
+        FROM h
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, selkey // 4096 AS fh
+        FROM sel WHERE pos <= greatest(m - {_WN_W - 1}, 1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           array_to_string(list_sort(list(fh)), ',') AS fp
+    FROM fp GROUP BY doc_id
+    """,
+)
+def q_text_winnow(spark, sf):
+    # classic WINNOWING fingerprints (the MOSS algorithm), hash-checkable:
+    # md5-derived 48-bit trigram-shingle hashes, every length-4 window
+    # selects its minimal hash with the RIGHTMOST-occurrence tie rule
+    # (encoded arithmetically as min(h·4096 + (4095 − pos)) so both
+    # engines break ties identically), full windows only, distinct
+    # selections form the fingerprint. Guarantees any shared run of
+    # w + k − 1 = 6 tokens yields a shared fingerprint hash — the
+    # containment-detection primitive behind plagiarism/copy detection,
+    # complementing q_text_fingerprint's single-min summary (xxhash,
+    # rows-only) with an oracle-exact full fingerprint set.
+    #
+    # Scale: shingling + hashing is map-only; the selection windows and
+    # the per-doc max share ONE doc-keyed shuffle; fingerprints shrink
+    # the stream ~w× before the distinct. Shuffle rows carry (id, hash)
+    # only. Position fits the 4096 tie-break radix because documents are
+    # chunked upstream (q_text_chunk) long before 4k shingles.
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.posexplode(shingles(F.col("text"), 3)).alias("p0", "s")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "s")
+    h = sh.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.concat(F.lit("wn:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WN_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    sel = h.select(
+        "doc_id",
+        "pos",
+        F.min(F.col("h") * 4096 + (F.lit(4095) - F.col("pos"))).over(wsel).alias(
+            "selkey"
+        ),
+        F.max("pos").over(wdoc).alias("m"),
+    )
+    fp = (
+        sel.filter(F.col("pos") <= F.greatest(F.col("m") - (_WN_W - 1), F.lit(1)))
+        .select("doc_id", F.expr("selkey div 4096").alias("fh"))
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.array_join(F.sort_array(F.collect_list("fh")), ",").alias("fp"),
+    )
