@@ -1541,3 +1541,114 @@ def q_text_winnow(spark, sf):
         F.count(F.lit(1)).alias("n_fp"),
         F.array_join(F.sort_array(F.collect_list("fh")), ",").alias("fp"),
     )
+
+
+_WN_TAU = 0.5  # fingerprint-overlap threshold for candidate pairs
+
+
+@q(
+    "q_dedup_winnow",
+    f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION ALL
+        SELECT doc_id, 1, text FROM base WHERE len(toks) < 3
+    ),
+    h AS (
+        SELECT doc_id, pos,
+               CAST(concat('0x', substr(md5(concat('wn:', s)), 1, 12)) AS BIGINT)
+                   AS h
+        FROM sh
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               MIN(h * 4096 + (4095 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING)
+                   AS selkey,
+               MAX(pos) OVER (PARTITION BY doc_id) AS m
+        FROM h
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, selkey // 4096 AS fh
+        FROM sel WHERE pos <= greatest(m - {_WN_W - 1}, 1)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM fp GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, shared,
+           ROUND(CAST(shared AS DOUBLE) / least(s1.n_fp, s2.n_fp), 4) AS overlap
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(shared AS DOUBLE) / least(s1.n_fp, s2.n_fp) >= {_WN_TAU}
+    """,
+)
+def q_dedup_winnow(spark, sf):
+    # fingerprint-overlap pair mining — how MOSS actually flags copies:
+    # docs sharing ≥ τ of the SMALLER fingerprint set (containment
+    # normalization, so a snippet inside a long doc still scores high)
+    # become candidate pairs. Pairing joins on fingerprint HASHES —
+    # winnowing already thinned the shingle stream ~w×, so this is the
+    # cheap downstream of q_text_winnow, never an all-pairs pass.
+    #
+    # Scale: the fingerprint table is the winnow output (~1/w of the
+    # shingles); the pair join is bucketed by hash like minhash's band
+    # join, and a boilerplate hash shared by many docs is visible (and
+    # stoppable) in its bucket size. Overlap arithmetic is int/int
+    # division of exact counts.
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.posexplode(shingles(F.col("text"), 3)).alias("p0", "s")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "s")
+    h = sh.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.concat(F.lit("wn:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wsel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WN_W - 1)
+    wdoc = Window.partitionBy("doc_id")
+    sel = h.select(
+        "doc_id",
+        "pos",
+        F.min(F.col("h") * 4096 + (F.lit(4095) - F.col("pos"))).over(wsel).alias(
+            "selkey"
+        ),
+        F.max("pos").over(wdoc).alias("m"),
+    )
+    fp = (
+        sel.filter(F.col("pos") <= F.greatest(F.col("m") - (_WN_W - 1), F.lit(1)))
+        .select("doc_id", F.expr("selkey div 4096").alias("fh"))
+        .distinct()
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("id1"), "fh")
+    b = fp.select(F.col("doc_id").alias("id2"), "fh")
+    pairs = (
+        a.join(b, "fh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
+    overlap = F.col("shared").cast("double") / F.least(F.col("n1"), F.col("n2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(overlap >= _WN_TAU)
+        .select("id1", "id2", "shared", F.round(overlap, 4).alias("overlap"))
+    )

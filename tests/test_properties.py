@@ -531,3 +531,31 @@ def test_winsorize_bounds_and_clamp_fractions(spark, sf_dir):
         assert r["n_clamped_low"] < 0.05 * r["n"]
         assert r["n_clamped_high"] <= 0.05 * r["n"]
         assert r["p05"] <= r["mean_winsorized"] <= r["p95"]
+
+
+def test_winnowing_guarantee_on_substring_pairs(spark, sf_dir):
+    # the winnowing theorem: any shared token run of w + k - 1 tokens
+    # yields a shared fingerprint hash — so every substring-containment
+    # pair (token-aligned, ≥6 shared tokens on this fixture) must share
+    # at least one fingerprint
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+
+    sub_pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in LQ["q_dedup_substring"](spark, sf_dir).collect()
+    }
+    if not sub_pairs:
+        return  # fixture slice has no containment pairs — nothing to check
+    fps = {
+        r["doc_id"]: set(map(int, r["fp"].split(",")))
+        for r in LQ["q_text_winnow"](spark, sf_dir).collect()
+    }
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    lens = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for a, b in sub_pairs:
+        if min(lens[a], lens[b]) >= 6:  # guarantee needs w + k - 1 tokens
+            assert fps[a] & fps[b], f"containment pair ({a},{b}) shares no fingerprint"
