@@ -1652,3 +1652,144 @@ def q_dedup_winnow(spark, sf):
         .filter(overlap >= _WN_TAU)
         .select("id1", "id2", "shared", F.round(overlap, 4).alias("overlap"))
     )
+
+
+# ------------------------------------------------ oracle-exact MinHash -----
+_MH_N, _MH_BANDS = 16, 4          # 16 hashes, 4 bands x 4 rows
+_MH_P = 4294967311                # prime > 2^32 for Kirsch-Mitzenmacher
+_MH_TAU = 0.8
+
+
+@q(
+    "q_dedup_minhash_md5",
+    f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 3
+    ),
+    hs AS (
+        SELECT doc, s,
+               CAST(concat('0x', substr(md5(concat('mh1:', s)), 1, 12)) AS BIGINT)
+                   AS h1,
+               CAST(concat('0x', substr(md5(concat('mh2:', s)), 1, 12)) AS BIGINT)
+                   AS h2
+        FROM sh
+    ),
+    idx AS (SELECT CAST(unnest(range({_MH_N})) AS BIGINT) AS i),
+    sig AS (
+        SELECT doc, i, MIN((h1 + i * h2) % {_MH_P}) AS mh
+        FROM hs CROSS JOIN idx GROUP BY doc, i
+    ),
+    bands AS (
+        SELECT doc, i // {_MH_N // _MH_BANDS} AS band,
+               array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), '-') AS sigstr
+        FROM sig GROUP BY doc, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id1, b.doc AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sigstr = b.sigstr AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc = c.id1
+        JOIN sh b ON b.doc = c.id2 AND b.s = a.s
+        GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = id1
+    JOIN sizes s2 ON s2.doc = id2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= {_MH_TAU}
+    """,
+)
+def q_dedup_minhash_md5(spark, sf):
+    # the banded MinHash-LSH pipeline, HASH-CHECKABLE end to end: md5-
+    # derived Kirsch–Mitzenmacher hash family (g_i = h1 + i·h2 mod P, one
+    # double hash per shingle instead of n independent ones), 4 bands × 4
+    # rows, bucket join on (band, signature), exact Jaccard verify on the
+    # candidates only. Same algorithm as q_dedup_minhash (the benched
+    # xxhash64 production path) but every stage — signatures, buckets,
+    # candidates, verified pairs — is reproduced exactly by the DuckDB
+    # oracle, so the LSH machinery itself is correctness-gated, not just
+    # recall-pinned.
+    #
+    # Scale: identical shape to operators/dedup.minhash_pairs — the
+    # signature fold partial-combines to n rows per doc, the bucket join
+    # never enumerates all pairs, the exact verify touches candidates
+    # only. Shuffles carry (doc, hash) ints and band strings.
+    from pyspark.sql import Window  # noqa: F401  (parallel structure w/ siblings)
+
+    d = T(spark, sf, "documents")
+    sh = (
+        d.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+        )
+    )
+    hs = sh.select(
+        "doc",
+        "s",
+        F.conv(F.substring(F.md5(F.concat(F.lit("mh1:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("mh2:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h2"),
+    )
+    idx = F.array(*[F.lit(i) for i in range(_MH_N)])
+    sig = (
+        hs.select("doc", "h1", "h2", F.explode(idx).alias("i"))
+        .groupBy("doc", "i")
+        .agg(F.min((F.col("h1") + F.col("i") * F.col("h2")) % _MH_P).alias("mh"))
+    )
+    rows_per_band = _MH_N // _MH_BANDS
+    bands = (
+        sig.groupBy("doc", F.expr(f"i div {rows_per_band}").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                "-",
+            ).alias("sigstr")
+        )
+    )
+    a = bands.select(F.col("doc").alias("id1"), "band", "sigstr")
+    b = bands.select(F.col("doc").alias("id2"), "band", "sigstr")
+    cand = (
+        a.join(b, ["band", "sigstr"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("id1"), "s")
+    sb = sh.select(F.col("doc").alias("id2"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(sa, "id1")
+        .join(sb, "id2")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_inter")
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(jac >= _MH_TAU)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
