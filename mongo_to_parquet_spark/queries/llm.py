@@ -1793,3 +1793,115 @@ def q_dedup_minhash_md5(spark, sf):
         .filter(jac >= _MH_TAU)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ------------------------------------------------ oracle-exact SimHash -----
+_SH_BITS, _SH_CHUNKS, _SH_HAM = 48, 4, 3   # 4×12-bit chunks → hamming ≤ 3
+
+
+@q(
+    "q_dedup_simhash_md5",
+    f"""
+    WITH tf AS (
+        SELECT doc_id AS doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY doc, tok
+    ),
+    h AS (
+        SELECT doc, tf,
+               CAST(concat('0x', substr(md5(concat('sh:', tok)), 1, 12)) AS BIGINT)
+                   AS h
+        FROM tf
+    ),
+    bits AS (SELECT CAST(unnest(range({_SH_BITS})) AS BIGINT) AS b),
+    acc AS (
+        SELECT doc, b,
+               SUM(tf * (2 * ((h >> b) & 1) - 1)) AS s
+        FROM h CROSS JOIN bits GROUP BY doc, b
+    ),
+    sig AS (
+        SELECT doc,
+               CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM acc GROUP BY doc
+    ),
+    chunks AS (
+        SELECT doc, sig, k, (sig >> (12 * k)) & 4095 AS cv
+        FROM sig CROSS JOIN (SELECT CAST(unnest(range({_SH_CHUNKS})) AS BIGINT) AS k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id1, b.doc AS id2, a.sig AS sig1, b.sig AS sig2
+        FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.cv = b.cv AND a.doc < b.doc
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig1, sig2)) <= {_SH_HAM}
+    """,
+)
+def q_dedup_simhash_md5(spark, sf):
+    # SimHash near-dup mining, HASH-CHECKABLE end to end (completing the
+    # oracle-exact dedup trio with q_dedup_minhash_md5 and
+    # q_dedup_winnow): 48-bit md5 token hashes, tf-weighted bit majority
+    # (ties → 1, identical both engines), 4×12-bit pigeonhole chunks so a
+    # pair within hamming ≤ 3 must agree on one chunk — candidates come
+    # from chunk-bucket joins, never all pairs, and the exact hamming
+    # verify runs on candidates only. The xxhash q_dedup_simhash remains
+    # the production fast path with recall pinned in unit tests.
+    #
+    # Scale: the bit accumulation partial-combines to 48 fixed-width rows
+    # per doc and the signature to one; bucket fan-out is bounded by
+    # near-dup density exactly like minhash bands. Shuffles carry
+    # (doc, bit, sum) ints and 2-long chunk rows.
+    d = T(spark, sf, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("doc_id").alias("doc"), "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = tf.select(
+        "doc",
+        "tf",
+        F.conv(F.substring(F.md5(F.concat(F.lit("sh:"), F.col("tok"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bits = F.array(*[F.lit(i) for i in range(_SH_BITS)])
+    # per-bit extraction via expr: Spark's shiftright API takes an int
+    # literal, but the SQL `>>` operator accepts the bit-index column
+    acc = (
+        h.select("doc", "tf", "h", F.explode(bits).alias("b"))
+        .groupBy("doc", "b")
+        .agg(
+            F.sum(
+                F.col("tf") * (F.lit(2) * F.expr("(h >> b) & 1") - F.lit(1))
+            ).alias("s")
+        )
+    )
+    sig = acc.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.col("s") >= 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    ks = F.array(*[F.lit(i) for i in range(_SH_CHUNKS)])
+    chunks = sig.select(
+        "doc", "sig", F.explode(ks).alias("k")
+    ).withColumn("cv", F.expr("(sig >> (12 * k)) & 4095"))
+    a = chunks.select(F.col("doc").alias("id1"), F.col("sig").alias("sig1"), "k", "cv")
+    b = chunks.select(F.col("doc").alias("id2"), F.col("sig").alias("sig2"), "k", "cv")
+    cand = (
+        a.join(b, ["k", "cv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sig1 ^ sig2")).cast("bigint")
+    return cand.select("id1", "id2", ham.alias("hamming")).filter(
+        F.col("hamming") <= _SH_HAM
+    )
