@@ -1905,3 +1905,131 @@ def q_dedup_simhash_md5(spark, sf):
     return cand.select("id1", "id2", ham.alias("hamming")).filter(
         F.col("hamming") <= _SH_HAM
     )
+
+
+# --------------------------------------------- oracle-exact hyperplane -----
+_HP_PLANES = 6  # 64 buckets over ~500 vectors → populated buckets
+
+
+def _hp_c_sql(p: str, j: str) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('hp:', CAST({p} AS VARCHAR), ':', "
+        f"CAST({j} AS VARCHAR))), 1, 12)) AS BIGINT) % 20014) / 10007.0 - 1.0"
+    )
+
+
+@q(
+    "q_sim_topk_lsh_md5",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT p, j, {_hp_c_sql('p', 'j')} AS c
+        FROM (SELECT CAST(unnest(range({_HP_PLANES})) AS BIGINT) AS p)
+        CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS j)
+    ),
+    proj AS (
+        SELECT vec_id, p,
+               CAST(SUM(CAST(val * c AS DECIMAL(38, 18))) AS DOUBLE) AS pr
+        FROM dims JOIN planes USING (j) GROUP BY vec_id, p
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id
+    ),
+    probe AS (
+        SELECT s.sig AS psig, e.embedding AS pv
+        FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE s.vec_id = 0
+    )
+    SELECT e.vec_id AS vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(pv AS DOUBLE[])), 4) AS sim
+    FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+    CROSS JOIN probe
+    WHERE s.sig = psig AND s.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk_lsh_md5(spark, sf):
+    # hyperplane-LSH approximate top-k, HASH-CHECKABLE end to end: plane
+    # components derive from md5 (reproduced by the oracle), projections
+    # sum in DECIMAL so the sign — and therefore every bucket — is
+    # bit-identical cross-engine, and the probe's bucket is scored
+    # exactly. Upgrades the LSH ANN family from rows-only to
+    # oracle-verified alongside minhash/simhash/winnow; q_sim_topk_lsh
+    # (xxhash, codegen'd expression-only buckets) remains the fast path.
+    #
+    # Scale: bucketing is one dims⋈planes join partial-combining to
+    # |planes| rows per vector; serving scans ONE bucket (~N/2^planes of
+    # the corpus) per probe instead of the corpus — the recall/cost dial
+    # is the plane count, and multi-probe (flipping low-|proj| bits)
+    # raises recall without rebuilds.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    e = T(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "val"),
+    )
+    pj = [(p, j) for p in range(_HP_PLANES) for j in range(64)]
+    c = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hp:"),
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20014
+    ) / F.lit(10007.0) - F.lit(1.0)
+    planes = spark.createDataFrame(pj, "p long, j long").select("p", "j", c.alias("c"))
+    proj = (
+        dims.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum((F.col("val") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("pr")
+        )
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pr") >= 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    se = sig.join(e, "vec_id")
+    probe = F.broadcast(
+        se.filter(F.col("vec_id") == 0).select(
+            F.col("sig").alias("psig"), F.col("embedding").alias("pv")
+        )
+    )
+    return (
+        se.crossJoin(probe)
+        .filter((F.col("sig") == F.col("psig")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
