@@ -2033,3 +2033,118 @@ def q_sim_topk_lsh_md5(spark, sf):
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------- oracle-exact embedding near-dup -----
+_EHP_PLANES = 4   # coarse buckets so near-orthogonal vectors still collide
+_EHP_TAU = 0.4
+
+
+@q(
+    "q_dedup_embed_lsh_md5",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT p, j, {_hp_c_sql('p', 'j')} AS c
+        FROM (SELECT CAST(unnest(range({_EHP_PLANES})) AS BIGINT) AS p)
+        CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS j)
+    ),
+    proj AS (
+        SELECT vec_id, p,
+               CAST(SUM(CAST(val * c AS DECIMAL(38, 18))) AS DOUBLE) AS pr
+        FROM dims JOIN planes USING (j) GROUP BY vec_id, p
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2,
+           ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                        CAST(e2.embedding AS DOUBLE[])), 4) AS sim
+    FROM pairs
+    JOIN embeddings e1 ON e1.vec_id = id1
+    JOIN embeddings e2 ON e2.vec_id = id2
+    WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                 CAST(e2.embedding AS DOUBLE[])) >= {_EHP_TAU}
+    """,
+)
+def q_dedup_embed_lsh_md5(spark, sf):
+    # unblocked embedding near-dup mining, HASH-CHECKABLE: the md5
+    # hyperplane buckets (decimal-summed projections, bit-identical
+    # signs) are the blocking key, exact cosine verifies within buckets —
+    # the last md5 twin, so every approximate pipeline whose hash family
+    # we control (minhash, simhash, winnowing, hyperplane ANN + near-dup)
+    # is oracle-verified end to end. The remaining rows-only keys are
+    # engine-native sketches (HLL, GK) and the gated media stub — noted
+    # as inherently engine-specific in SURVEY §2.3.
+    #
+    # Scale: identical to q_dedup_embed_lsh (the xxhash fast path) — the
+    # bucket join replaces all-pairs with per-bucket fans, and the plane
+    # count dials bucket size against recall.
+    e = T(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "val"),
+    )
+    pj = [(p, j) for p in range(_EHP_PLANES) for j in range(64)]
+    c = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hp:"),
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20014
+    ) / F.lit(10007.0) - F.lit(1.0)
+    planes = spark.createDataFrame(pj, "p long, j long").select("p", "j", c.alias("c"))
+    proj = (
+        dims.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum((F.col("val") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("pr")
+        )
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pr") >= 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    a = sig.select(F.col("vec_id").alias("id1"), "sig")
+    b = sig.select(F.col("vec_id").alias("id2"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    e1 = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    sim = cosine(F.col("v1"), F.col("v2"))
+    return (
+        pairs.join(e1, "id1")
+        .join(e2, "id2")
+        .filter(sim >= _EHP_TAU)
+        .select("id1", "id2", F.round(sim, 4).alias("sim"))
+    )
