@@ -1049,21 +1049,35 @@ def q_graph_triangles(spark, sf):
     # on vertex ids; the wedge denominator comes from the degree table.
     # The edge list feeds four consumers but is NOT persisted: AQE's
     # runtime ReuseExchange already dedupes the identical subtrees, and a
-    # persist() was measured 2.5× SLOWER here (11.2s vs 4.4s — cache
-    # build + losing AQE across the cache boundary; contrast pagerank,
-    # where persist wins because ITERATIONS, not DAG branches, reuse it).
+    # persist() was re-measured 3× SLOWER (9.9s vs 3.0s — cache build
+    # forces an extra materialization and loses AQE across the cache
+    # boundary; contrast pagerank, where persist wins because
+    # ITERATIONS, not DAG branches, reuse it).
     li = T(spark, sf, "lineitem")
     s = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
-    a, b = s.alias("a"), s.alias("b")
-    # shuffle_hash hints throughout: every join here has edge-sized inputs
-    # whose SMJ sort dominates — hash build sides measured 13% faster at
-    # sf0.1 (4.33s → 3.79s), exact same rows
+    # Edge build WITHOUT a self-join: collect each order's part set into a
+    # sorted array, then generate the ordered pairs map-side — posexplode
+    # picks u, slice(ps, i+2, …) yields every later element as v. One
+    # groupBy(ok) shuffle replaces the self-join's two shuffles + hash
+    # build, and pair generation happens inside Generate with no join at
+    # all (measured 4.8s → 3.0s full-query at sf0.1 vs the
+    # shuffle_hash self-join). Per-order arrays are basket-sized
+    # (lineitems per order), not degree-sized, so no skew hazard; the
+    # O(basket²) pair fan-out is the same row count the join produced.
+    g = s.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     e = (
-        a.hint("shuffle_hash")
-        .join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        g.select(F.posexplode("ps").alias("i", "u"), "ps")
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("ps"), F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("v"),
+        )
         .distinct()
     )
+    # shuffle_hash hints on the remaining joins: edge-sized inputs whose
+    # SMJ sort dominates — hash build sides measured 13% faster at sf0.1,
+    # exact same rows
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
