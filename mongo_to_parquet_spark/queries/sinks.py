@@ -244,3 +244,61 @@ def q_cluster_zorder(spark, sf):
             F.max("b").alias("max_doy"),
         )
     )
+
+
+@q(
+    "q_join_bucketed",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bucketed(spark, sf):
+    # the shuffle-once-at-write-time layout as an end-to-end checkable
+    # query: both fact tables are written bucketed+sorted by the join key
+    # (export_bucketed), re-read through the catalog, and joined — the
+    # SortMergeJoin runs with NO Exchange on either side (plan-asserted
+    # in tests/test_plans.py; the layout contract itself in
+    # tests/test_reference_semantics.py). At 100 TB this converts the
+    # dominant recurring orders⋈lineitem shuffle into a one-time layout
+    # decision — the write pays the single hash-distribution pass, every
+    # subsequent join of the two tables is map-side. Bucket counts must
+    # match on both sides (8 here; a real deployment sizes buckets so
+    # bucket × file ≈ executor memory). Oracle = the same join on the
+    # unbucketed source — bucketing is pure layout, rows are identical.
+    from mongo_to_parquet_spark.sources.export import export_bucketed
+
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    outroot = os.path.abspath(os.path.join(scratch, "bucketed", tag))
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bjoin_{tag}_{tbl}"
+        export_bucketed(
+            T(spark, sf, tbl), name, key,
+            num_buckets=8, path=os.path.join(outroot, tbl),
+        )
+        names[tbl] = name
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    )
+    # merge hint: at fixture scale the optimizer would broadcast the
+    # orders side, hiding the layout win; two 100 TB facts both exceed
+    # any broadcast threshold, and SMJ-over-buckets is the plan the
+    # layout exists for (zero Exchanges, asserted in tests/test_plans.py)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            rev.cast("double").alias("revenue"),
+        )
+    )

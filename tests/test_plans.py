@@ -450,3 +450,19 @@ def test_kmv_sketches_are_takeordered(spark, sf_dir):
     # each k-smallest sketch is per-partition top-k + merge, no global sort
     plan = checks.formatted_plan(QS["q_sketch_kmv"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_query_has_no_exchange(spark, sf_dir):
+    # q_join_bucketed: once both facts are written bucketed by the join
+    # key, the SortMergeJoin must run with ZERO Exchanges — the layout
+    # replaced the shuffle. (The final 3-group aggregate exchanges its
+    # handful of partial rows; assert on the join subtree by checking no
+    # exchange appears below the join.)
+    df = QS["q_join_bucketed"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    join_pos = plan.index("SortMergeJoin")
+    # formatted plans list operators top-down; everything after the join
+    # line is its input subtree — no Exchange may feed the join
+    below = plan[join_pos:].split("\n\n", 1)[0]
+    assert "Exchange" not in below, f"bucketed join still shuffles:\n{below}"
