@@ -57,6 +57,7 @@ HEADLINE = [
     "q_graph_triangles",    # degree-ordered edge-centric triangle count
     "q_hybrid_rrf",         # RRF fusion of BM25 + cosine lists
     "q_drift_psi",          # one-pass binned drift cube
+    "q_tpch_q9",            # 5-table profit rollup on the derived part-supplier catalog
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay
