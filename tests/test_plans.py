@@ -466,3 +466,44 @@ def test_bucketed_join_query_has_no_exchange(spark, sf_dir):
     # line is its input subtree — no Exchange may feed the join
     below = plan[join_pos:].split("\n\n", 1)[0]
     assert "Exchange" not in below, f"bucketed join still shuffles:\n{below}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    # Spark's InjectRuntimeFilter: a selective predicate on one join side
+    # seeds a bloom filter evaluated inside the OTHER side's scan stage,
+    # pruning fact rows before the shuffle — at 100 TB this is the
+    # difference between shuffling the whole fact and shuffling the ~1%
+    # that can possibly match. Default size thresholds are cluster-scale
+    # (10MB creation / 10GB application side), so tune them to fixture
+    # scale here; the assertion is that the ENGINE session leaves the
+    # rule functional (AQE, broadcast and shuffle confs do not disable
+    # it) and the filter lands in the optimized plan as might_contain().
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join shape
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true", "runtime bloom filters must stay enabled in engine sessions"
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, f"no runtime bloom filter injected:\n{opt[:2000]}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
