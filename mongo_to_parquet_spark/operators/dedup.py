@@ -654,3 +654,71 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return labels
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: remove REPEATED fixed-width token spans
+    corpus-wide, keeping each span's first occurrence (C4's duplicated-
+    span removal / RefinedWeb's line dedup, on token windows).
+
+    Whole-document dedup misses boilerplate: headers, license blocks and
+    navigation chrome repeat across documents whose full texts are
+    unique. Here every document is cut into non-overlapping
+    ``span_tokens``-token windows; a span that appears anywhere earlier
+    in the corpus (first occurrence = min (doc_id, idx)) is dropped and
+    the document is reassembled from its surviving spans.
+
+    Returns (doc_id, n_spans, n_dropped, cleaned_text).
+
+    Scale: first-occurrence is a ``min(struct(doc_id, idx))`` groupBy —
+    partial-combinable map-side, so a span repeated a million times
+    arrives at the reducer as one row per map partition, NOT a million
+    rows (no hot-key blowup in the aggregate). The join back on span is
+    the skewed step for boilerplate-heavy corpora; AQE's skew-join
+    splitting handles moderate cases, and the shuffle can be shrunk by
+    keying on xxhash64(span) with the span re-verified after the join
+    (not done here — the oracle-checked form joins the plain span).
+    Reassembly is a per-document sort of its own ≤ L/span_tokens
+    surviving spans — bounded by document length, never corpus-sized.
+    """
+    from mongo_to_parquet_spark.functions.textfns import tokens
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    base = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    n_spans = F.greatest(
+        F.ceil(F.size("toks") / F.lit(span_tokens)).cast("int"), F.lit(1)
+    )
+    sp = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "idx",
+        F.array_join(
+            F.slice("toks", F.col("idx") * span_tokens + 1, span_tokens), " "
+        ).alias("span"),
+    )
+    first = sp.groupBy("span").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    j = sp.join(first, "span")
+    kept = (F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~kept).cast("bigint")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.struct("idx", "span")))
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

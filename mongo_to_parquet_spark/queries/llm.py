@@ -914,6 +914,40 @@ def q_sample_uniform(spark, sf):
 
 
 @q(
+    "q_dedup_span",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sp AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+        FROM base, UNNEST(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1))
+             AS t(i)
+    ),
+    rk AS (
+        SELECT doc_id, idx, span,
+               ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        FROM sp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(
+               list(span ORDER BY idx) FILTER (WHERE rn = 1), ' '), '')
+               AS cleaned_text
+    FROM rk GROUP BY doc_id
+    """,
+)
+def q_dedup_span(spark, sf):
+    # sub-document span dedup (operators/dedup.span_dedup): C4-style
+    # removal of repeated 8-token windows corpus-wide — boilerplate that
+    # whole-document and near-dup passes both miss. First occurrence
+    # (min (doc_id, idx)) survives; documents are reassembled from their
+    # surviving spans. The oracle's ROW_NUMBER()=1 is the engine's
+    # map-side-combinable min(struct) — same keeper, no per-span sort.
+    return dedup.span_dedup(T(spark, sf, "documents"), span_tokens=8)
+
+
+@q(
     "q_dedup_substring",
     """
     WITH a AS (

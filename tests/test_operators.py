@@ -851,3 +851,24 @@ def test_merge_scd2_all_four_branches(spark):
             (9, "born", eff, None),  # brand-new key inserted open
         ]
     )
+
+
+def test_span_dedup_drops_repeats_keeps_first(spark):
+    # spans are 2-token windows; "a b" repeats (doc 1 idx 0 is first);
+    # doc 3 is entirely boilerplate and cleans to ''
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),        # spans: "a b", "c d"
+            Row(doc_id=2, text="x y a b"),        # "a b" at idx 1 -> dropped
+            Row(doc_id=3, text="a b"),            # whole doc duplicated
+        ]
+    )
+    from mongo_to_parquet_spark.operators.dedup import span_dedup
+
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=2).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["cleaned_text"] == "a b c d"
+    assert out[2]["n_dropped"] == 1 and out[2]["cleaned_text"] == "x y"
+    assert out[3]["n_dropped"] == 1 and out[3]["cleaned_text"] == ""
+    assert out[2]["n_spans"] == 2 and out[3]["n_spans"] == 1
