@@ -58,6 +58,7 @@ HEADLINE = [
     "q_hybrid_rrf",         # RRF fusion of BM25 + cosine lists
     "q_drift_psi",          # one-pass binned drift cube
     "q_tpch_q9",            # 5-table profit rollup on the derived part-supplier catalog
+    "q_dedup_span",         # C4-style duplicated-window removal + doc reassembly
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay
@@ -78,12 +79,13 @@ def main() -> None:
     for key in HEADLINE:
         qs[key](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best of 2 timed iterations: local[32] wall-clock is noisy (GC, OS
-    # scheduler); the min is the steady-state number a warm cluster would see
+    # best of 3 timed iterations: local[32] wall-clock is noisy (GC, OS
+    # scheduler — SCALE.md documents ±15% run-to-run on identical code);
+    # the min is the steady-state number a warm cluster would see
     timings: dict[str, float] = {}
     for key in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
