@@ -405,3 +405,68 @@ def q_mm_phash_dedup(spark, sf):
     return cand.select("id1", "id2", ham.alias("hamming")).filter(
         F.col("hamming") <= 1
     )
+
+
+# -------------------------------------------- incremental MV end-to-end ----
+@q(
+    "q_mv_refresh",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS cnt_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_p,
+           MIN(o_totalprice) AS min_p,
+           MAX(o_totalprice) AS max_p
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_mv_refresh(spark, sf):
+    # the incremental materialized view END-TO-END through the oracle
+    # gate (operators/incremental.py): orders arrive as two date slices,
+    # each folded into the versioned on-disk aggregate state with
+    # refresh_agg_state (commit markers, orphan-safe); the query answers
+    # from the FINAL STATE ALONE and must hash-match the oracle's direct
+    # aggregate over the full table — refresh ≡ recompute, proven per
+    # driver round, not just in unit tests. Sums are DECIMAL(38,6) so the
+    # two-slice merge is order-independent; avg is derived with the SAME
+    # double division in both engines (never decimal division, whose
+    # rounding scale differs across engines). At 100 TB each refresh
+    # costs O(slice + touched keys); this query's two refreshes stand in
+    # for a nightly cadence. State lives under _scratch and is wiped per
+    # run — re-folding the same slices into surviving state would
+    # double-count (the batch API has no replay guard; the STREAMING
+    # refresh records batch ids for exactly that).
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators import incremental as inc
+
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    state_dir = os.path.abspath(
+        os.path.join(scratch, "mv_state", os.path.basename(sf.rstrip("/")))
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    o = T(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    keys, measures = ["o_orderstatus"], ["o_totalprice"]
+    inc.refresh_agg_state(
+        spark, state_dir, o.filter(F.col("o_orderdate") < cut), keys, measures
+    )
+    st = inc.refresh_agg_state(
+        spark, state_dir,
+        o.filter(~(F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull()),
+        keys, measures,
+    )
+    return st.select(
+        "o_orderstatus",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("cnt_o_totalprice").cast("bigint").alias("cnt_p"),
+        F.col("sum_o_totalprice").cast("double").alias("sum_p"),
+        (
+            F.col("sum_o_totalprice").cast("double") / F.col("cnt_o_totalprice")
+        ).alias("avg_p"),
+        F.col("min_o_totalprice").alias("min_p"),
+        F.col("max_o_totalprice").alias("max_p"),
+    )
