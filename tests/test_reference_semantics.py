@@ -301,3 +301,30 @@ def test_cli_export_job_mongoexport_source(spark, sf_dir, tmp_path):
     }
     assert "_id" not in back.columns  # R3: _id dropped at export
     assert dict(back.dtypes)["o_orderkey"] == "bigint"  # $numberLong inferred
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, sf_dir, tmp_path):
+    """Bucket pruning: an equality predicate on the bucket key reads ONE
+    bucket of 8 (`SelectedBucketsCount: 1 out of 8` in the scan) — at
+    100 TB a keyed lookup touches 1/num_buckets of the files before any
+    row is read, the same effect partition pruning has for dates."""
+    from mongo_to_parquet_spark.plans.checks import formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    export_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_bp", "o_orderkey",
+        num_buckets=8, path=str(tmp_path / "orders_bp"),
+    )
+    # autoBucketedScan rewrites bucket-irrelevant reads as plain scans
+    # (more parallelism); force the bucketed form so pruning is visible
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        key = spark.table("orders_bp").select(F.min("o_orderkey")).first()[0]
+        lookup = spark.table("orders_bp").filter(F.col("o_orderkey") == key)
+        plan = formatted_plan(lookup)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
+        assert lookup.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bp")
