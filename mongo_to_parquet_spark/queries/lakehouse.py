@@ -470,3 +470,60 @@ def q_mv_refresh(spark, sf):
         F.col("min_o_totalprice").alias("min_p"),
         F.col("max_o_totalprice").alias("max_p"),
     )
+
+
+@q(
+    "q_mv_diff",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows,
+           CAST(COUNT(*) AS BIGINT) AS v2_rows,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS delta_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_mv_diff(spark, sf):
+    # versioned-state TIME TRAVEL through the oracle gate: two refreshes
+    # leave committed versions v=1 (first slice) and v=2 (both slices);
+    # read_agg_state(version=) pins each, and the per-key row-count diff
+    # must equal the second slice's direct contribution. This is the
+    # audit query a production MV needs after every refresh ("what did
+    # last night's load change?") — O(keys), never re-reading history.
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators import incremental as inc
+
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    state_dir = os.path.abspath(
+        os.path.join(scratch, "mv_diff", os.path.basename(sf.rstrip("/")))
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    o = T(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    keys, measures = ["o_orderstatus"], ["o_totalprice"]
+    inc.refresh_agg_state(
+        spark, state_dir, o.filter(F.col("o_orderdate") < cut), keys, measures
+    )
+    inc.refresh_agg_state(
+        spark, state_dir,
+        o.filter(~(F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull()),
+        keys, measures,
+    )
+    v1 = inc.read_agg_state(spark, state_dir, version=1).select(
+        "o_orderstatus", F.col("n_rows").alias("r1")
+    )
+    v2 = inc.read_agg_state(spark, state_dir, version=2).select(
+        "o_orderstatus", F.col("n_rows").alias("r2")
+    )
+    return (
+        v2.join(v1, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("r1", F.lit(0)).cast("bigint").alias("v1_rows"),
+            F.col("r2").cast("bigint").alias("v2_rows"),
+            (F.col("r2") - F.coalesce("r1", F.lit(0))).cast("bigint").alias("delta_rows"),
+        )
+    )
