@@ -90,20 +90,31 @@ def filter_date_range(
 def export_partitioned(
     df: DataFrame,
     out_dir: str,
-    date_field: str,
+    date_field: str | None,
     start: datetime | str | None = None,
     end: datetime | str | None = None,
     drop_columns: tuple[str, ...] = ("_id",),
     mode: str = "overwrite",
     coalesce_partitions: int | None = None,
 ) -> None:
-    """The reference's whole export job for one collection (main.py:287-309)."""
-    df = filter_date_range(df, date_field, start, end)
+    """The reference's whole export job for one collection (main.py:287-309).
+
+    A falsy ``date_field`` reproduces the reference's no-date-field
+    collections (main.py:93-94 skips enrichment, main.py:289 skips the
+    range query): the collection is exported WHOLE — no date filter, no
+    year/month/day columns, flat unpartitioned layout. Pinned in
+    tests/test_reference_semantics.py::test_no_date_field_exports_whole.
+    """
     df = df.drop(*[c for c in drop_columns if c in df.columns])
-    df = with_date_parts(df, date_field)
+    if date_field:
+        df = filter_date_range(df, date_field, start, end)
+        df = with_date_parts(df, date_field)
     if coalesce_partitions:
         df = df.coalesce(coalesce_partitions)
-    df.write.mode(mode).partitionBy("year").parquet(out_dir)
+    w = df.write.mode(mode)
+    if date_field:
+        w = w.partitionBy("year")
+    w.parquet(out_dir)
 
 
 def export_bucketed(

@@ -328,3 +328,22 @@ def test_bucketed_point_lookup_prunes_buckets(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
         spark.sql("DROP TABLE IF EXISTS orders_bp")
+
+
+def test_no_date_field_exports_whole(spark, sf_dir, tmp_path):
+    """Reference main.py:93-94 + :289: a collection configured WITHOUT a
+    date field is exported whole — no date filter applied, no
+    year/month/day enrichment, flat (unpartitioned) directory layout."""
+    import os
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.export import export_partitioned
+
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_flat")
+    # start/end present in the config must be IGNORED without a date field
+    export_partitioned(src, out, None, start="1996-01-01", end="1996-12-31")
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert "year" not in back.columns and "month" not in back.columns
+    assert not any(d.startswith("year=") for d in os.listdir(out))
