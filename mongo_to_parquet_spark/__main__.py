@@ -47,9 +47,20 @@ def main(argv: list[str] | None = None) -> int:
         help="collection exports submitted at once (FAIR pool overlap for "
         "many-small-collection configs; reference main.py:266-273)",
     )
+    ap.add_argument(
+        "--log-file",
+        default=None,
+        help="JSON-lines job log (reference main.py:52 default "
+        "mongodb_to_parquet.log when set to the empty string)",
+    )
     args = ap.parse_args(argv)
 
     cfg = JobConfig.from_json(args.config)
+    logger = None
+    if args.log_file is not None:
+        from mongo_to_parquet_spark.joblog import DEFAULT_LOG_PATH, create_logger
+
+        logger = create_logger(args.log_file or DEFAULT_LOG_PATH)
     spark = get_spark("mongo-to-parquet-spark-export")
     if args.source_dir and args.source_format == "mongoexport":
         import os
@@ -74,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         reader = lambda coll: read_collection(  # noqa: E731
             spark, cfg.mongo_uri, args.database, coll
         )
-    totals = ExportJob(spark, cfg, reader, max_concurrent=args.max_concurrent).run()
+    totals = ExportJob(
+        spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger
+    ).run()
     # one JSON line per collection — the reference's END log (main.py:309)
     print(json.dumps({"rows_written": totals}))
     return 0

@@ -72,19 +72,29 @@ class ExportJob:
         cfg: JobConfig,
         reader,
         max_concurrent: int = 1,
+        logger=None,
     ):
+        import logging
+
         self.spark = spark
         self.cfg = cfg
         self.reader = reader  # Callable[[str], DataFrame]
         self.max_concurrent = max(1, max_concurrent)
+        # reference main.py:49-58 JSON-lines job log (joblog.create_logger);
+        # default is the bare named logger — silent until a handler exists
+        self.logger = logger or logging.getLogger("mongo_to_parquet")
 
     def _export_one(self, coll: str, date_field: str) -> int:
+        # reference main.py:295/309 START/END lifecycle lines, same shape
+        self.logger.info(f"START {coll} | date_field={date_field}")
         df = self.reader(coll)
         out = f"{self.cfg.output_dir}/{coll}"
         export_partitioned(
             df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date
         )
-        return self.spark.read.parquet(out).count()
+        total = self.spark.read.parquet(out).count()
+        self.logger.info(f"END {coll} | documents={total}")
+        return total
 
     def run(self) -> dict[str, int]:
         """Export every configured collection; returns rows written per

@@ -347,3 +347,36 @@ def test_no_date_field_exports_whole(spark, sf_dir, tmp_path):
     assert back.count() == src.count()
     assert "year" not in back.columns and "month" not in back.columns
     assert not any(d.startswith("year=") for d in os.listdir(out))
+
+
+def test_joblog_json_lines_format(spark, sf_dir, tmp_path):
+    """Reference main.py:49-58: job events append to a JSON-lines log —
+    one {"ts","level","msg"} object per line — with the reference's
+    START/END collection lifecycle lines (main.py:295,309)."""
+    import json as _json
+
+    from mongo_to_parquet_spark.joblog import create_logger
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    log_path = str(tmp_path / "job.log")
+    logger = create_logger(log_path)
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        date_collections={"orders": "o_orderdate"},
+    )
+    job = ExportJob(
+        spark, cfg, lambda c: load_table(spark, sf_dir, c), logger=logger
+    )
+    totals = job.run()
+    lines = [
+        _json.loads(line)
+        for line in open(log_path).read().splitlines()
+        if line.strip()
+    ]
+    msgs = [entry["msg"] for entry in lines]
+    assert any(m.startswith("START orders") for m in msgs)
+    assert any(m == f"END orders | documents={totals['orders']}" for m in msgs)
+    assert all({"ts", "level", "msg"} <= set(entry) for entry in lines)
+    # idempotent handler attach: a second create_logger must not double-log
+    assert create_logger(log_path) is logger
