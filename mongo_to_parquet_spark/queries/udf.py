@@ -8,6 +8,8 @@ built-in expresses the semantics, the UDTF is the wrong tool at scale.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -267,3 +269,40 @@ def q_udf_grouped_arrow(spark, sf):
 
     e = T(spark, sf, "events").select("event_type", "value")
     return e.groupBy("event_type").applyInArrow(stats, schema=schema)
+
+
+def _zscore_iter_udf():
+    """Iterator-form scalar pandas UDF (``Iterator[Series] -> Iterator
+    [Series]``): the API mode for EXPENSIVE per-executor init — load a
+    model/tokenizer ONCE per partition, then stream Arrow batches
+    through it. The scalar form would re-enter Python with no place to
+    hoist the init; here everything before the ``for`` runs once per
+    partition, amortized across all its batches.
+    """
+    @F.pandas_udf(DoubleType())
+    def zscore(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # stand-in for an expensive model load: constants fixed per
+        # partition (deterministic, so the oracle can reproduce them)
+        mu, sigma = 250.0, 125.0
+        for v in batches:
+            yield (v - mu) / sigma
+
+    return zscore
+
+
+@q(
+    "q_udf_scalar_iter",
+    """
+    SELECT event_id, (value - 250.0) / 125.0 AS z
+    FROM events
+    """,
+)
+def q_udf_scalar_iter(spark, sf):
+    # iterator-form pandas UDF: same vectorized IEEE arithmetic as the
+    # SQL expression (bit-identical doubles), but executed through the
+    # Iterator[Series] protocol — per-partition init happens once, every
+    # Arrow batch streams through without re-entering setup. At 100 TB
+    # this is the scoring path: model deserialization costs seconds and
+    # must not be paid per batch (or worse, per row).
+    e = T(spark, sf, "events")
+    return e.select("event_id", _zscore_iter_udf()("value").alias("z"))
