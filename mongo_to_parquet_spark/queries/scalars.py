@@ -378,3 +378,39 @@ def q_date_series(spark, sf):
         "o_orderkey",
         F.explode(series).alias("m"),
     ).select("o_orderkey", F.date_format("m", "yyyy-MM-dd").alias("month_start"))
+
+
+@q(
+    "q_str_collate",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang
+        FROM documents
+    )
+    SELECT lower(lang) AS lang_lc, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY lower(lang)
+    """,
+)
+def q_str_collate(spark, sf):
+    # Spark 4 COLLATION surface: the corpus's language tags arrive with
+    # inconsistent casing (synthesized deterministically here: even
+    # doc_ids uppercased), and the group key is `lang COLLATE
+    # UTF8_LCASE` — case handling lives in the COMPARATOR, not in a
+    # derived lower() column: original strings survive, and the shuffle
+    # hash-partitions on the collation key correctly (equal-under-
+    # collation values land together). The oracle groups by lower() —
+    # same partitions; the output key is lower()ed on both sides because
+    # a collated group's representative string is first-seen
+    # (nondeterministic across partitionings).
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    return (
+        d.groupBy(F.expr("lang COLLATE UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lower(F.col("k")).cast("string").alias("lang_lc"), "n_docs")
+    )
