@@ -122,6 +122,7 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
 
     arrow_ok = {
         "q_udf_scalar_pandas",
+        "q_udf_scalar_iter",    # iterator-form pandas UDF (per-partition init)
         "q_udaf_grouped",
         "q_udf_grouped_map",
         "q_mm_features",
