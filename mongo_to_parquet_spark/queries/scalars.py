@@ -403,6 +403,13 @@ def q_str_collate(spark, sf):
     # same partitions; the output key is lower()ed on both sides because
     # a collated group's representative string is first-seen
     # (nondeterministic across partitionings).
+    #
+    # Honest scale note: collated keys are not hash-aggregatable in this
+    # build — the plan falls to SortAggregate (PLANS.md). Where grouped
+    # cardinality is fact-sized, pre-folding with lower() and grouping
+    # binary (one codegen'd hash agg) is the faster plan; the collation
+    # form wins when ORIGINAL casing must survive or the collation is
+    # not expressible as a normalization (locale-aware UNICODE_CI).
     d = T(spark, sf, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
