@@ -1054,17 +1054,20 @@ def q_graph_triangles(spark, sf):
     # boundary; contrast pagerank, where persist wins because
     # ITERATIONS, not DAG branches, reuse it).
     li = T(spark, sf, "lineitem")
-    s = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
     # Edge build WITHOUT a self-join: collect each order's part set into a
     # sorted array, then generate the ordered pairs map-side — posexplode
     # picks u, slice(ps, i+2, …) yields every later element as v. One
     # groupBy(ok) shuffle replaces the self-join's two shuffles + hash
     # build, and pair generation happens inside Generate with no join at
     # all (measured 4.8s → 3.0s full-query at sf0.1 vs the
-    # shuffle_hash self-join). Per-order arrays are basket-sized
-    # (lineitems per order), not degree-sized, so no skew hazard; the
-    # O(basket²) pair fan-out is the same row count the join produced.
-    g = s.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # shuffle_hash self-join). collect_set dedupes parts within an order,
+    # so no pre-distinct is needed — the fact shuffles exactly ONCE here.
+    # Per-order arrays are basket-sized (lineitems per order), not
+    # degree-sized, so no skew hazard; the O(basket²) pair fan-out is the
+    # same row count the join produced.
+    g = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     e = (
         g.select(F.posexplode("ps").alias("i", "u"), "ps")
         .select(
