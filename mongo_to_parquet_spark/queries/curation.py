@@ -1062,9 +1062,13 @@ def q_graph_triangles(spark, sf):
     # all (measured 4.8s → 3.0s full-query at sf0.1 vs the
     # shuffle_hash self-join). collect_set dedupes parts within an order,
     # so no pre-distinct is needed — the fact shuffles exactly ONCE here.
-    # Per-order arrays are basket-sized (lineitems per order), not
-    # degree-sized, so no skew hazard; the O(basket²) pair fan-out is the
-    # same row count the join produced.
+    # (A .distinct() before this groupBy would be removed by Catalyst's
+    # RemoveRedundantAggregates anyway — collect_set is duplicate-
+    # agnostic — so writing it direct documents the plan that actually
+    # runs rather than relying on the rewrite.) Per-order arrays are
+    # basket-sized (lineitems per order), not degree-sized, so no skew
+    # hazard; the O(basket²) pair fan-out is the same row count the join
+    # produced.
     g = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
