@@ -598,8 +598,10 @@ def connected_components(
     neighbours (join edges→labels on the neighbour end, union, groupBy-min
     — two shuffles per round), converging in O(component diameter) rounds.
     Near-dup clusters are shallow (dense blobs, not paths), so diameter is
-    small; for adversarial long-chain graphs swap in large-star/small-star
-    (same join+agg building blocks, O(log n) rounds).
+    small; for adversarial long-chain graphs use
+    :func:`connected_components_star` (same join+agg building blocks,
+    O(log n) rounds — a 200-edge path this function cannot solve in 10
+    rounds finishes there in 6; pinned in tests/test_operators.py).
 
     Physical iteration shape: the edge relation is computed ONCE,
     repartitioned by the propagation join key and PERSISTED — the cached
@@ -732,3 +734,107 @@ def span_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, comp) via alternating large-star/small-star rounds — the
+    O(log n)-round connected components of Kiveris et al. ("Connected
+    Components in MapReduce and Beyond", SOCC'14), built from the same
+    groupBy-min + join blocks as :func:`connected_components`.
+
+    Min-label propagation converges in O(component diameter) rounds —
+    ideal for the shallow dense blobs near-dup mining emits, hopeless for
+    adversarial long chains (a 10⁶-node path needs 10⁶ rounds). Star
+    contraction instead rewires every node toward its neighborhood
+    minimum each round:
+
+    - **large-star** (on the symmetrized edge set): for each node u with
+      m = min(N(u) ∪ {u}), re-point every LARGER neighbor v > u at m.
+    - **small-star** (on edges oriented big→small): for each node u with
+      m = min(N_small(u) ∪ {u}), point u and its other small neighbors
+      at m.
+
+    Both phases strictly shrink path structure toward stars; components
+    collapse in O(log n) rounds regardless of diameter. Per round: two
+    groupBy-min shuffles + two joins, all on (long, long) edges — the
+    same per-round cost as min-label, exponentially fewer rounds on
+    chains (pinned in tests: a 200-edge path that min-label cannot solve
+    in 10 rounds finishes here in 6).
+
+    Fixpoint detection is checksum-based, one aggregate over the edge
+    set per round: (count, Σu, Σv) in DECIMAL(38,0) — both phases are
+    monotone (labels never increase), so the sums strictly decrease
+    until the fixpoint; no edge-set diff join is needed. Every round
+    ``localCheckpoint``s the (node-count-sized) edge set to truncate
+    iterative lineage — on a cluster, ``checkpoint()`` (same rationale
+    as :func:`connected_components`).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (row["n"], row["su"], row["sv"])
+
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star: symmetrize, re-point larger neighbors at min
+        b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = b.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            b.join(mins.hint("shuffle_hash"), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient big→small, point u + small neighbors at min
+        o = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            o.join(mins2.hint("shuffle_hash"), "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = ss
+        cs = checksum(e)
+        if cs == prev:
+            break
+        prev = cs
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    # converged edges form stars child→root; roots label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    return labels.unionByName(roots).distinct()

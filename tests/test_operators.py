@@ -872,3 +872,59 @@ def test_span_dedup_drops_repeats_keeps_first(spark):
     assert out[2]["n_dropped"] == 1 and out[2]["cleaned_text"] == "x y"
     assert out[3]["n_dropped"] == 1 and out[3]["cleaned_text"] == ""
     assert out[2]["n_spans"] == 2 and out[3]["n_spans"] == 1
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    # both algorithms must produce identical (node, comp) labelings on a
+    # batch of assorted graphs: blobs, bridges, isolated pairs
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (22, 23)],
+        [(5, 1), (1, 9), (9, 7), (2, 8)],          # chain + pair
+        [(1, 2)],                                   # single edge
+        [(3, 3), (4, 5), (5, 4)],                   # self-loop + dup edges
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            [Row(doc1=a, doc2=b) for a, b in edges]
+        )
+        a = {
+            (r["node"], r["comp"])
+            for r in connected_components(pairs).collect()
+        }
+        b = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(pairs).collect()
+        }
+        # min-label includes self-loop-only nodes; star drops isolated
+        # self-loops (no real edge) — compare on nodes with real edges
+        real = {x for e in edges for x in e if e[0] != e[1]}
+        assert {p for p in a if p[0] in real} == {p for p in b if p[0] in real}
+
+
+def test_star_cc_solves_long_chain_in_log_rounds(spark):
+    # a 200-edge path has diameter 200: min-label propagation cannot
+    # finish in 10 rounds (raises), star contraction finishes well within
+    # 10 and labels every node with the chain's minimum
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [Row(doc1=i, doc2=i + 1) for i in range(200)]
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=10)
+    out = connected_components_star(chain, max_iter=10).collect()
+    assert {r["comp"] for r in out} == {0}
+    assert {r["node"] for r in out} == set(range(201))
