@@ -663,6 +663,7 @@ def span_dedup(
     span_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Sub-document exact dedup: remove REPEATED fixed-width token spans
     corpus-wide, keeping each span's first occurrence (C4's duplicated-
@@ -682,11 +683,14 @@ def span_dedup(
     arrives at the reducer as one row per map partition, NOT a million
     rows (no hot-key blowup in the aggregate). The join back on span is
     the skewed step for boilerplate-heavy corpora; AQE's skew-join
-    splitting handles moderate cases, and the shuffle can be shrunk by
-    keying on xxhash64(span) with the span re-verified after the join
-    (not done here — the oracle-checked form joins the plain span).
-    Reassembly is a per-document sort of its own ≤ L/span_tokens
-    surviving spans — bounded by document length, never corpus-sized.
+    splitting handles moderate cases. ``hash_key=True`` keys the
+    first-occurrence aggregate and the join on ``sha256(span)`` instead
+    of the span text — a fixed 32-byte shuffle key however wide the
+    span, the same exactness convention as :func:`exact_groups`
+    (collision odds 2⁻²⁵⁶; the oracle-checked query uses the plain-span
+    form so DuckDB reproduces the join key). Reassembly is a
+    per-document sort of its own ≤ L/span_tokens surviving spans —
+    bounded by document length, never corpus-sized.
     """
     from mongo_to_parquet_spark.functions.textfns import tokens
     from mongo_to_parquet_spark.operators.parallel import fan_out
@@ -718,8 +722,11 @@ def span_dedup(
         + F.col("idx")
     ).cast("decimal(38,0)")
     sp = sp.withColumn("pk", pk)
-    first = sp.groupBy("span").agg(F.min("pk").alias("kpk"))
-    j = sp.join(first, "span")
+    key = "h" if hash_key else "span"
+    if hash_key:
+        sp = sp.withColumn("h", F.sha2(F.col("span"), 256))
+    first = sp.groupBy(key).agg(F.min("pk").alias("kpk"))
+    j = sp.join(first, key)
     kept = F.col("pk") == F.col("kpk")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),

@@ -928,3 +928,23 @@ def test_star_cc_solves_long_chain_in_log_rounds(spark):
     out = connected_components_star(chain, max_iter=10).collect()
     assert {r["comp"] for r in out} == {0}
     assert {r["node"] for r in out} == set(range(201))
+
+
+def test_span_dedup_hash_key_path_identical(spark):
+    # the sha256-keyed shuffle variant must produce the identical result
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="x y a b c d"),
+            Row(doc_id=3, text="a b"),
+        ]
+    )
+    plain = sorted(map(tuple, span_dedup(docs, span_tokens=2).collect()))
+    hashed = sorted(
+        map(tuple, span_dedup(docs, span_tokens=2, hash_key=True).collect())
+    )
+    assert plain == hashed
