@@ -1903,3 +1903,41 @@ def q_mix_draw(spark, sf):
         )
         .select("source", "n_docs", "tokens_drawn", "quota_tokens")
     )
+
+
+# ------------------------------------------- star-contraction CC, chains ---
+@q(
+    "q_graph_cc_chain",
+    """
+    SELECT CAST(event_id AS BIGINT) AS node,
+           CAST(MIN(event_id) OVER (PARTITION BY user_id) AS BIGINT) AS comp
+    FROM events
+    """,
+)
+def q_graph_cc_chain(spark, sf):
+    # connected components on genuinely CHAIN-shaped data, through the
+    # oracle gate: consecutive events of each user (by ts, id) are edges,
+    # so every user is one path-graph component with diameter = their
+    # event count (up to ~860 at sf0.1). Min-label propagation is
+    # O(diameter) and CANNOT finish inside its round budget here — this
+    # query runs connected_components_star (large-star/small-star,
+    # O(log n) rounds, operators/dedup.py) and is exactly why that
+    # algorithm exists. The oracle is the semantic ground truth: a
+    # user's component is labeled by their minimum event id (one window,
+    # no iteration) — the iterative algorithm must reproduce it exactly.
+    # Singleton users (one event, no edge) coalesce to themselves.
+    from mongo_to_parquet_spark.operators.dedup import connected_components_star
+
+    e = T(spark, sf, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select("user_id", "event_id", F.lead("event_id").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_id").alias("doc1"), F.col("nxt").alias("doc2"))
+    )
+    cc = connected_components_star(edges)
+    return (
+        e.select(F.col("event_id").alias("node"))
+        .join(cc, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    )
