@@ -2182,3 +2182,64 @@ def q_dedup_embed_lsh_md5(spark, sf):
         .filter(sim >= _EHP_TAU)
         .select("id1", "id2", F.round(sim, 4).alias("sim"))
     )
+
+
+@q(
+    "q_text_gopher_rules",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS wc,
+               CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mwl,
+               1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS dupf,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                                  ['the', 'a', 'and', 'of', 'to'])) AS stops
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(wc BETWEEN 25 AND 90 AS BIGINT) AS r_wordcount,
+           CAST(mwl BETWEEN 4.0 AND 5.0 AS BIGINT) AS r_meanwordlen,
+           CAST(stops >= 2 AS BIGINT) AS r_stopwords,
+           CAST(dupf <= 0.55 AS BIGINT) AS r_repetition,
+           CAST(wc BETWEEN 25 AND 90 AND mwl BETWEEN 4.0 AND 5.0
+                AND stops >= 2 AND dupf <= 0.55 AS BIGINT) AS passes
+    FROM m
+    """,
+)
+def q_text_gopher_rules(spark, sf):
+    # the Gopher quality-rule suite (Rae et al. 2021, §A1.1), adapted to
+    # the fixture's token soup: word-count bounds, mean-word-length
+    # band, minimum distinct-stopword presence, and a duplicate-token
+    # ceiling — reported as per-rule flags PLUS the conjunction, the
+    # shape an ablation needs (which rule rejected how much, not just
+    # the survivor set; q_text_quality_filter is the survivor-set view).
+    # All metrics are single-pass expressions over one scan — no
+    # shuffle at all; at 100 TB the rule cube aggregates map-side.
+    # Boundary discipline: both engines evaluate the SAME IEEE division
+    # for mean word length and dup fraction, so 4.0/0.55 threshold
+    # comparisons cannot disagree.
+    d = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    mwl = (F.col("n_chars") - (wc - F.lit(1))).cast("double") / wc
+    dupf = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / wc
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]),
+        )
+    )
+    r_wc = wc.between(25, 90)
+    r_mwl = mwl.between(4.0, 5.0)
+    r_stop = stops >= 2
+    r_rep = dupf <= 0.55
+    return d.select(
+        "doc_id",
+        r_wc.cast("bigint").alias("r_wordcount"),
+        r_mwl.cast("bigint").alias("r_meanwordlen"),
+        r_stop.cast("bigint").alias("r_stopwords"),
+        r_rep.cast("bigint").alias("r_repetition"),
+        (r_wc & r_mwl & r_stop & r_rep).cast("bigint").alias("passes"),
+    )
