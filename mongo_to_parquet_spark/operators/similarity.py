@@ -410,3 +410,49 @@ def sq8_dims(
         .cast("int")
         .alias("qv"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining (retrieval/contrastive training prep): for
+    each probe, the k most-similar corpus vectors whose LABEL differs —
+    the near-misses a contrastive loss learns the most from (random
+    negatives are trivially separable; these are not).
+
+    Same physical shape as :func:`brute_force_topk_batch` — broadcast
+    probe batch (with labels), ONE corpus scan scoring every (vector,
+    probe) pair, label-mismatch filter BEFORE the rank window, per-probe
+    top-k via WindowGroupLimit. The label filter composes with probe
+    scoring map-side, so mining negatives for the whole training batch
+    still costs one scan. At 100 TB the same mining runs per IVF cell
+    (cell_assign + pruned probes) to avoid the full scan — identical
+    downstream shape.
+    """
+    probes = F.broadcast(
+        emb.filter(F.col(id_col).isin(list(probe_ids))).select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__probe"),
+            F.col(label_col).alias("__probe_label"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        emb.crossJoin(probes)
+        .filter(F.col(label_col) != F.col("__probe_label"))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -2243,3 +2243,37 @@ def q_text_gopher_rules(spark, sf):
         r_rep.cast("bigint").alias("r_repetition"),
         (r_wc & r_mwl & r_stop & r_rep).cast("bigint").alias("passes"),
     )
+
+
+@q(
+    "q_sim_hard_negatives",
+    """
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p, label AS pl
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p AS DOUBLE[])), 4) AS sim
+        FROM embeddings e, probes
+        WHERE e.label <> pl
+    )
+    SELECT probe_id, vec_id, label, sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_sim_hard_negatives(spark, sf):
+    # hard-negative mining (operators/similarity.hard_negatives): per
+    # probe, the 5 most-similar vectors of a DIFFERENT label — the
+    # contrastive-training batch's near-misses, mined for all probes in
+    # one corpus scan (label filter before the rank window, per-probe
+    # top-k via WindowGroupLimit). Ranked on the ROUNDED sim like every
+    # q_sim_* key so boundary ties agree across engines.
+    return similarity.hard_negatives(
+        T(spark, sf, "embeddings"), probe_ids=[0, 1, 2, 3], k=5
+    )
