@@ -4,8 +4,12 @@ The reference writes every job event to ``mongodb_to_parquet.log`` as one
 JSON object per line — ``{"ts": ..., "level": ..., "msg": ...}`` — and
 downstream tooling (log shippers, cron wrappers) parses exactly that
 shape. ``create_logger`` reproduces the format and default filename;
-``ExportJob`` emits the reference's START/END lines through it
-(main.py:295,309) so a user's existing log parsing keeps working.
+``ExportJob`` emits the reference's START/END lines through it with the
+same msg content — ``START {db}.{coll} | query={...}`` / ``END
+{db}.{coll} | documents=N`` (main.py:295,309) — so a user's existing
+log parsing keeps working at BOTH levels: the JSON envelope and the
+msg-content grammar (pass ``database=`` to ExportJob for the
+qualifier; sources with no database notion log the bare collection).
 
 Spark-first note: this is the JOB-level log only (per-collection
 lifecycle + row totals). Task-level progress lives in the Spark UI /

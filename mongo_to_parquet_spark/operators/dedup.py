@@ -774,12 +774,15 @@ def connected_components_star(
     in 10 rounds finishes here in 6).
 
     Fixpoint detection is checksum-based, one aggregate over the edge
-    set per round: (count, Σu, Σv) in DECIMAL(38,0) — both phases are
-    monotone (labels never increase), so the sums strictly decrease
-    until the fixpoint; no edge-set diff join is needed. Every round
-    ``localCheckpoint``s the (node-count-sized) edge set to truncate
-    iterative lineage — on a cluster, ``checkpoint()`` (same rationale
-    as :func:`connected_components`).
+    set per round: (count, Σu, Σv) in DECIMAL(38,0). A matching
+    checksum is then CONFIRMED by an exact set diff (``exceptAll``
+    emptiness — one direction suffices: both rounds' edge sets are
+    distinct and the checksum already matched their counts), so a
+    checksum collision on a non-fixpoint set cannot terminate the loop
+    early; the exact diff runs once, at convergence, not per round.
+    Every round ``localCheckpoint``s the (node-count-sized) edge set to
+    truncate iterative lineage — on a cluster, ``checkpoint()`` (same
+    rationale as :func:`connected_components`).
     """
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -797,6 +800,7 @@ def connected_components_star(
         return (row["n"], row["su"], row["sv"])
 
     prev = None
+    prev_e = None
     for _ in range(max_iter):
         # ---- large-star: symmetrize, re-point larger neighbors at min
         b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -832,9 +836,14 @@ def connected_components_star(
         )
         e = ss
         cs = checksum(e)
-        if cs == prev:
+        # checksum equality is the cheap per-round signal; confirm with an
+        # exact diff before declaring convergence (collision guard — see
+        # docstring). Counts already match via cs, sets are distinct, so
+        # one-direction exceptAll emptiness proves set equality.
+        if cs == prev and prev_e.exceptAll(e).isEmpty():
             break
         prev = cs
+        prev_e = e
     else:
         raise RuntimeError(
             f"connected_components_star: no fixpoint in {max_iter} rounds"

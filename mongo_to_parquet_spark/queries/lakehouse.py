@@ -480,6 +480,7 @@ def q_mv_refresh(spark, sf):
                          THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows,
            CAST(COUNT(*) AS BIGINT) AS v2_rows,
            CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                         OR o_orderdate IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS delta_rows
     FROM orders GROUP BY o_orderstatus
     """,

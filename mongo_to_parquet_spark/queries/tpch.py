@@ -906,7 +906,12 @@ def q_tpch_q16(spark, sf):
     )
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        # NULL probe keys: NOT IN with a non-empty subquery never admits a
+        # NULL l_suppkey, but a left-anti join KEEPS it — filter them out
+        # so both formulations agree even if the fixture ever gains null
+        # foreign keys (a no-op today; the fixture has none).
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -306,9 +306,12 @@ def export_incremental(
 def export_partitioned_observed(
     df: DataFrame,
     out_dir: str,
-    date_field: str,
+    date_field: str | None,
     start: datetime | str | None = None,
     end: datetime | str | None = None,
+    drop_columns: tuple[str, ...] = ("_id",),
+    mode: str = "overwrite",
+    coalesce_partitions: int | None = None,
 ) -> dict:
     """``export_partitioned`` with in-plan observability: returns the
     metrics the reference logged per collection (row total, main.py:309)
@@ -320,21 +323,42 @@ def export_partitioned_observed(
     plan itself — metrics cost no second scan and can't drift from what
     was actually written (a post-hoc count could race a concurrent
     writer). This is the Spark-idiomatic form of the reference's
-    R12/R14 logging (running counter + log line).
+    R12/R14 logging (running counter + log line). ``ExportJob`` takes
+    its per-collection END totals from here — a ``read.parquet(out).
+    count()`` after the write would re-scan everything just written,
+    a full second pass at 100 TB.
+
+    Same signature/semantics as :func:`export_partitioned` (falsy
+    ``date_field`` → whole-collection flat export; year-bucket metrics
+    are then structurally zero).
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    df = filter_date_range(df, date_field, start, end)
-    df = with_date_parts(df, date_field)
+    df = df.drop(*[c for c in drop_columns if c in df.columns])
+    if date_field:
+        df = filter_date_range(df, date_field, start, end)
+        df = with_date_parts(df, date_field)
+    if coalesce_partitions:
+        df = df.coalesce(coalesce_partitions)
     obs = Observation("export_metrics")
-    df = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_written"),
-        F.count(F.when(F.col("year") == "unknown", 1)).alias("rows_unknown_year"),
-        # observed metrics forbid DISTINCT aggregates; the HLL sketch is
-        # exact at partition-count cardinalities
-        F.approx_count_distinct("year").alias("n_partitions"),
-    )
-    df.write.mode("overwrite").partitionBy("year").parquet(out_dir)
-    return obs.get
+    if date_field:
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.count(F.when(F.col("year") == "unknown", 1)).alias("rows_unknown_year"),
+            # observed metrics forbid DISTINCT aggregates; the HLL sketch is
+            # exact at partition-count cardinalities
+            F.approx_count_distinct("year").alias("n_partitions"),
+        )
+    else:
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    w = df.write.mode(mode)
+    if date_field:
+        w = w.partitionBy("year")
+    w.parquet(out_dir)
+    metrics = dict(obs.get)
+    if not date_field:
+        metrics.setdefault("rows_unknown_year", 0)
+        metrics.setdefault("n_partitions", 1 if metrics["rows_written"] else 0)
+    return metrics

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_parquet_spark.config import JobConfig
-from mongo_to_parquet_spark.sources.export import export_partitioned
+from mongo_to_parquet_spark.sources.export import export_partitioned_observed
 
 
 def read_collection(
@@ -73,6 +73,7 @@ class ExportJob:
         reader,
         max_concurrent: int = 1,
         logger=None,
+        database: str = "",
     ):
         import logging
 
@@ -83,17 +84,34 @@ class ExportJob:
         # reference main.py:49-58 JSON-lines job log (joblog.create_logger);
         # default is the bare named logger — silent until a handler exists
         self.logger = logger or logging.getLogger("mongo_to_parquet")
+        # reference main.py:295 qualifies the collection with the database
+        # name; sources without a database notion leave this empty
+        self.database = database
 
     def _export_one(self, coll: str, date_field: str) -> int:
-        # reference main.py:295/309 START/END lifecycle lines, same shape
-        self.logger.info(f"START {coll} | date_field={date_field}")
+        # reference main.py:295/309 START/END lifecycle lines — same msg
+        # content: '{db}.{coll} | query={mongo filter doc}' /
+        # '{db}.{coll} | documents=N', so a user's msg-content parser (not
+        # just the JSON envelope, joblog.py) keeps working.
+        qual = f"{self.database}.{coll}" if self.database else coll
+        query: dict = {}
+        if date_field:
+            if self.cfg.start_date:
+                query.setdefault(date_field, {})["$gte"] = self.cfg.start_date
+            if self.cfg.end_date:
+                query.setdefault(date_field, {})["$lte"] = self.cfg.end_date
+        self.logger.info(f"START {qual} | query={query}")
         df = self.reader(coll)
         out = f"{self.cfg.output_dir}/{coll}"
-        export_partitioned(
+        # Observation-backed totals (export_partitioned_observed): the END
+        # count comes from the write plan itself — the previous
+        # read.parquet(out).count() re-scanned the entire export, a full
+        # second pass over everything just written at 100 TB.
+        metrics = export_partitioned_observed(
             df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date
         )
-        total = self.spark.read.parquet(out).count()
-        self.logger.info(f"END {coll} | documents={total}")
+        total = int(metrics["rows_written"])
+        self.logger.info(f"END {qual} | documents={total}")
         return total
 
     def run(self) -> dict[str, int]:

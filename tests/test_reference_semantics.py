@@ -359,14 +359,19 @@ def test_joblog_json_lines_format(spark, sf_dir, tmp_path):
     from mongo_to_parquet_spark.sources.catalog import load_table
     from mongo_to_parquet_spark.sources.mongo import ExportJob
 
+    from datetime import datetime
+
     log_path = str(tmp_path / "job.log")
     logger = create_logger(log_path)
     cfg = JobConfig(
         output_dir=str(tmp_path / "out"),
         date_collections={"orders": "o_orderdate"},
+        start_date=datetime(1992, 1, 1),
+        end_date=datetime(1999, 1, 1),
     )
     job = ExportJob(
-        spark, cfg, lambda c: load_table(spark, sf_dir, c), logger=logger
+        spark, cfg, lambda c: load_table(spark, sf_dir, c), logger=logger,
+        database="testdb",
     )
     totals = job.run()
     lines = [
@@ -375,8 +380,14 @@ def test_joblog_json_lines_format(spark, sf_dir, tmp_path):
         if line.strip()
     ]
     msgs = [entry["msg"] for entry in lines]
-    assert any(m.startswith("START orders") for m in msgs)
-    assert any(m == f"END orders | documents={totals['orders']}" for m in msgs)
+    # msg CONTENT parity with the reference (main.py:295,309): the
+    # db-qualified collection and the rendered Mongo filter document, so
+    # msg-level parsers (not just the JSON envelope) keep working
+    expected_query = {
+        "o_orderdate": {"$gte": datetime(1992, 1, 1), "$lte": datetime(1999, 1, 1)}
+    }
+    assert f"START testdb.orders | query={expected_query}" in msgs
+    assert f"END testdb.orders | documents={totals['orders']}" in msgs
     assert all({"ts", "level", "msg"} <= set(entry) for entry in lines)
     # idempotent handler attach: a second create_logger must not double-log
     assert create_logger(log_path) is logger
