@@ -64,6 +64,98 @@ def run_checks(*reports: DataFrame) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), reports)
 
 
+def profile_columns_kmv(
+    df: DataFrame,
+    reprs: dict[str, "Column | None"],
+    hash_inputs: dict[str, Column] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """:func:`profile_columns` with KMV-estimated distinct counts —
+    hash-checkable by a DuckDB oracle (functions/sketch.py), unlike the
+    HLL ``exact=False`` mode.
+
+    ``hash_inputs`` maps column → a canonical STRING expression to hash
+    (None/absent = plain string cast; doubles and timestamps need an
+    explicit engine-stable rendering). Plan: the nulls/min/max base is
+    one 1-row aggregate pass; the distinct estimates come from ONE
+    stacked side-channel — every column's hashes in a single long
+    relation, so one distinct shuffle + one per-column top-k window
+    covers all columns (vs exact mode's Expand rewrite over the full
+    rows). n_distinct is a BIGINT estimate: exact below k, else
+    ⌊(k−1)·2³²/θ⌋.
+    """
+    from pyspark.sql import Window
+
+    from mongo_to_parquet_spark.functions import sketch as _sk
+
+    names = list(reprs)
+    hash_inputs = hash_inputs or {}
+    base = df.agg(
+        *[
+            a
+            for i, c in enumerate(names)
+            for a in (
+                (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint").alias(f"nn_{i}"),
+                F.min(F.col(c)).alias(f"mn_{i}"),
+                F.max(F.col(c)).alias(f"mx_{i}"),
+            )
+        ]
+    )
+    fmt = lambda i, c: (  # noqa: E731
+        reprs[names[i]](c) if reprs[names[i]] is not None else c.cast("string")
+    )
+    shaped = base.select(
+        *[
+            col
+            for i in range(len(names))
+            for col in (
+                F.col(f"nn_{i}"),
+                fmt(i, F.col(f"mn_{i}")).alias(f"mns_{i}"),
+                fmt(i, F.col(f"mx_{i}")).alias(f"mxs_{i}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{names[i]}', nn_{i}, mns_{i}, mxs_{i}" for i in range(len(names))
+    )
+    stacked = shaped.selectExpr(
+        f"stack({len(names)}, {stack_args}) "
+        "as (col_name, n_nulls, min_repr, max_repr)"
+    )
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h"),
+                        )
+                        for c in names
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("col_name").orderBy("h")
+    est = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))
+        .select(
+            "col_name",
+            _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
+        )
+    )
+    return stacked.join(F.broadcast(est), "col_name").select(
+        "col_name", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )
+
+
 def profile_columns(
     df: DataFrame, reprs: dict[str, Column | None], exact: bool = True
 ) -> DataFrame:

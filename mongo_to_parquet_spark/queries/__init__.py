@@ -56,3 +56,18 @@ def oracle_sql() -> dict[str, str]:
     stray = out.keys() - qk
     assert not stray, f"oracle without query: {stray}"
     return out
+
+
+def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Engine-native approximate formulations measured by bench.py but
+    deliberately NOT declared to the driver (their sketch outputs are
+    engine-specific, so the oracle gate uses hash-checkable KMV twins
+    under the declared keys instead — see functions/sketch.py)."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        extra = getattr(m, "BENCH_ONLY", None)
+        if extra:
+            overlap = out.keys() & extra.keys()
+            assert not overlap, f"duplicate bench-only keys: {overlap}"
+            out.update(extra)
+    return out

@@ -104,6 +104,25 @@ def q_dedup_ngram(spark, sf):
     return dedup.jaccard_pairs(T(spark, sf, "documents"), threshold=0.5, ngram=3)
 
 
+def _q_dedup_fuzzy_prefix(spark, sf):
+    # the exact-Jaccard AllPairs/prefix-filter path (operators/dedup.py
+    # _jaccard_pairs_prefix) FORCED, not auto-routed — this is the route
+    # the strategy router takes beyond explode_max_docs, i.e. the actual
+    # 100 TB path for the exact API, so it gets its own declared key: the
+    # oracle proves it returns byte-identical pairs to the explode-join
+    # (same SQL as q_dedup_ngram), and bench.py tracks its number
+    # separately from the small-corpus routes. Trigram shingles keep the
+    # vocabulary sparse enough that the prefix actually prunes (unigram
+    # sets on this corpus share a 31-word vocab — nothing is rare).
+    return dedup.jaccard_pairs(
+        T(spark, sf, "documents"), threshold=0.5, ngram=3, strategy="prefix"
+    )
+
+
+QUERIES["q_dedup_fuzzy_prefix"] = _q_dedup_fuzzy_prefix
+ORACLE["q_dedup_fuzzy_prefix"] = ORACLE["q_dedup_ngram"]
+
+
 @q("q_dedup_minhash")  # rows-only: LSH recall is probabilistic by design
 def q_dedup_minhash(spark, sf):
     # trigram shingles, the textbook MinHash unit: on this corpus unigram

@@ -428,15 +428,19 @@ def test_pack_documents_sharded_and_global(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_error(spark, sf_dir):
-    """q_agg_approx_percentile (rows-only at the driver): each sketched
-    quantile must be an actual data value whose rank is within GK rank
-    error (eps = 1/accuracy, plus one for boundary rounding) of the
-    target rank in the group's sorted values."""
-    from mongo_to_parquet_spark.queries.relational import q_agg_approx_percentile
+    """q_agg_approx_percentile_native (bench-only GK sketch): each
+    sketched quantile must be an actual data value whose rank is within
+    GK rank error (eps = 1/accuracy, plus one for boundary rounding) of
+    the target rank in the group's sorted values. (The DECLARED key is
+    the deterministic-sample KMV twin, oracle-checked by the driver.)"""
+    from mongo_to_parquet_spark.queries.relational import (
+        q_agg_approx_percentile_native,
+    )
     from mongo_to_parquet_spark.sources.catalog import load_table
 
     approx = {
-        r["event_type"]: r for r in q_agg_approx_percentile(spark, sf_dir).collect()
+        r["event_type"]: r
+        for r in q_agg_approx_percentile_native(spark, sf_dir).collect()
     }
     eps = 1.0 / 10000
     rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
@@ -512,15 +516,20 @@ def test_connected_components_chain_and_blobs(spark):
 
 
 def test_hll_sketch_union_within_error(spark, sf_dir):
-    """q_agg_hll_sketch (rows-only): per-type and union-merged estimates
-    within 5% of exact distinct counts; the merged total equals a direct
-    whole-table sketch (mergeability, the incremental-rollup property)."""
+    """q_agg_hll_sketch_native (bench-only DataSketches HLL): per-type
+    and union-merged estimates within 5% of exact distinct counts; the
+    merged total equals a direct whole-table sketch (mergeability, the
+    incremental-rollup property). (The DECLARED key is the KMV twin,
+    oracle-checked by the driver.)"""
     from pyspark.sql import functions as F
 
-    from mongo_to_parquet_spark.queries.relational import q_agg_hll_sketch
+    from mongo_to_parquet_spark.queries.relational import q_agg_hll_sketch_native
     from mongo_to_parquet_spark.sources.catalog import load_table
 
-    got = {r["event_type"]: r["approx_users"] for r in q_agg_hll_sketch(spark, sf_dir).collect()}
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in q_agg_hll_sketch_native(spark, sf_dir).collect()
+    }
     e = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -532,6 +541,82 @@ def test_hll_sketch_union_within_error(spark, sf_dir):
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
     direct = e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))).collect()[0][0]
     assert got["__total__"] == direct
+
+
+def test_kmv_twins_estimate_quality(spark, sf_dir):
+    """The hash-checkable KMV twins (functions/sketch.py) must be real
+    ESTIMATORS, not just oracle-matching arithmetic: with k=64 the RSE is
+    ≈12.7%, so every estimate must land within 3σ (±38%) of the exact
+    distinct count, and on the sf0.01 fixture (150 distinct users > k)
+    the estimator branch — not the exact small-sketch branch — must be
+    the one that ran (estimate ≠ exact)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.functions.sketch import DEFAULT_K
+    from mongo_to_parquet_spark.queries.relational import (
+        q_agg_approx_distinct,
+        q_agg_hll_sketch,
+        q_profile_approx,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact_users = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    est = q_agg_approx_distinct(spark, sf_dir).collect()[0]["approx_users"]
+    assert abs(est - exact_users) <= 0.38 * exact_users, (est, exact_users)
+    if exact_users > DEFAULT_K:
+        assert est != exact_users  # estimator branch engaged, not m<k exact
+
+    # per-type + merged-total sketches: same 3σ bound per row
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_per["__total__"] = exact_users
+    for r in q_agg_hll_sketch(spark, sf_dir).collect():
+        ex = exact_per[r["event_type"]]
+        assert abs(r["approx_users"] - ex) <= max(0.38 * ex, 2), (
+            r["event_type"], r["approx_users"], ex)
+
+    # profile twin: n_distinct per column within 3σ of exact; null counts
+    # and min/max reprs are exact by construction
+    o = load_table(spark, sf_dir, "orders")
+    prof = {r["col_name"]: r for r in q_profile_approx(spark, sf_dir).collect()}
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus"):
+        ex = o.agg(F.count_distinct(col)).collect()[0][0]
+        got = prof[col]["n_distinct"]
+        assert abs(got - ex) <= max(0.38 * ex, 2), (col, got, ex)
+        assert prof[col]["n_nulls"] == 0
+
+
+def test_percentile_sample_twin_within_rank_error(spark, sf_dir):
+    """q_agg_approx_percentile (declared key, deterministic md5 sample):
+    each estimate must be within sampling rank error — 4σ with
+    σ = √(q(1−q)/m) for a uniform m-row sample — of the group's exact
+    value-at-rank envelope."""
+    from mongo_to_parquet_spark.queries.relational import q_agg_approx_percentile
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    approx = {
+        r["event_type"]: r for r in q_agg_approx_percentile(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        m = max(n // 4, 1)  # expected sample size at p = 1/4
+        for qname, qv in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            got = approx[et][qname]
+            sigma = (qv * (1 - qv) / m) ** 0.5
+            lo = max(int((qv - 4 * sigma) * (n - 1)) - 1, 0)
+            hi = min(int((qv + 4 * sigma) * (n - 1)) + 2, n - 1)
+            assert vals[lo] - 1e-9 <= got <= vals[hi] + 1e-9, (
+                et, qname, got, vals[lo], vals[hi])
 
 
 # ----------------------------------------------------------- chunk / merge --
