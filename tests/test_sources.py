@@ -242,3 +242,55 @@ def test_run_query_cli_lists_and_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1 and '"cnt"' in out[0]
     assert run_query.main(["no_such_key"]) == 2
+
+
+def test_live_mongo_roundtrip_gated(spark, tmp_path):
+    """R1 against a REAL MongoDB (reference main.py:297-303), opt-in:
+    requires MONGO_TEST_URI pointing at a reachable mongod AND the
+    mongo-spark-connector jar on the session classpath — both absent in
+    the sandbox image, so this skips there. Where the environment allows,
+    it seeds a collection via pymongo and round-trips it through
+    read_collection → ExportJob, closing the one ingestion route the
+    mongoexport extended-JSON path (test above / q_mongo_export) cannot
+    cover: the live connector scan."""
+    import os
+
+    import pytest
+
+    uri = os.environ.get("MONGO_TEST_URI")
+    if not uri:
+        pytest.skip("MONGO_TEST_URI not set (live-Mongo smoke is opt-in)")
+    pymongo = pytest.importorskip("pymongo")
+
+    from mongo_to_parquet_spark.config import JobConfig
+    from mongo_to_parquet_spark.sources.mongo import ExportJob, read_collection
+
+    client = pymongo.MongoClient(uri, serverSelectionTimeoutMS=5000)
+    db = client["m2p_smoke"]
+    db.drop_collection("orders_smoke")
+    db["orders_smoke"].insert_many(
+        [
+            {"o_orderkey": i, "o_orderdate": dt.datetime(1996 + i % 2, 1, 1 + i),
+             "v": float(i)}
+            for i in range(5)
+        ]
+    )
+    try:
+        read_collection(spark, uri, "m2p_smoke", "orders_smoke").count()
+    except NotImplementedError:
+        pytest.skip("mongo-spark-connector jar not on the classpath")
+
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        date_collections={"orders_smoke": "o_orderdate"},
+    )
+    totals = ExportJob(
+        spark, cfg,
+        reader=lambda c: read_collection(spark, uri, "m2p_smoke", c),
+        database="m2p_smoke",
+    ).run()
+    assert totals["orders_smoke"] == 5
+    back = spark.read.parquet(str(tmp_path / "out" / "orders_smoke"))
+    assert back.count() == 5
+    assert {"year", "month", "day"} <= set(back.columns)
+    assert "_id" not in back.columns  # reference drops _id (main.py:107)
