@@ -24,6 +24,7 @@ from mongo_to_parquet_spark.queries import (
     lakehouse,
     llm,
     relational,
+    retail,
     retrieval,
     scalars,
     sinks,
@@ -34,8 +35,8 @@ from mongo_to_parquet_spark.queries import (
 )
 
 _MODULES = (
-    relational, tpch, windows, scalars, stream, udf, llm, curation, lakehouse,
-    retrieval, sinks,
+    relational, tpch, retail, windows, scalars, stream, udf, llm, curation,
+    lakehouse, retrieval, sinks,
 )
 
 

@@ -1,0 +1,408 @@
+"""TPC-DS-shaped retail report pack — Expand-heavy planner shapes.
+
+The TPC-H pack (queries/tpch.py) covers the join/selectivity yardstick;
+what it does NOT exercise is the retail-report side of TPC-DS: CUBE /
+ROLLUP / GROUPING SETS over channel hierarchies (Expand-based plans with
+k+1× row amplification), ratio-of-conditional-aggregates reports,
+year-over-year pivots, and multi-channel set intersections. These are
+the shapes this module adds, adapted to the fixture star schema
+(c_mktsegment plays the sales channel, o_orderpriority the "store", the
+1995-2001 o_orderdate span the date dim).
+
+Shape provenance per query (TPC-DS query numbers are the spec's):
+  - q_ds_returns_ratio        → Q93/Q81 (per-customer return ratio)
+  - q_ds_channel_cube         → Q77/Q5 (cross-channel report, CUBE)
+  - q_ds_report_grouping_sets → Q27/Q67 (hierarchy report, GROUPING SETS)
+  - q_ds_rollup_share_rank    → Q36 (share ROLLUP + RANK within parent
+                                 hierarchy level — Expand feeding Window)
+  - q_ds_yoy_growth           → Q74 (year-over-year customer pivot)
+  - q_ds_cross_channel        → Q38/Q87 (customers present in ALL channels)
+  - q_ds_distinct_cube        → Q14-flavor (COUNT(DISTINCT) under CUBE:
+                                 Expand × distinct-rewrite interplay)
+  - q_ds_multi_supplier_clean → Q94 (orders from ≥2 suppliers with no
+                                 returned line — grouped semi/anti logic)
+
+Determinism (the cross-engine conventions from queries/__init__.py):
+money sums in DECIMAL cast to DOUBLE at the end; ratios as
+DOUBLE/DOUBLE division of those exact values; years CAST to INT;
+GROUPING() flags CAST to INT; rank order keys COALESCE NULL dims so
+Spark/DuckDB NULL-ordering defaults never matter.
+
+Scale notes: every query is scan → (broadcast dim joins) → one grouped
+aggregate; Expand multiplies rows by the grouping-set count BEFORE the
+shuffle but partial aggregation still combines map-side, so the shuffle
+carries ≤ sets × |groups| rows, not sets × |input|. The distinct-cube
+is the one deliberate Expand × Expand plan — its input is pre-projected
+to 3 columns so the amplification applies to narrow rows (the same
+rationale as q_tpch_q16). Plan assertions: tests/test_plans.py
+(Expand present, partial agg present, dims broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+from mongo_to_parquet_spark.sources.catalog import register_views
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+def _dec_rev():
+    # lineitem net revenue in exact DECIMAL (the tpch.py convention)
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(8,2)))"
+)
+
+
+# ------------------------------------------------------ returns ratio ------
+@q(
+    "q_ds_returns_ratio",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN l_returnflag = 'R' THEN {_REV_SQL} ELSE 0 END)
+                   AS ret_dec,
+               SUM({_REV_SQL}) AS tot_dec
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(ret_dec AS DOUBLE) AS returned_rev,
+           CAST(tot_dec AS DOUBLE) AS total_rev,
+           ROUND(CAST(ret_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 4)
+               AS return_ratio
+    FROM per_cust
+    WHERE tot_dec > 0
+      AND CAST(ret_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) >= 0.5
+    """,
+)
+def q_ds_returns_ratio(spark, sf):
+    # TPC-DS Q93/Q81 shape: per-customer returned-vs-total revenue, kept
+    # where returns dominate (the "problem customers" report). One
+    # orders⋈lineitem SMJ on orderkey, one groupBy custkey — both
+    # conditional sums ride the same aggregate, so returns cost no
+    # second pass. Ratio arithmetic happens on the exact-DECIMAL sums
+    # cast to DOUBLE (identical IEEE inputs in both engines).
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem")
+    rev = _dec_rev()
+    per = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(F.lit(0)))
+            .alias("ret_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+    )
+    ratio = F.col("ret_dec").cast("double") / F.col("tot_dec").cast("double")
+    return (
+        per.filter((F.col("tot_dec") > 0) & (ratio >= 0.5))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("ret_dec").cast("double").alias("returned_rev"),
+            F.col("tot_dec").cast("double").alias("total_rev"),
+            F.round(ratio, 4).alias("return_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------------- channel cube ------
+@q(
+    "q_ds_channel_cube",
+    """
+    SELECT c_mktsegment AS channel,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_channel,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+    """,
+)
+def q_ds_channel_cube(spark, sf):
+    # TPC-DS Q77/Q5 shape: the cross-channel × year report with all
+    # margins (CUBE → 4 grouping sets, Expand ×4). GROUPING() flags
+    # disambiguate "aggregated away" from a (non-existent) NULL channel.
+    # customer broadcasts; the Expand amplifies a 3-column projection of
+    # orders, and partial aggregation collapses it map-side to
+    # ≤ 4 × |channels × years| rows into the shuffle.
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("channel"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_totalprice",
+        )
+        .cube("channel", "yr")
+        .agg(
+            F.grouping("channel").cast("int").alias("g_channel"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "channel", "yr", "g_channel", "g_yr", "n_orders", "revenue"
+        )
+    )
+
+
+# ------------------------------------------------- grouping-sets report ----
+@q(
+    "q_ds_report_grouping_sets",
+    """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_order
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (n_name),
+                            (year(o_orderdate)), ())
+    """,
+)
+def q_ds_report_grouping_sets(spark, sf):
+    # TPC-DS Q27/Q67 shape: the hierarchy report — detail cells, each
+    # one-dimension margin, and the grand total in ONE pass (GROUPING
+    # SETS → Expand ×4; four separate aggregates would scan four times).
+    # avg_order is derived sum/count of the SAME aggregate outputs, not
+    # a separate AVG (float-stable: exact-decimal sum ÷ bigint count in
+    # DOUBLE). Dims broadcast; SQL form shared with the oracle verbatim.
+    register_views(spark, sf)
+    return spark.sql(ORACLE["q_ds_report_grouping_sets"])
+
+
+# ------------------------------------------------- rollup + share rank -----
+@q(
+    "q_ds_rollup_share_rank",
+    """
+    WITH cells AS (
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS INT) + CAST(GROUPING(n_name) AS INT)
+                   AS lochierarchy,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS filled_rev,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    )
+    SELECT r_name, n_name, lochierarchy,
+           ROUND(filled_rev / total_rev, 4) AS fill_share,
+           CAST(RANK() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN g_nation = 1 THEN NULL ELSE r_name END
+               ORDER BY filled_rev / total_rev DESC,
+                        COALESCE(n_name, '') ASC,
+                        COALESCE(r_name, '') ASC
+           ) AS INT) AS rank_within_parent
+    FROM cells
+    """,
+)
+def q_ds_rollup_share_rank(spark, sf):
+    # TPC-DS Q36, the canonical Expand-feeds-Window plan: ROLLUP over the
+    # (region, nation) hierarchy, a share-of-revenue ratio per cell, and
+    # RANK WITHIN PARENT — rank nations inside their region, regions
+    # inside the grand total — via the spec's lochierarchy =
+    # GROUPING(r)+GROUPING(n) trick. Rank order carries COALESCE'd
+    # tiebreaks so NULL-ordering defaults (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST on ASC) can never split the engines. The window
+    # partitions by (level, parent), so its sort is per-parent-sized —
+    # never a global sort at scale. SQL form shared with the oracle.
+    register_views(spark, sf)
+    return spark.sql(ORACLE["q_ds_rollup_share_rank"])
+
+
+# ------------------------------------------------------- yoy growth --------
+@q(
+    "q_ds_yoy_growth",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN year(o_orderdate) = 1996
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+                   AS r96_dec,
+               SUM(CASE WHEN year(o_orderdate) = 1997
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+                   AS r97_dec
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(r96_dec AS DOUBLE) AS rev_1996,
+           CAST(r97_dec AS DOUBLE) AS rev_1997,
+           ROUND(CAST(r97_dec AS DOUBLE) / CAST(r96_dec AS DOUBLE), 4)
+               AS growth
+    FROM per
+    WHERE r96_dec > 0
+      AND CAST(r97_dec AS DOUBLE) / CAST(r96_dec AS DOUBLE) > 1.5
+    """,
+)
+def q_ds_yoy_growth(spark, sf):
+    # TPC-DS Q74 shape: the year-over-year customer pivot. Both years
+    # come out of ONE conditional aggregate over a year-pruned scan —
+    # never a self-join of two per-year aggregates (which would scan and
+    # shuffle twice). At 100 TB with year partitioning the IN-filter is
+    # partition pruning, and the single groupBy is the only shuffle.
+    o = T(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per = (
+        o.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, price).otherwise(F.lit(0))).alias("r96_dec"),
+            F.sum(F.when(yr == 1997, price).otherwise(F.lit(0))).alias("r97_dec"),
+        )
+    )
+    growth = F.col("r97_dec").cast("double") / F.col("r96_dec").cast("double")
+    return (
+        per.filter((F.col("r96_dec") > 0) & (growth > 1.5))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("r96_dec").cast("double").alias("rev_1996"),
+            F.col("r97_dec").cast("double").alias("rev_1997"),
+            F.round(growth, 4).alias("growth"),
+        )
+    )
+
+
+# ----------------------------------------------------- cross-channel -------
+@q(
+    "q_ds_cross_channel",
+    """
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_channels
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) = 5
+    """,
+)
+def q_ds_cross_channel(spark, sf):
+    # TPC-DS Q38/Q87 shape: customers active in EVERY channel (all 5
+    # order priorities). The spec writes it as a 3-way INTERSECT; the
+    # scale-correct plan is one distinct-count per customer — a single
+    # grouped aggregate instead of N channel scans + N-way set ops
+    # (Spark rewrites INTERSECT to joins; this form shuffles narrow
+    # (custkey, prio) pairs once).
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count_distinct("o_orderpriority").alias("n_channels"))
+        .filter(F.col("n_channels") == 5)
+        .select(F.col("o_custkey").alias("c_custkey"), "n_channels")
+    )
+
+
+# ------------------------------------------------------ distinct cube ------
+@q(
+    "q_ds_distinct_cube",
+    """
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+)
+def q_ds_distinct_cube(spark, sf):
+    # TPC-DS Q14-flavor: distinct-customer counts under CUBE — the
+    # Expand × distinct-rewrite interplay (grouping-set Expand ×4, then
+    # the count-distinct rewrite's second Expand). Input pre-projected
+    # to 3 narrow columns so both amplifications apply to minimal rows;
+    # at 100 TB this is the query you'd demote to the KMV/HLL sketch
+    # per cell (q_agg_approx_distinct pattern) — this exact form is the
+    # oracle-checkable baseline.
+    o = T(spark, sf, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_custkey",
+    )
+    return (
+        o.cube("o_orderstatus", "yr")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "yr", "g_status", "g_yr", "n_cust", "n_orders")
+    )
+
+
+# ----------------------------------------- multi-supplier clean orders -----
+@q(
+    "q_ds_multi_supplier_clean",
+    f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret,
+               SUM({_REV_SQL}) AS rev_dec
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev_dec) AS DOUBLE) AS total_rev
+    FROM per_order
+    WHERE n_supp >= 2 AND n_ret = 0
+    """,
+)
+def q_ds_multi_supplier_clean(spark, sf):
+    # TPC-DS Q94 shape: orders fulfilled from ≥2 "warehouses" (distinct
+    # suppliers) with NO returned line — the spec's EXISTS(other
+    # warehouse) + NOT EXISTS(return) pair collapsed into one grouped
+    # aggregate per order: the semi and anti conditions become HAVING
+    # predicates on the same pass, so lineitem is scanned and shuffled
+    # once instead of three times (the planner cannot fuse correlated
+    # EXISTS pairs this way itself — q_tpch_q21 documents the same
+    # decorrelation).
+    li = T(spark, sf, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_ret"),
+        F.sum(_dec_rev()).alias("rev_dec"),
+    )
+    return (
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("total_rev"),
+        )
+    )

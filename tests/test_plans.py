@@ -508,3 +508,46 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ------------------------------------------------ TPC-DS retail pack -------
+def test_channel_cube_expands_and_broadcasts(spark, sf_dir):
+    # CUBE → Expand-based plan; customer dim broadcasts; partial agg
+    # combines the Expand output map-side before the shuffle
+    plan = checks.formatted_plan(QS["q_ds_channel_cube"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_rollup_share_rank_expand_feeds_window(spark, sf_dir):
+    # the Q36 shape: one Expand (ROLLUP) and one Window (rank within
+    # parent) in the same plan — no per-level re-aggregation
+    plan = checks.formatted_plan(QS["q_ds_rollup_share_rank"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Window" in plan
+
+
+def test_distinct_cube_double_expand(spark, sf_dir):
+    # grouping-set Expand × count-distinct-rewrite Expand: both present,
+    # applied to a pre-projected 3-column input (ReadSchema stays narrow)
+    df = QS["q_ds_distinct_cube"](spark, sf_dir)
+    assert checks.count_nodes(df, "Expand") >= 1
+    checks.assert_scan_columns_at_most(df, "orders", 3)
+
+
+def test_yoy_growth_single_pass_no_join(spark, sf_dir):
+    # Q74 done right: ONE conditional aggregate, never a self-join of
+    # two per-year aggregates
+    plan = checks.formatted_plan(QS["q_ds_yoy_growth"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_multi_supplier_clean_single_scan(spark, sf_dir):
+    # Q94's EXISTS + NOT EXISTS pair collapsed to one grouped pass:
+    # no join anywhere, lineitem scanned once
+    df = QS["q_ds_multi_supplier_clean"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "Join" not in plan
+    assert checks.count_nodes(df, "Scan parquet") == 1
