@@ -79,6 +79,7 @@ HEADLINE = [
     "q_dedup_fuzzy_prefix",  # exact Jaccard via AllPairs prefix filter (100 TB route)
     "q_ds_rollup_share_rank",  # TPC-DS Q36: ROLLUP Expand feeding Window rank
     "q_ds_distinct_cube",   # CUBE x count-distinct double-Expand report
+    "q_embed_kmeans",       # Lloyd k-means: map-only assign + k*d-state update
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

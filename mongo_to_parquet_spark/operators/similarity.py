@@ -456,3 +456,137 @@ def hard_negatives(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Lloyd's k-means (iterative clustering on fixed-size state)
+# --------------------------------------------------------------------------
+#: squared-distance quantization: d2 = Σ ⌊(aᵢ−bᵢ)²·2⁴⁰⌋ as BIGINT.
+#: Multiplying by a power of two only shifts the double's exponent (exact),
+#: and FLOOR of an identical double is engine-stable — so the distance is
+#: a cross-engine-identical INTEGER, safe to fold/sum in any order (a
+#: DECIMAL fold would drift: Spark's decimal `+` re-derives precision to
+#: (38,17), silently rounding each step). With unit-scale embeddings the
+#: per-element term is < 2⁴², ×64 dims ≈ 2⁴⁸ — far from long overflow.
+_D2_SCALE = float(1 << 40)
+
+
+def _d2_fixed(x, cent):
+    """Σ ⌊(xᵢ−cᵢ)²·2⁴⁰⌋ — integer-quantized squared L2, one pass over the
+    zipped arrays, type-stable long fold."""
+    return F.aggregate(
+        F.zip_with(
+            x, cent, lambda a, b: F.floor((a - b) * (a - b) * F.lit(_D2_SCALE))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+
+
+def kmeans_assign_expr(x, cents: list):
+    """struct(d: long, cid: int) — nearest centroid of ``cents``
+    ([(cid, [float, ...]), ...]) for vector column ``x``, lowest-cid
+    tiebreak.
+
+    The centroid table is embedded as a LITERAL (k×d doubles — driver
+    fixed-state, the same exception as IVF's collected centroid table),
+    so assignment is a pure scan-side expression: NO join, NO shuffle.
+    Each centroid's distance is computed exactly once — the d2 array is
+    bound as a lambda VALUE via the single-element-array transform
+    (SCALE.md "lambda VALUE" rule) before the argmin fold references it
+    k times; strict `<` keeps the FIRST minimum, i.e. the lowest cid.
+    """
+    k = len(cents)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in vec]) for _, vec in cents]
+    )
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    d2s = F.transform(cent_arr, lambda c: _d2_fixed(x, c))
+    return F.transform(
+        F.array(d2s),
+        lambda ds: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.struct(
+                F.lit(1 << 62).cast("long").alias("d"),
+                F.lit(-1).cast("int").alias("cid"),
+            ),
+            lambda acc, i: F.when(
+                F.element_at(ds, i + 1) < acc["d"],
+                F.struct(
+                    F.element_at(ds, i + 1).alias("d"),
+                    F.element_at(cids, i + 1).alias("cid"),
+                ),
+            ).otherwise(acc),
+        ),
+    )[0]
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means, deterministic and oracle-exact: returns
+    ``(assignments, centroids)`` where assignments is a DataFrame
+    ``(id, x, cid, d2)`` under the FINAL centroids and centroids is the
+    ``[(cid, [double, ...]), ...]`` list that produced it.
+
+    Determinism (so a DuckDB oracle can replay it bit-for-bit):
+    initialization is the k lowest-id vectors (cid = id rank); distances
+    are the integer-quantized :func:`_d2_fixed`; centroid updates are
+    exact DECIMAL(38,18) sums ÷ counts (order-free, the q_embed_pca
+    convention). ``rounds`` counts ASSIGNMENT passes: rounds=2 →
+    assign(init) → update → assign(updated). A cluster that loses all
+    members simply drops out of the next centroid list (both engines
+    agree structurally).
+
+    Scale: the corpus-sized work per round is ONE map-only assignment
+    pass (centroids ride the plan as a k×d literal — no join, no
+    shuffle) plus ONE partial-combined (cid, pos) aggregate whose
+    shuffle carries ≤ partitions × k×d rows; driver state per round is
+    the k×d centroid table. Iteration cost is independent of corpus
+    size beyond the two scans — the aggregate-to-fixed-state-first
+    discipline (SCALE.md) applied to clustering. 100 TB practice: raise
+    k and rounds freely; the only growing cost is the scans themselves.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("x")
+    )
+    init = vecs.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["x"])) for i, r in enumerate(init)]
+    assigned = None
+    for r in range(rounds):
+        best = kmeans_assign_expr(F.col("x"), cents)
+        # bind `best` as a REAL attribute via a 1-element explode
+        # (Generate) before extracting both fields: a plain
+        # withColumn+select pair collapses into one projection that
+        # inlines the whole argmin expression once per extracted field
+        # (the minhash 3.4× lesson — lambda-heavy expressions defeat
+        # codegen subexpression elimination)
+        assigned = (
+            vecs.select("id", "x", F.explode(F.array(best)).alias("b"))
+            .select(
+                "id", "x", F.col("b.cid").alias("cid"), F.col("b.d").alias("d2")
+            )
+        )
+        if r < rounds - 1:
+            rows = (
+                assigned.select("cid", F.posexplode("x").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("cval")
+                )
+                .collect()
+            )
+            by: dict = {}
+            for row in rows:
+                by.setdefault(row["cid"], {})[row["pos"]] = row["cval"]
+            cents = [
+                (cid, [by[cid][p] for p in sorted(by[cid])]) for cid in sorted(by)
+            ]
+    return assigned, cents

@@ -1941,3 +1941,89 @@ def q_graph_cc_chain(spark, sf):
         .join(cc, "node", "left")
         .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
     )
+
+
+# ------------------------------------------------------- k-means clusters --
+_KM_SCALE = "1099511627776.0"  # 2^40, the operators/similarity._D2_SCALE twin
+_KM_DIST = (
+    "SUM(CAST(FLOOR((d.val - c.cval) * (d.val - c.cval) * " + _KM_SCALE + ") "
+    "AS BIGINT))"
+)
+
+
+@q(
+    "q_embed_kmeans",
+    f"""
+    WITH dims AS (
+        SELECT vec_id AS id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    init AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid
+        FROM (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (SELECT cid, pos, val AS cval
+           FROM dims JOIN init USING (id)),
+    d0 AS (
+        SELECT d.id, c.cid, {_KM_DIST} AS d2
+        FROM dims d JOIN c0 c ON d.pos = c.pos
+        GROUP BY d.id, c.cid
+    ),
+    a0 AS (
+        SELECT id, cid FROM (
+            SELECT id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d0) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a.cid, d.pos,
+               CAST(SUM(CAST(d.val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*)
+                   AS cval
+        FROM dims d JOIN a0 a USING (id)
+        GROUP BY a.cid, d.pos
+    ),
+    d1 AS (
+        SELECT d.id, c.cid, {_KM_DIST} AS d2
+        FROM dims d JOIN c1 c ON d.pos = c.pos
+        GROUP BY d.id, c.cid
+    ),
+    a1 AS (
+        SELECT id, cid, d2 FROM (
+            SELECT id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d1) WHERE rn = 1
+    )
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38, 0))) AS DOUBLE)
+                 / {_KM_SCALE}, 4) AS inertia
+    FROM a1 GROUP BY cid
+    """,
+)
+def q_embed_kmeans(spark, sf):
+    # Lloyd's k-means over the embedding corpus (k=4, two assignment
+    # rounds), oracle-exact end to end: deterministic lowest-id init,
+    # integer-quantized distances, DECIMAL-exact centroid means
+    # (operators/similarity.kmeans_lloyd — docstring has the full
+    # determinism + scale contract). The report is per-cluster size +
+    # inertia — the convergence/balance readout a curation pipeline
+    # checks before using clusters for mixture design, SemDeDup cell
+    # assignment (q_dedup_semantic), or IVF cell seeding (the Lloyd
+    # refinement the deterministic IVF seeds deliberately skip).
+    # The oracle replays both rounds as unrolled CTEs — the same
+    # iterative-op discipline as q_graph_pagerank/q_embed_pca: fixed
+    # rounds, exact arithmetic, bit-identical fixpoint.
+    from mongo_to_parquet_spark.operators.similarity import _D2_SCALE, kmeans_lloyd
+
+    assigned, _cents = kmeans_lloyd(T(spark, sf, "embeddings"), k=4, rounds=2)
+    return assigned.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+            / F.lit(_D2_SCALE),
+            4,
+        ).alias("inertia"),
+    )

@@ -1033,3 +1033,36 @@ def test_span_dedup_hash_key_path_identical(spark):
         map(tuple, span_dedup(docs, span_tokens=2, hash_key=True).collect())
     )
     assert plain == hashed
+
+
+def test_kmeans_lloyd_recovers_separated_blobs(spark):
+    """Three well-separated synthetic blobs: after 2 rounds every vector
+    is assigned with its blob-mates, cluster sizes match blob sizes, and
+    the reported assignment is the true argmin of the final centroids."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.similarity import kmeans_lloyd
+
+    blobs = {0: (0.0, 7), 1: (10.0, 5), 2: (-10.0, 6)}  # center, size
+    rows = []
+    vid = 0
+    for _b, (center, size) in blobs.items():
+        for j in range(size):
+            rows.append((vid, [center + 0.01 * j] * 4))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_lloyd(df, k=3, rounds=2)
+    got = assigned.select("id", "cid").collect()
+    by_cid: dict = {}
+    for r in got:
+        by_cid.setdefault(r["cid"], set()).add(r["id"])
+    # every blob lands wholly in one cluster
+    blob_sets = [set(range(0, 7)), set(range(7, 12)), set(range(12, 18))]
+    assert sorted(map(frozenset, by_cid.values())) == sorted(
+        map(frozenset, blob_sets)
+    )
+    # centroids: one per surviving cluster, d=4
+    assert len(cents) == 3 and all(len(v) == 4 for _c, v in cents)
+    # inertia is non-negative and finite
+    inert = assigned.agg(F.sum("d2")).collect()[0][0]
+    assert inert is not None and inert >= 0

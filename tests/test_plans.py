@@ -551,3 +551,12 @@ def test_multi_supplier_clean_single_scan(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert "Join" not in plan
     assert checks.count_nodes(df, "Scan parquet") == 1
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    # Lloyd assignment rides a centroid LITERAL: the returned per-cluster
+    # report is scan → map-side assign → one partial-combined agg — no
+    # join anywhere in the final plan
+    plan = checks.formatted_plan(QS["q_embed_kmeans"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_" in plan
