@@ -1,0 +1,97 @@
+"""Streaming sketch maintenance — mergeable KMV distinct-count state.
+
+The KMV twin queries (queries/relational.py, functions/sketch.py) argue
+that k-minimum-values sketches are MERGEABLE: union the retained hashes,
+re-truncate to the k smallest, re-estimate. This module is that argument
+made operational: a ``foreachBatch`` fold maintains the k-smallest
+distinct-hash state across micro-batches, and because set-union +
+truncate is associative, commutative AND idempotent, the folded state is
+bit-identical to the batch sketch over the same data — for ANY batch
+partitioning, and even under batch REPLAY (re-folding a batch changes
+nothing, so exactly-once comes from the algebra, not from bookkeeping;
+contrast operators/incremental.py, whose additive folds need the
+recorded-batch-id guard).
+
+State layout: ``state_dir/current`` holds ≤k (h BIGINT) rows as parquet.
+Each batch writes the merged-truncated set to a tmp dir (materializing
+it BEFORE the old state is touched), then swaps via rename — a crash
+leaves either the old or the new committed state, never a partial one.
+
+Scale: per batch the stream side contributes its distinct hashes
+(partial-aggregated map-side); the state side is k rows. The fold's
+shuffle is bounded by the batch's distinct count, the state by k —
+a distinct-count rollup over an unbounded stream in O(k) storage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.functions import sketch as _sk
+
+
+def _state_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "current")
+
+
+def stream_kmv_distinct(
+    stream_df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = _sk.DEFAULT_K,
+    salt: str = "kmv:",
+):
+    """Maintain a KMV distinct-count sketch of ``col`` over a stream.
+
+    Returns the started StreamingQuery (availableNow trigger — callers
+    drain with ``awaitTermination``). Estimate afterwards with
+    :func:`read_kmv_estimate`.
+    """
+    spark = stream_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    h = _sk.kmv_hash(F.col(col), salt=salt)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        bh = batch_df.select(h.alias("h")).filter(F.col("h").isNotNull()).distinct()
+        cur = _state_path(state_dir)
+        if os.path.exists(cur):
+            bh = bh.unionByName(spark.read.parquet(cur))
+        merged = bh.distinct().orderBy("h").limit(k)
+        tmp = os.path.join(state_dir, "_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the tmp write MATERIALIZES the merge while the old state is
+        # still readable; only then swap directories (rename = commit)
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state_dir, "_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_estimate(
+    spark: SparkSession, state_dir: str, k: int = _sk.DEFAULT_K
+) -> DataFrame:
+    """1-row (approx_users DOUBLE) estimate from the committed state —
+    the same expression as the batch q_agg_approx_distinct twin, so the
+    streamed fold must hash-match it exactly over identical data."""
+    s = (
+        spark.read.parquet(_state_path(state_dir))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))
+    )
+    return s.select(
+        _sk.kmv_estimate(F.col("m"), F.col("theta"), k).alias("approx_users")
+    )

@@ -453,3 +453,51 @@ def test_stream_drift_cube_converges_to_batch_psi(spark, sf_dir, tmp_path):
         for r in CUR_Q["q_drift_psi"](spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_kmv_fold_converges_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming KMV distinct-count fold: the micro-batch-folded k-smallest
+    state must equal the batch sketch BIT-FOR-BIT (union+truncate is
+    associative/commutative), the estimate must equal the declared
+    q_agg_approx_distinct twin exactly, and re-folding the same data with
+    a fresh checkpoint must be a no-op (idempotent by algebra — the
+    exactly-once argument needs no batch-id bookkeeping)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.functions import sketch as _sk
+    from mongo_to_parquet_spark.queries.relational import QUERIES as REL_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    state, ck1 = str(tmp_path / "kmv_state"), str(tmp_path / "ck1")
+    q = sk.stream_kmv_distinct(
+        sw.replay_events(spark, sf_dir), "user_id", state, ck1
+    )
+    q.awaitTermination(120)
+
+    # state == the batch k-smallest distinct hash set, exactly
+    batch_k = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(_sk.kmv_hash(F.col("user_id")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_sk.DEFAULT_K)
+    )
+    got_state = sorted(r["h"] for r in spark.read.parquet(f"{state}/current").collect())
+    assert got_state == sorted(r["h"] for r in batch_k.collect())
+
+    # estimate == the declared twin's answer
+    est = sk.read_kmv_estimate(spark, state).collect()[0]["approx_users"]
+    batch_est = REL_Q["q_agg_approx_distinct"](spark, sf_dir).collect()[0][
+        "approx_users"
+    ]
+    assert est == batch_est
+
+    # replay the whole stream again (fresh checkpoint): state unchanged
+    q2 = sk.stream_kmv_distinct(
+        sw.replay_events(spark, sf_dir), "user_id", state, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    again = sorted(r["h"] for r in spark.read.parquet(f"{state}/current").collect())
+    assert again == got_state
