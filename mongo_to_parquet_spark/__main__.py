@@ -86,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
             spark, cfg.mongo_uri, args.database, coll
         )
     totals = ExportJob(
-        spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger
+        spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger,
+        # connector path: qualify START/END log lines like the reference
+        # (main.py:295 '{db}.{coll}'); file-backed sources have no db
+        database=args.database if not args.source_dir else "",
     ).run()
     # one JSON line per collection — the reference's END log (main.py:309)
     print(json.dumps({"rows_written": totals}))
