@@ -587,3 +587,40 @@ def test_span_dedup_conservation(spark, texts):
     # reassembly: every cleaned text is the doc's kept spans in order
     for r in out:
         assert r["n_dropped"] <= r["n_spans"]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_kmv_hash_matches_duckdb_bit_for_bit(spark, values):
+    """The load-bearing assumption of every KMV twin (functions/sketch.py):
+    Spark's conv(substr(md5(..),1,8),16,10) and DuckDB's
+    CAST(concat('0x', substr(md5(..),1,8)) AS BIGINT) map ANY string to
+    the identical 32-bit integer. Random printable strings, bit-for-bit."""
+    import duckdb
+
+    from mongo_to_parquet_spark.functions import sketch as _sk
+
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", _sk.kmv_hash(F.col("v")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    expr = _sk.kmv_hash_sql("v")
+    want = dict(
+        con.execute(
+            f"SELECT v, {expr} AS h FROM (SELECT unnest(?) AS v)", [values]
+        ).fetchall()
+    )
+    assert got == want
