@@ -542,6 +542,11 @@ def kmeans_lloyd(
     members simply drops out of the next centroid list (both engines
     agree structurally).
 
+    ASSUMPTION: vectors are non-null with no null elements (a null
+    element poisons the zip_with fold to a NULL distance, which `<`
+    drops — the row would keep cid −1). Filter or impute upstream if
+    the corpus can carry nulls; the fixtures cannot.
+
     Scale: the corpus-sized work per round is ONE map-only assignment
     pass (centroids ride the plan as a k×d literal — no join, no
     shuffle) plus ONE partial-combined (cid, pos) aggregate whose

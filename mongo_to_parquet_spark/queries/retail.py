@@ -234,6 +234,11 @@ def q_ds_report_grouping_sets(spark, sf):
 def q_ds_rollup_share_rank(spark, sf):
     # TPC-DS Q36, the canonical Expand-feeds-Window plan: ROLLUP over the
     # (region, nation) hierarchy, a share-of-revenue ratio per cell, and
+    # ASSUMPTION (both engines): total_rev > 0 for every ROLLUP cell — a
+    # cell exists only if it has orders, and fixture prices are positive.
+    # A zero-total cell would divide by zero, where ANSI Spark errors and
+    # DuckDB returns inf; guard with a HAVING total_rev > 0 in both
+    # formulations if the data could carry zero/negative prices.
     # RANK WITHIN PARENT — rank nations inside their region, regions
     # inside the grand total — via the spec's lochierarchy =
     # GROUPING(r)+GROUPING(n) trick. Rank order carries COALESCE'd
