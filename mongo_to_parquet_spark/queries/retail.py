@@ -21,6 +21,11 @@ Shape provenance per query (TPC-DS query numbers are the spec's):
                                  Expand × distinct-rewrite interplay)
   - q_ds_multi_supplier_clean → Q94 (orders from ≥2 suppliers with no
                                  returned line — grouped semi/anti logic)
+  - q_ds_returns_above_avg    → Q1 (returns above 1.2× the channel
+                                 average — correlated subquery
+                                 decorrelated to agg → re-agg → join)
+  - q_ds_channel_migration    → cross-channel behavior flavor (modal
+                                 channel per year, year-over-year shift)
 
 Determinism (the cross-engine conventions from queries/__init__.py):
 money sums in DECIMAL cast to DOUBLE at the end; ratios as
@@ -40,6 +45,7 @@ rationale as q_tpch_q16). Plan assertions: tests/test_plans.py
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.sources.catalog import load_table as T
@@ -409,5 +415,130 @@ def q_ds_multi_supplier_clean(spark, sf):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+# ------------------------------------------------ returns above average ----
+@q(
+    "q_ds_returns_above_avg",
+    f"""
+    WITH ret AS (
+        SELECT c_mktsegment AS channel, o_custkey,
+               SUM({_REV_SQL}) AS ret_dec
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    avgs AS (
+        SELECT channel,
+               CAST(SUM(ret_dec) AS DOUBLE) / COUNT(*) AS channel_avg
+        FROM ret GROUP BY channel
+    )
+    SELECT r.channel, r.o_custkey AS c_custkey,
+           CAST(r.ret_dec AS DOUBLE) AS ret_rev,
+           ROUND(a.channel_avg, 4) AS channel_avg
+    FROM ret r JOIN avgs a ON r.channel = a.channel
+    WHERE CAST(r.ret_dec AS DOUBLE) > 1.2 * a.channel_avg
+    """,
+)
+def q_ds_returns_above_avg(spark, sf):
+    # TPC-DS Q1 shape: customers whose channel returns exceed 1.2× their
+    # channel's average — the spec's correlated subquery ("more than 20%
+    # above the store average") DECORRELATED by hand into aggregate →
+    # re-aggregate → broadcast-join-back: the per-channel average table
+    # is |channels| rows, so the probe side never shuffles twice and the
+    # correlation never becomes a per-row subquery. Returned revenue is
+    # derived from l_returnflag (the fixture's stand-in for the separate
+    # store_returns fact). Average computed as exact-DECIMAL sum ÷ count
+    # in DOUBLE — both engines bit-identical, so the 1.2× boundary
+    # cannot drift.
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    ret = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("channel"), "o_custkey")
+        .agg(F.sum(_dec_rev()).alias("ret_dec"))
+    )
+    avgs = ret.groupBy("channel").agg(
+        (F.sum("ret_dec").cast("double") / F.count(F.lit(1))).alias("channel_avg")
+    )
+    return (
+        ret.join(F.broadcast(avgs), "channel")
+        .filter(F.col("ret_dec").cast("double") > F.lit(1.2) * F.col("channel_avg"))
+        .select(
+            "channel",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("ret_dec").cast("double").alias("ret_rev"),
+            F.round("channel_avg", 4).alias("channel_avg"),
+        )
+    )
+
+
+# ------------------------------------------------- channel migration -------
+@q(
+    "q_ds_channel_migration",
+    """
+    WITH per AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+               o_orderpriority AS channel, COUNT(*) AS n
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey, year(o_orderdate), o_orderpriority
+    ),
+    dom AS (
+        SELECT o_custkey, yr, channel FROM (
+            SELECT o_custkey, yr, channel,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, yr
+                                      ORDER BY n DESC, channel ASC) AS rn
+            FROM per) WHERE rn = 1
+    )
+    SELECT a.o_custkey AS c_custkey,
+           a.channel AS channel_1996, b.channel AS channel_1997
+    FROM dom a JOIN dom b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    WHERE a.channel <> b.channel
+    """,
+)
+def q_ds_channel_migration(spark, sf):
+    # dominant-channel migration: each customer's modal order priority
+    # per year (deterministic tie-break: highest count, then channel
+    # name), reported where 1996's mode differs from 1997's — the
+    # channel-shift report behind TPC-DS's cross-channel behavior
+    # queries. One narrow (cust, yr, channel) count aggregate feeds a
+    # per-(cust, yr) top-1 window (WindowGroupLimit — rank short-
+    # circuits in-partition); the year-on-year compare is a self-join
+    # of the mode table on custkey, which is |customers|-sized, not
+    # fact-sized — the fact is touched once.
+    o = T(spark, sf, "orders")
+    yr = F.year("o_orderdate").cast("int")
+    per = (
+        o.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey", yr.alias("yr"), F.col("o_orderpriority").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_custkey", "yr").orderBy(
+        F.col("n").desc(), F.col("channel").asc()
+    )
+    dom = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "yr", "channel")
+    )
+    a = dom.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("channel").alias("channel_1996")
+    )
+    b = dom.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("channel").alias("channel_1997")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(F.col("channel_1996") != F.col("channel_1997"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "channel_1996", "channel_1997"
         )
     )
