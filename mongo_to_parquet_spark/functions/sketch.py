@@ -63,10 +63,17 @@ def kmv_hash_sql(expr: str, salt: str = "kmv:") -> str:
     ``expr`` must render the value exactly as Spark's ``cast("string")``
     does (integers/strings are safe as-is; doubles and timestamps need a
     canonical rendering — see q_profile_approx).
+
+    NULL parity: BOTH concatenations use ``||`` (NULL-propagating), NOT
+    ``concat()`` — DuckDB's ``concat`` SKIPS null arguments, so a NULL
+    value would hash to md5(salt) instead of NULL (and the outer concat
+    would produce the uncastable literal ``'0x'``), diverging from
+    Spark's NULL-in-NULL-out ``F.concat``. With ``||`` a NULL input
+    yields a NULL hash in both engines.
     """
     return (
-        f"CAST(concat('0x', substr(md5(concat('{salt}', "
-        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT)"
+        f"CAST(('0x' || substr(md5('{salt}' || "
+        f"CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
     )
 
 

@@ -151,8 +151,17 @@ def profile_columns_kmv(
             _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
         )
     )
-    return stacked.join(F.broadcast(est), "col_name").select(
-        "col_name", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    # LEFT join + coalesce: an all-NULL column has no surviving hashes
+    # (every h filtered), hence no est row — it must still appear in the
+    # profile with n_distinct=0 like profile_columns' exact/HLL modes,
+    # not silently vanish (those are exactly the columns a data-quality
+    # profile exists to flag)
+    return stacked.join(F.broadcast(est), "col_name", "left").select(
+        "col_name",
+        "n_nulls",
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
+        "min_repr",
+        "max_repr",
     )
 
 

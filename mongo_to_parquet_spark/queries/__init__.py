@@ -71,4 +71,8 @@ def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             overlap = out.keys() & extra.keys()
             assert not overlap, f"duplicate bench-only keys: {overlap}"
             out.update(extra)
+    # a bench-only key colliding with a DECLARED key would silently
+    # shadow the oracle-gated implementation in bench.py's merged dict
+    shadow = out.keys() & queries().keys()
+    assert not shadow, f"bench-only keys shadow declared queries: {shadow}"
     return out

@@ -1407,10 +1407,10 @@ _PROFILE_KMV_ORACLE = f"""
         FROM orders
     )
     SELECT b.col_name, b.n_nulls,
-           {_sk.kmv_estimate_long_sql('e.m', 'e.theta', _sk.DEFAULT_K)}
-               AS n_distinct,
+           COALESCE({_sk.kmv_estimate_long_sql('e.m', 'e.theta', _sk.DEFAULT_K)},
+                    0) AS n_distinct,
            b.min_repr, b.max_repr
-    FROM base b JOIN est e USING (col_name)
+    FROM base b LEFT JOIN est e USING (col_name)
 """
 
 

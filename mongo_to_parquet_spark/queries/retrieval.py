@@ -776,15 +776,15 @@ def q_rag_context(spark, sf):
 
 
 # ------------------------------------------------------------ KMV sketch ---
-_KMV_K = 64
-_U32 = 4294967296  # md5-prefix hash space (2^32)
+# one definition of the cross-engine KMV hash contract lives in
+# functions/sketch.py (shared with the q_agg_approx_* twins and the
+# streaming fold) — thin aliases keep this module's oracle f-strings
+# readable without a second copy that could drift
+from mongo_to_parquet_spark.functions import sketch as _sk  # noqa: E402
 
-
-def _kmv_h_sql(col: str) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('kmv:', CAST({col} AS VARCHAR))), "
-        f"1, 8)) AS BIGINT)"
-    )
+_KMV_K = _sk.DEFAULT_K
+_U32 = _sk.U32  # md5-prefix hash space (2^32)
+_kmv_h_sql = _sk.kmv_hash_sql
 
 
 @q(
@@ -838,17 +838,7 @@ def q_sketch_kmv(spark, sf):
     # intersecting 64-row states instead of joining raw event logs.
     ev = T(spark, sf, "events")
     k = _KMV_K
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h")
-    )
+    h = _sk.kmv_hash(F.col("user_id")).alias("h")
     a = ev.filter(F.col("event_type") == "error").select(h).distinct()
     b = ev.filter(F.col("value") >= 250.0).select(h).distinct()
     ka = a.orderBy("h").limit(k)

@@ -885,6 +885,7 @@ def q_tpch_q11(spark, sf):
     WHERE p_brand <> 'Brand#45'
       AND p_type NOT LIKE 'MEDIUM%'
       AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND l_suppkey IS NOT NULL
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
     """,
@@ -906,10 +907,13 @@ def q_tpch_q16(spark, sf):
     )
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        # NULL probe keys: NOT IN with a non-empty subquery never admits a
-        # NULL l_suppkey, but a left-anti join KEEPS it — filter them out
-        # so both formulations agree even if the fixture ever gains null
-        # foreign keys (a no-op today; the fixture has none).
+        # NULL probe keys: NOT IN with a NON-EMPTY subquery never admits
+        # a NULL l_suppkey, but a left-anti join KEEPS it — and with an
+        # EMPTY subquery NOT IN flips to keeping everything including
+        # NULLs. Rather than depend on the exclusion set's emptiness,
+        # BOTH formulations drop NULL probes explicitly (the filter here,
+        # `l_suppkey IS NOT NULL` in the oracle) — a no-op today; the
+        # fixture has no null foreign keys.
         li.filter(F.col("l_suppkey").isNotNull())
         .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")

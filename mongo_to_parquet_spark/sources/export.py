@@ -104,13 +104,29 @@ def export_partitioned(
     range query): the collection is exported WHOLE — no date filter, no
     year/month/day columns, flat unpartitioned layout. Pinned in
     tests/test_reference_semantics.py::test_no_date_field_exports_whole.
+
+    ``export_partitioned_observed`` is this plus in-plan Observation
+    metrics; both share :func:`_prepare_export`/:func:`_write_export`
+    so the semantics cannot drift apart.
     """
+    df = _prepare_export(df, date_field, start, end, drop_columns, coalesce_partitions)
+    _write_export(df, out_dir, date_field, mode)
+
+
+def _prepare_export(df, date_field, start, end, drop_columns, coalesce_partitions):
+    """Shared export pipeline head: drop → range filter → date parts →
+    optional coalesce (the single definition both export variants use)."""
     df = df.drop(*[c for c in drop_columns if c in df.columns])
     if date_field:
         df = filter_date_range(df, date_field, start, end)
         df = with_date_parts(df, date_field)
     if coalesce_partitions:
         df = df.coalesce(coalesce_partitions)
+    return df
+
+
+def _write_export(df, out_dir, date_field, mode):
+    """Shared export sink: year-partitioned iff a date field exists."""
     w = df.write.mode(mode)
     if date_field:
         w = w.partitionBy("year")
@@ -335,13 +351,13 @@ def export_partitioned_observed(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    df = df.drop(*[c for c in drop_columns if c in df.columns])
-    if date_field:
-        df = filter_date_range(df, date_field, start, end)
-        df = with_date_parts(df, date_field)
-    if coalesce_partitions:
-        df = df.coalesce(coalesce_partitions)
-    obs = Observation("export_metrics")
+    df = _prepare_export(df, date_field, start, end, drop_columns, coalesce_partitions)
+    # UNNAMED Observation → unique generated name per call: observations
+    # are fulfilled by listener NAME match against any finishing query on
+    # the session, so a fixed name would let concurrent exports
+    # (ExportJob max_concurrent>1) satisfy each other's observations and
+    # report the wrong per-collection totals
+    obs = Observation()
     if date_field:
         df = df.observe(
             obs,
@@ -353,10 +369,7 @@ def export_partitioned_observed(
         )
     else:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    w = df.write.mode(mode)
-    if date_field:
-        w = w.partitionBy("year")
-    w.parquet(out_dir)
+    _write_export(df, out_dir, date_field, mode)
     metrics = dict(obs.get)
     if not date_field:
         metrics.setdefault("rows_unknown_year", 0)

@@ -14,8 +14,12 @@ recorded-batch-id guard).
 
 State layout: ``state_dir/current`` holds ≤k (h BIGINT) rows as parquet.
 Each batch writes the merged-truncated set to a tmp dir (materializing
-it BEFORE the old state is touched), then swaps via rename — a crash
-leaves either the old or the new committed state, never a partial one.
+it BEFORE the old state is touched), then swaps via two renames. A
+crash can land between the renames (no ``current``), so every reader
+first runs :func:`_recover`, which restores the newest COMMITTED state:
+``_tmp`` when its parquet _SUCCESS marker proves the merge completed,
+else ``_old`` — a crash therefore never loses folded batches and never
+exposes a partial write.
 
 Scale: per batch the stream side contributes its distinct hashes
 (partial-aggregated map-side); the state side is k rows. The fold's
@@ -38,6 +42,30 @@ def _state_path(state_dir: str) -> str:
     return os.path.join(state_dir, "current")
 
 
+def _recover(state_dir: str) -> None:
+    """Roll the state forward/back after a crash mid-swap.
+
+    The swap is rename(current→_old) then rename(_tmp→current); a crash
+    between the two leaves NO ``current``. Recovery prefers ``_tmp``
+    when its parquet commit marker (_SUCCESS) proves the merge was fully
+    written — it already contains the old state — and falls back to
+    ``_old`` otherwise. Either way a committed state is restored before
+    the next fold reads it (without this, a crash in the window would
+    silently restart the sketch empty while the checkpoint skips the
+    already-folded batches).
+    """
+    cur = _state_path(state_dir)
+    if os.path.exists(cur):
+        return
+    tmp = os.path.join(state_dir, "_tmp")
+    old = os.path.join(state_dir, "_old")
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.rename(old, cur)
+
+
 def stream_kmv_distinct(
     stream_df: DataFrame,
     col: str,
@@ -57,6 +85,7 @@ def stream_kmv_distinct(
     h = _sk.kmv_hash(F.col(col), salt=salt)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(state_dir)
         bh = batch_df.select(h.alias("h")).filter(F.col("h").isNotNull()).distinct()
         cur = _state_path(state_dir)
         if os.path.exists(cur):
@@ -88,6 +117,7 @@ def read_kmv_estimate(
     """1-row (approx_users DOUBLE) estimate from the committed state —
     the same expression as the batch q_agg_approx_distinct twin, so the
     streamed fold must hash-match it exactly over identical data."""
+    _recover(state_dir)
     s = (
         spark.read.parquet(_state_path(state_dir))
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))

@@ -501,3 +501,41 @@ def test_stream_kmv_fold_converges_to_batch_sketch(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     again = sorted(r["h"] for r in spark.read.parquet(f"{state}/current").collect())
     assert again == got_state
+
+
+def test_stream_kmv_state_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves no `current` dir; the
+    next reader must restore the newest committed state — `_tmp` when its
+    _SUCCESS marker proves the merge completed (it already contains the
+    old state), else `_old` — instead of silently restarting empty."""
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    state = str(tmp_path / "kmv_state")
+    q = sk.stream_kmv_distinct(
+        sw.replay_events(spark, sf_dir), "user_id", state, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    committed = sorted(
+        r["h"] for r in spark.read.parquet(f"{state}/current").collect()
+    )
+
+    # crash window A: current renamed away, tmp fully written (_SUCCESS)
+    shutil.copytree(f"{state}/current", f"{state}/_tmp")
+    os.rename(f"{state}/current", f"{state}/_old")
+    est = sk.read_kmv_estimate(spark, state).collect()[0]["approx_users"]
+    assert est is not None
+    assert sorted(
+        r["h"] for r in spark.read.parquet(f"{state}/current").collect()
+    ) == committed
+    assert not os.path.exists(f"{state}/_old")
+
+    # crash window B: tmp incomplete (no _SUCCESS) → fall back to _old
+    os.rename(f"{state}/current", f"{state}/_old")
+    os.makedirs(f"{state}/_tmp")  # torn write: empty dir, no marker
+    sk.read_kmv_estimate(spark, state).collect()
+    assert sorted(
+        r["h"] for r in spark.read.parquet(f"{state}/current").collect()
+    ) == committed
