@@ -55,3 +55,109 @@ def banded_pairs(
             (tb - ta).alias("delta_us"),
         )
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    cell_us: int,
+    id_col: str = "iv_id",
+    key_col: str = "k",
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+) -> DataFrame:
+    """All same-key interval pairs (id1 < id2) whose CLOSED intervals
+    ``[s, e]`` overlap, each pair emitted exactly once. Output:
+    key, id1, id2, overlap_us (``min(e)−max(s)`` ≥ 0).
+
+    The naive shape — equi-join on the key with ``s1 ≤ e2 AND s2 ≤ e1``
+    as a residual — evaluates every pair within a key. Grid-cell
+    blocking bounds it: each interval is exploded to the ``cell_us``-wide
+    cells it covers and the join is equi on (key, cell); any overlapping
+    pair shares the cell containing ``max(s1, s2)`` (that instant lies in
+    both intervals), so the guard ``cell = ⌊max(s1,s2)/cell_us⌋`` both
+    DEDUPES (one emitting cell per pair) and completes (that cell is
+    always shared). Per-(key, cell) fan-out is bounded by how many
+    intervals cross one cell — interval DENSITY, not history length.
+
+    Pick ``cell_us`` near the median interval span: cells per interval
+    ≈ span/cell + 1 (explosion factor ~2), while a cell much wider than
+    the spans degrades toward the naive join within each cell.
+    """
+    iv = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("iv_id"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    ).filter(F.col("e") >= F.col("s"))
+    cells = iv.select(
+        "k", "iv_id", "s", "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / cell_us).cast("long"), (F.col("e") / cell_us).cast("long")
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    first_shared = (
+        F.greatest(F.col("a.s"), F.col("b.s")) / cell_us
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.iv_id") < F.col("b.iv_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+            & (F.col("a.cell") == first_shared),
+        )
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.iv_id").alias("id1"),
+            F.col("b.iv_id").alias("id2"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_col: str = "k",
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+) -> DataFrame:
+    """Per-key maximum number of simultaneously-open CLOSED intervals —
+    the +1/−1 sweep: every start contributes +1 at ``s``, every end −1
+    at ``e + 1`` (closed semantics: an interval is still open AT its
+    end), and the answer is the max running sum per key. Output:
+    key, max_concurrent.
+
+    NO join and no pair materialization — capacity questions ("peak
+    concurrent spans per supplier") that look like interval self-joins
+    are linear sweeps. One shuffle on the key; the window orders by
+    (ts, delta) so ends at an instant close before unrelated same-µs
+    starts open; rows tying on BOTH are identical (+1/+1), so any
+    tie order yields the same running-sum multiset and the same max —
+    deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    iv = df.select(
+        F.col(key_col).alias("k"), F.col(start_col).alias("s"), F.col(end_col).alias("e")
+    ).filter(F.col("e") >= F.col("s"))
+    ev = iv.select("k", F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        iv.select("k", (F.col("e") + 1).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("cur", F.sum("delta").over(w))
+        .groupBy("k")
+        .agg(F.max("cur").cast("bigint").alias("max_concurrent"))
+    )

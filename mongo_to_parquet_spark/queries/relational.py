@@ -254,6 +254,66 @@ def q_join_theta_range(spark, sf):
     return banded_pairs(e, band_us=300_000_000)
 
 
+#: q_join_interval_overlap cell width: 30 days in µs — near the ~39-day
+#: median order→ship span, so each interval covers ~2 grid cells
+_IV_CELL_US = 2_592_000_000_000
+
+
+@q(
+    "q_join_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS iv_id,
+               epoch_us(o_orderdate) AS s, epoch_us(l_shipdate) AS e
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-07-01'
+          AND l_shipdate >= o_orderdate
+    )
+    SELECT a.k AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS total_overlap_us
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.iv_id < b.iv_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.k
+    """,
+)
+def q_join_interval_overlap(spark, sf):
+    # INTERVAL OVERLAP self-join (ranges × ranges — the shape as-of and
+    # banded point joins don't cover): per supplier, pairs of
+    # order→ship spans that were open simultaneously, with total overlap
+    # time — the concurrent-workload report. The oracle is the naive
+    # theta join; the engine runs operators/rangejoin.py
+    # interval_overlap_pairs — grid-cell blocking with the
+    # first-shared-cell guard, so every overlapping pair is met exactly
+    # once via an equi-join on (key, cell) and per-cell fan-out is
+    # bounded by interval DENSITY, never by a supplier's full history.
+    # Inverted spans (shipdate before orderdate — present in the
+    # fixture) are excluded identically in both formulations.
+    from mongo_to_parquet_spark.operators.rangejoin import interval_overlap_pairs
+
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        )
+        .select(
+            F.col("l_suppkey").alias("k"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iv_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("e_us"),
+        )
+    )
+    pairs = interval_overlap_pairs(iv, cell_us=_IV_CELL_US)
+    return pairs.groupBy(F.col("k").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+    )
+
+
 @q(
     "q_join_asof",
     """

@@ -550,3 +550,55 @@ def q_ts_interpolate(spark, sf):
             4,
         ).alias("value"),
     )
+
+
+@q(
+    "q_ts_max_concurrency",
+    """
+    WITH iv AS (
+        SELECT l_suppkey AS k, epoch_us(o_orderdate) AS s,
+               epoch_us(l_shipdate) AS e
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+    ),
+    ev AS (
+        SELECT k, s AS ts, 1 AS delta FROM iv
+        UNION ALL
+        SELECT k, e + 1 AS ts, -1 AS delta FROM iv
+    ),
+    c AS (
+        SELECT k, SUM(delta) OVER (PARTITION BY k ORDER BY ts, delta
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cur
+        FROM ev
+    )
+    SELECT k AS s_suppkey, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY k
+    """,
+)
+def q_ts_max_concurrency(spark, sf):
+    # peak simultaneous open order→ship spans per supplier — the
+    # capacity question that LOOKS like an interval self-join
+    # (q_join_interval_overlap) but needs no pairs at all:
+    # operators/rangejoin.max_concurrency runs the classic +1/−1 sweep
+    # (start opens at s, closed end releases at e+1), one shuffle on the
+    # key, one ordered window — O(n log n) per key vs the join's
+    # O(pairs). When only the PEAK matters, sweep; materialize pairs
+    # only when the pair list itself is the product. Tie rows are
+    # identical (+1/+1 or −1/−1 at one µs), so any tie order gives the
+    # same running-sum multiset — deterministic across engines.
+    from mongo_to_parquet_spark.operators.rangejoin import max_concurrency
+
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("e_us"),
+        )
+    )
+    return max_concurrency(iv).select(
+        F.col("k").alias("s_suppkey"), "max_concurrent"
+    )

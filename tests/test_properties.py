@@ -624,3 +624,44 @@ def test_kmv_hash_matches_duckdb_bit_for_bit(spark, values):
         ).fetchall()
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),       # key
+            st.integers(0, 2000),    # start
+            st.integers(0, 800),     # span
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from([50, 300, 1000, 5000]),  # cell width incl. degenerate
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_equals_naive(spark, data, cell):
+    """interval_overlap_pairs (grid-cell blocking + first-shared-cell
+    dedup guard) returns EXACTLY the naive theta-join pairs — complete,
+    duplicate-free, with identical overlap lengths — for any cell width,
+    including cells far wider/narrower than the spans."""
+    from mongo_to_parquet_spark.operators.rangejoin import interval_overlap_pairs
+
+    rows = [
+        Row(iv_id=i, k=k, s_us=s, e_us=s + span)
+        for i, (k, s, span) in enumerate(data)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["id1"], r["id2"]): r["overlap_us"]
+        for r in interval_overlap_pairs(df, cell_us=cell).collect()
+    }
+    want = {}
+    for a in rows:
+        for b in rows:
+            if a.k == b.k and a.iv_id < b.iv_id and a.s_us <= b.e_us and b.s_us <= a.e_us:
+                want[(a.k, a.iv_id, b.iv_id)] = min(a.e_us, b.e_us) - max(
+                    a.s_us, b.s_us
+                )
+    assert got == want
