@@ -80,6 +80,7 @@ HEADLINE = [
     "q_ds_rollup_share_rank",  # TPC-DS Q36: ROLLUP Expand feeding Window rank
     "q_ds_distinct_cube",   # CUBE x count-distinct double-Expand report
     "q_embed_kmeans",       # Lloyd k-means: map-only assign + k*d-state update
+    "q_join_interval_overlap",  # grid-cell-blocked interval overlap join
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct
