@@ -791,9 +791,10 @@ _kmv_h_sql = _sk.kmv_hash_sql
     "q_sketch_kmv",
     f"""
     WITH a AS (SELECT DISTINCT {_kmv_h_sql('user_id')} AS h
-               FROM events WHERE event_type = 'error'),
+               FROM events
+               WHERE event_type = 'error' AND user_id IS NOT NULL),
     b AS (SELECT DISTINCT {_kmv_h_sql('user_id')} AS h
-          FROM events WHERE value >= 250.0),
+          FROM events WHERE value >= 250.0 AND user_id IS NOT NULL),
     ka AS (SELECT h FROM a ORDER BY h ASC LIMIT {_KMV_K}),
     kb AS (SELECT h FROM b ORDER BY h ASC LIMIT {_KMV_K}),
     ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
@@ -836,7 +837,11 @@ def q_sketch_kmv(spark, sf):
     # sort; merging sketches is a 2k-row operation, and audience-overlap
     # questions at 100 TB (retention, campaign reach) are answered by
     # intersecting 64-row states instead of joining raw event logs.
-    ev = T(spark, sf, "events")
+    # NULL audience members are excluded on BOTH sides (no-op today: the
+    # fixture has no null user_ids) — a NULL hash would sort FIRST in
+    # Spark's ASC top-k but LAST in DuckDB's, consuming a sketch slot on
+    # one engine only (the q_tpch_q16 defensive-hardening pattern)
+    ev = T(spark, sf, "events").filter(F.col("user_id").isNotNull())
     k = _KMV_K
     h = _sk.kmv_hash(F.col("user_id")).alias("h")
     a = ev.filter(F.col("event_type") == "error").select(h).distinct()
