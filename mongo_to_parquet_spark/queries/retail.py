@@ -26,6 +26,9 @@ Shape provenance per query (TPC-DS query numbers are the spec's):
                                  decorrelated to agg → re-agg → join)
   - q_ds_channel_migration    → cross-channel behavior flavor (modal
                                  channel per year, year-over-year shift)
+  - q_ds_cumulative_crossover → Q51 (two channels' cumulative series
+                                 full-outer aligned with ignore-nulls
+                                 gap fill; overtake days reported)
 
 Determinism (the cross-engine conventions from queries/__init__.py):
 money sums in DECIMAL cast to DOUBLE at the end; ratios as
@@ -540,5 +543,121 @@ def q_ds_channel_migration(spark, sf):
         .filter(F.col("channel_1996") != F.col("channel_1997"))
         .select(
             F.col("o_custkey").alias("c_custkey"), "channel_1996", "channel_1997"
+        )
+    )
+
+
+# ------------------------------------------------ cumulative crossover -----
+@q(
+    "q_ds_cumulative_crossover",
+    """
+    WITH daily AS (
+        SELECT c_mktsegment AS seg,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_mktsegment, year(o_orderdate), CAST(o_orderdate AS DATE)
+    ),
+    cum AS (
+        SELECT seg, yr, d,
+               SUM(rev) OVER (PARTITION BY seg, yr ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_rev
+        FROM daily
+    ),
+    al AS (
+        SELECT COALESCE(a.yr, b.yr) AS yr, COALESCE(a.d, b.d) AS d,
+               a.cum_rev AS ca, b.cum_rev AS cb
+        FROM (SELECT * FROM cum WHERE seg = 'BUILDING') a
+        FULL OUTER JOIN (SELECT * FROM cum WHERE seg = 'MACHINERY') b
+          ON a.yr = b.yr AND a.d = b.d
+    ),
+    filled AS (
+        SELECT yr, d,
+               COALESCE(LAST_VALUE(ca IGNORE NULLS) OVER (
+                   PARTITION BY yr ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cum_building,
+               COALESCE(LAST_VALUE(cb IGNORE NULLS) OVER (
+                   PARTITION BY yr ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cum_machinery
+        FROM al
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(cum_building AS DOUBLE) AS cum_building,
+           CAST(cum_machinery AS DOUBLE) AS cum_machinery
+    FROM filled
+    WHERE cum_building > cum_machinery
+    """,
+)
+def q_ds_cumulative_crossover(spark, sf):
+    # TPC-DS Q51 shape: two channels' CUMULATIVE revenue series aligned
+    # day-by-day, reporting the days one channel's running total leads
+    # the other — the overtake/crossover report. The load-bearing plan
+    # pieces: per-channel running sums (window, partitioned by
+    # (channel, year) so no global single-partition sort — the
+    # within-year reset is the scale adaptation of Q51's per-item
+    # partitioning), a FULL OUTER alignment on the day spine (each
+    # channel has sales-days the other lacks), and ignore-nulls
+    # LAST_VALUE gap fill so a missing day carries the prior cumulative
+    # forward. All sums stay exact DECIMAL until the final output cast,
+    # so the > comparison cannot drift between engines.
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("seg", "yr")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn("cum_rev", F.sum("rev").over(wcum))
+    a = cum.filter(F.col("seg") == "BUILDING").select(
+        "yr", "d", F.col("cum_rev").alias("ca")
+    )
+    b = cum.filter(F.col("seg") == "MACHINERY").select(
+        F.col("yr").alias("yr_b"), F.col("d").alias("d_b"),
+        F.col("cum_rev").alias("cb"),
+    )
+    al = a.join(
+        b, (a.yr == b.yr_b) & (a.d == b.d_b), "full_outer"
+    ).select(
+        F.coalesce("yr", "yr_b").alias("yr"),
+        F.coalesce("d", "d_b").alias("d"),
+        "ca",
+        "cb",
+    )
+    wfill = (
+        Window.partitionBy("yr")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = al.select(
+        "yr",
+        "d",
+        F.coalesce(
+            F.last("ca", ignorenulls=True).over(wfill), F.lit(0).cast("decimal(28,2)")
+        ).alias("cum_building"),
+        F.coalesce(
+            F.last("cb", ignorenulls=True).over(wfill), F.lit(0).cast("decimal(28,2)")
+        ).alias("cum_machinery"),
+    )
+    return (
+        filled.filter(F.col("cum_building") > F.col("cum_machinery"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("cum_building").cast("double").alias("cum_building"),
+            F.col("cum_machinery").cast("double").alias("cum_machinery"),
         )
     )
