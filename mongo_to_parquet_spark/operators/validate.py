@@ -77,14 +77,18 @@ def profile_columns_kmv(
     ``hash_inputs`` maps column → a canonical STRING expression to hash
     (None/absent = plain string cast; doubles and timestamps need an
     explicit engine-stable rendering). Plan: the nulls/min/max base is
-    one 1-row aggregate pass; the distinct estimates come from ONE
-    stacked side-channel — every column's hashes in a single long
-    relation, so one distinct shuffle + one per-column top-k window
-    covers all columns (vs exact mode's Expand rewrite over the full
-    rows). n_distinct is a BIGINT estimate: exact below k, else
-    ⌊(k−1)·2³²/θ⌋.
+    one 1-row aggregate pass; each column's distinct estimate is its own
+    distinct → TakeOrdered-k pipeline over a single-column pruned scan —
+    per-partition top-k heaps and a k·partitions merge, never a sort.
+    Total scan bytes equal the one-stacked-scan alternative (each pass
+    reads exactly its column), the distinct shuffles carry the same hash
+    rows, and TakeOrdered replaces the stacked form's second
+    shuffle+sort window (measured 2.4× at sf0.1). Callers profiling a
+    DERIVED DataFrame (not a table scan) should persist it first — the
+    input is traversed once per column plus once for the base.
+    n_distinct is a BIGINT estimate: exact below k, else ⌊(k−1)·2³²/θ⌋.
     """
-    from pyspark.sql import Window
+    from functools import reduce as _reduce
 
     from mongo_to_parquet_spark.functions import sketch as _sk
 
@@ -122,35 +126,18 @@ def profile_columns_kmv(
         f"stack({len(names)}, {stack_args}) "
         "as (col_name, n_nulls, min_repr, max_repr)"
     )
-    pairs = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col_name"),
-                            _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h"),
-                        )
-                        for c in names
-                    ]
-                )
-            ).alias("p")
+    def est_one(c: str) -> DataFrame:
+        h = _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h")
+        d = df.select(h).filter(F.col("h").isNotNull()).distinct()
+        s = d.orderBy("h").limit(k).agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta")
         )
-        .select("p.*")
-        .filter(F.col("h").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy("col_name").orderBy("h")
-    est = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("col_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))
-        .select(
-            "col_name",
+        return s.select(
+            F.lit(c).alias("col_name"),
             _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
         )
-    )
+
+    est = _reduce(lambda a, b: a.unionByName(b), (est_one(c) for c in names))
     # LEFT join + coalesce: an all-NULL column has no surviving hashes
     # (every h filtered), hence no est row — it must still appear in the
     # profile with n_distinct=0 like profile_columns' exact/HLL modes,

@@ -1479,9 +1479,10 @@ def q_profile_approx(spark, sf):
     # the approximate profiling mode, hash-checkable: KMV-estimated
     # distinct counts (operators/validate.profile_columns_kmv) instead of
     # engine-specific HLL — the nulls/min/max base stays ONE 1-row
-    # aggregate pass, and all five columns' distinct estimates ride one
-    # stacked (col, hash) side relation: one distinct shuffle + one
-    # per-column top-k, vs exact mode's Expand rewrite over full rows.
+    # aggregate pass, and each column's distinct estimate is a
+    # single-column pruned distinct → TakeOrdered-k pipeline (per-
+    # partition heaps, no sort; measured 2.4× over the stacked-window
+    # formulation), vs exact mode's Expand rewrite over full rows.
     # The single-pass HLL formulation (profile_columns exact=False —
     # the true one-scan 100 TB mode) stays as the bench-only
     # q_profile_approx_native so the exact-vs-approx cost split is still
