@@ -62,9 +62,9 @@ def main(argv: list[str] | None = None) -> int:
 
         logger = create_logger(args.log_file or DEFAULT_LOG_PATH)
     spark = get_spark("mongo-to-parquet-spark-export")
-    if args.source_dir and args.source_format == "mongoexport":
-        import os
+    import os
 
+    if args.source_dir and args.source_format == "mongoexport":
         from mongo_to_parquet_spark.sources.extjson import (
             MongoExportDataSource,
             infer_extjson_schema,
@@ -79,17 +79,28 @@ def main(argv: list[str] | None = None) -> int:
             schema = infer_extjson_schema(spark, p)
             return spark.read.format("mongoexport").schema(schema).load(p)
 
+        # reference main.py:280-283: configured-but-absent collections
+        # skip with a log line instead of failing the whole job
+        exists = lambda c: (  # noqa: E731
+            os.path.exists(os.path.join(args.source_dir, f"{c}.jsonl"))
+            or os.path.isdir(os.path.join(args.source_dir, c))
+        )
     elif args.source_dir:
         reader = lambda coll: spark.read.parquet(f"{args.source_dir}/{coll}.parquet")  # noqa: E731
+        exists = lambda c: os.path.exists(  # noqa: E731
+            os.path.join(args.source_dir, f"{c}.parquet")
+        )
     else:
         reader = lambda coll: read_collection(  # noqa: E731
             spark, cfg.mongo_uri, args.database, coll
         )
+        exists = None  # connector path: let the read surface the error
     totals = ExportJob(
         spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger,
         # connector path: qualify START/END log lines like the reference
         # (main.py:295 '{db}.{coll}'); file-backed sources have no db
         database=args.database if not args.source_dir else "",
+        collection_exists=exists,
     ).run()
     # one JSON line per collection — the reference's END log (main.py:309)
     print(json.dumps({"rows_written": totals}))

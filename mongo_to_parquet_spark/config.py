@@ -36,13 +36,19 @@ class JobConfig:
     date_collections: dict[str, str] = field(default_factory=dict)
     batch_size: int = 10_000          # reference default (main.py:31,301)
     row_group_size: int = 400_000     # write buffer / row group (main.py:32)
-    max_rows_per_file: int = 4_000_000  # file roll point (main.py:225)
+    #: file roll point. The reference has no independent knob — it rolls at
+    #: row_group_size × 10 (main.py:225 ``rows_in_file >= self.row_group_size
+    #: * 10``), so None derives exactly that; pass a value to override.
+    max_rows_per_file: int | None = None
     compression: str = "zstd"         # (main.py:23)
 
     def __post_init__(self) -> None:
         if self.include_databases and self.exclude_databases:
             # reference main.py:35-36 — mutually exclusive, validated
             raise ValueError("include_databases and exclude_databases are mutually exclusive")
+        if self.max_rows_per_file is None:
+            # reference semantics: roll point follows the row-group knob
+            self.max_rows_per_file = self.row_group_size * 10
 
     @classmethod
     def from_json(cls, path: str | Path) -> "JobConfig":
@@ -52,6 +58,13 @@ class JobConfig:
         if "bacth_size" in raw and "batch_size" not in raw:
             raw["batch_size"] = raw.pop("bacth_size")
         raw.pop("bacth_size", None)
+        # reference configs address Mongo as host+port (main.py:20-21), not
+        # a URI — synthesize mongo_uri so "the SAME cfg.json works
+        # unchanged" (MIGRATION.md) holds for the connection keys too
+        if "mongo_uri" not in raw and "mongodb_host" in raw:
+            raw["mongo_uri"] = (
+                f"mongodb://{raw['mongodb_host']}:{raw.get('mongodb_port', 27017)}"
+            )
         known = {f for f in cls.__dataclass_fields__}
         cfg = cls(**{k: v for k, v in raw.items() if k in known})
         cfg.start_date = _parse_date(raw.get("start_date"))

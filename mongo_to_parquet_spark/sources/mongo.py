@@ -74,6 +74,7 @@ class ExportJob:
         max_concurrent: int = 1,
         logger=None,
         database: str = "",
+        collection_exists=None,
     ):
         import logging
 
@@ -87,6 +88,10 @@ class ExportJob:
         # reference main.py:295 qualifies the collection with the database
         # name; sources without a database notion leave this empty
         self.database = database
+        # reference main.py:280-283: a configured collection absent from
+        # the source is SKIPPED with a log line, not an error. None =
+        # every configured collection is assumed present (old behavior).
+        self.collection_exists = collection_exists  # Callable[[str], bool]
 
     def _export_one(self, coll: str, date_field: str) -> int:
         # reference main.py:295/309 START/END lifecycle lines — same msg
@@ -116,24 +121,57 @@ class ExportJob:
 
     def run(self) -> dict[str, int]:
         """Export every configured collection; returns rows written per
-        collection (reference's R12 count observability, main.py:104,158)."""
+        collection (reference's R12 count observability, main.py:104,158).
+
+        Reference lifecycle reproduced: DB-level START/END banner lines
+        when a database is set (main.py:276,285), configured-but-absent
+        collections skipped with the reference's log line (main.py:283),
+        and the file roll point applied from the config — the reference
+        rolls at ``row_group_size × 10`` (main.py:225), so the session's
+        ``maxRecordsPerFile`` follows ``cfg.max_rows_per_file`` for the
+        duration of the job (restored afterwards).
+        """
         items = sorted(self.cfg.date_collections.items())
-        if self.max_concurrent == 1 or len(items) <= 1:
-            return {coll: self._export_one(coll, f) for coll, f in items}
+        if self.collection_exists is not None:
+            present = []
+            for coll, f in items:
+                if self.collection_exists(coll):
+                    present.append((coll, f))
+                else:
+                    where = f" in {self.database}" if self.database else ""
+                    self.logger.info(
+                        f"Collection {coll} not found{where}, skipping."
+                    )
+            items = present
+        if self.database:
+            self.logger.info(f"START DB {self.database}")
+        conf_key = "spark.sql.files.maxRecordsPerFile"
+        prev_roll = self.spark.conf.get(conf_key, None)
+        self.spark.conf.set(conf_key, str(self.cfg.max_rows_per_file))
+        try:
+            if self.max_concurrent == 1 or len(items) <= 1:
+                return {coll: self._export_one(coll, f) for coll, f in items}
 
-        from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import ThreadPoolExecutor
 
-        sc = self.spark.sparkContext
+            sc = self.spark.sparkContext
 
-        def submit(coll: str, date_field: str) -> int:
-            # per-thread local property: jobs land in a FAIR pool so a
-            # small collection's tasks interleave with a big one's
-            sc.setLocalProperty("spark.scheduler.pool", "export")
-            try:
-                return self._export_one(coll, date_field)
-            finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
+            def submit(coll: str, date_field: str) -> int:
+                # per-thread local property: jobs land in a FAIR pool so a
+                # small collection's tasks interleave with a big one's
+                sc.setLocalProperty("spark.scheduler.pool", "export")
+                try:
+                    return self._export_one(coll, date_field)
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
 
-        with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
-            futures = {coll: pool.submit(submit, coll, f) for coll, f in items}
-            return {coll: fut.result() for coll, fut in sorted(futures.items())}
+            with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
+                futures = {coll: pool.submit(submit, coll, f) for coll, f in items}
+                return {coll: fut.result() for coll, fut in sorted(futures.items())}
+        finally:
+            if prev_roll is not None:
+                self.spark.conf.set(conf_key, prev_roll)
+            else:
+                self.spark.conf.unset(conf_key)
+            if self.database:
+                self.logger.info(f"END DB {self.database}")

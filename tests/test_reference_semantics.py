@@ -391,3 +391,76 @@ def test_joblog_json_lines_format(spark, sf_dir, tmp_path):
     assert all({"ts", "level", "msg"} <= set(entry) for entry in lines)
     # idempotent handler attach: a second create_logger must not double-log
     assert create_logger(log_path) is logger
+
+
+def test_config_host_port_synthesizes_uri(tmp_path):
+    """Reference configs address Mongo as mongodb_host + mongodb_port
+    (main.py:20-21); from_json must synthesize mongo_uri so the SAME
+    cfg.json works unchanged (MIGRATION.md's promise)."""
+    import json as _json
+
+    p = tmp_path / "cfg.json"
+    p.write_text(_json.dumps({
+        "mongodb_host": "db.internal", "mongodb_port": 27018,
+        "date_collections": {"orders": "o_orderdate"},
+    }))
+    cfg = JobConfig.from_json(p)
+    assert cfg.mongo_uri == "mongodb://db.internal:27018"
+    # port defaults like pymongo's when absent
+    p.write_text(_json.dumps({"mongodb_host": "h"}))
+    assert JobConfig.from_json(p).mongo_uri == "mongodb://h:27017"
+
+
+def test_file_roll_point_follows_row_group_size(tmp_path):
+    """The reference rolls files at row_group_size * 10 (main.py:225) —
+    NOT at a fixed 4M; max_rows_per_file derives accordingly unless
+    explicitly overridden."""
+    assert JobConfig().max_rows_per_file == 4_000_000  # 400k * 10
+    assert JobConfig(row_group_size=1000).max_rows_per_file == 10_000
+    assert JobConfig(row_group_size=1000, max_rows_per_file=99).max_rows_per_file == 99
+
+
+def test_export_job_applies_roll_point_and_skips_missing(spark, sf_dir, tmp_path):
+    """ExportJob (a) rolls output files at the config's derived
+    max_rows_per_file for the duration of the job (restoring the session
+    conf afterwards), and (b) skips configured-but-absent collections
+    with the reference's log line (main.py:280-283) instead of failing."""
+    import glob
+    import logging
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("test_m2p_skip")
+    logger.setLevel(logging.INFO)
+    logger.addHandler(Capture())
+
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        date_collections={"orders": "o_orderdate", "ghost_coll": "ts"},
+        row_group_size=500,  # roll point derives to 5000 rows
+    )
+    before = spark.conf.get("spark.sql.files.maxRecordsPerFile")
+    totals = ExportJob(
+        spark, cfg,
+        reader=lambda c: load_table(spark, sf_dir, c),
+        logger=logger,
+        database="refdb",
+        collection_exists=lambda c: c != "ghost_coll",
+    ).run()
+    assert spark.conf.get("spark.sql.files.maxRecordsPerFile") == before
+    assert set(totals) == {"orders"}  # ghost skipped, not errored
+    assert "Collection ghost_coll not found in refdb, skipping." in records
+    assert "START DB refdb" in records and "END DB refdb" in records
+    n_rows = load_table(spark, sf_dir, "orders").count()
+    if n_rows > 5000:  # sf0.01: 15k rows → at least one partition rolls
+        files = glob.glob(str(tmp_path / "out" / "orders" / "year=*" / "*.parquet"))
+        import pyarrow.parquet as pq
+
+        assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 5000
