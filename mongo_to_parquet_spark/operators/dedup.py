@@ -866,3 +866,85 @@ def connected_components_star(
         "comp", F.col("node")
     )
     return labels.unionByName(roots).distinct()
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 50,
+    src: str = "doc1",
+    dst: str = "doc2",
+) -> DataFrame:
+    """(node, degree) after k-core peeling: repeatedly delete nodes whose
+    degree in the SURVIVING subgraph is < k (degrees cascade — removing a
+    weak node weakens its neighbors). The graph-curation primitive behind
+    "keep only densely-linked documents/entities" filters.
+
+    ``rounds=N`` runs exactly N peels — replayable by a SQL oracle as
+    unrolled CTEs (the fixed-rounds discipline of q_graph_pagerank /
+    q_embed_kmeans; survivors may still sit below k if N rounds haven't
+    converged, which is the point of the parameter). Each round's edge
+    set is ``localCheckpoint``-materialized: every peel references the
+    previous edges ~5× (degree build + two semi joins), so a lazily
+    nested plan grows ~5^N subtrees — measured 42s vs 3s at sf0.01 for
+    N=3 — while the materialization is one edge-sized write per round.
+    ``rounds=None`` peels to the exact k-core fixpoint:
+    checksum-per-round with an exceptAll confirm at the suspected
+    fixpoint (the connected_components_star collision guard) and
+    ``localCheckpoint`` lineage truncation.
+
+    Scale: each round is one map-combined degree aggregate plus two
+    node-keyed semi joins — shuffle volume is the CURRENT edge set,
+    monotonically shrinking; fixpoint depth is the peel depth of the
+    graph, far below max_iter in practice.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def peel(edges: DataFrame) -> DataFrame:
+        keep = degrees(edges).filter(F.col("d") >= k).select("x")
+        return (
+            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+
+    if rounds is not None:
+        e = e.localCheckpoint()
+        for _ in range(rounds):
+            e = peel(e).localCheckpoint()
+    else:
+        e = e.localCheckpoint()
+        prev = None
+        prev_e = None
+        for _ in range(max_iter):
+            e = peel(e).localCheckpoint()
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            ).collect()[0]
+            cs = (row["n"], row["su"], row["sv"])
+            if cs == prev and prev_e.exceptAll(e).isEmpty():
+                break
+            prev, prev_e = cs, e
+        else:
+            raise RuntimeError(f"kcore_peel: no fixpoint in {max_iter} rounds")
+    return degrees(e).select(
+        F.col("x").alias("node"), F.col("d").cast("bigint").alias("degree")
+    )

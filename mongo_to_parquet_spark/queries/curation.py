@@ -2027,3 +2027,82 @@ def q_embed_kmeans(spark, sf):
             4,
         ).alias("inertia"),
     )
+
+
+# ------------------------------------------------------- k-core peel -------
+@q(
+    "q_graph_kcore",
+    """
+    WITH g AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+               greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    d0 AS MATERIALIZED (SELECT x, COUNT(*) AS c
+           FROM (SELECT u AS x FROM g UNION ALL SELECT v AS x FROM g)
+           GROUP BY x),
+    kk AS MATERIALIZED (SELECT CAST(FLOOR(quantile_cont(c, 0.5) * 0.8) AS BIGINT) AS k
+           FROM d0),
+    k0 AS MATERIALIZED (SELECT x FROM d0, kk WHERE c >= k),
+    e1 AS MATERIALIZED (SELECT g.u, g.v FROM g
+           JOIN k0 a ON g.u = a.x JOIN k0 b ON g.v = b.x),
+    d1 AS MATERIALIZED (SELECT x, COUNT(*) AS c
+           FROM (SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1)
+           GROUP BY x),
+    k1 AS MATERIALIZED (SELECT x FROM d1, kk WHERE c >= k),
+    e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
+           JOIN k1 a ON e1.u = a.x JOIN k1 b ON e1.v = b.x),
+    d2 AS MATERIALIZED (SELECT x, COUNT(*) AS c
+           FROM (SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2)
+           GROUP BY x),
+    k2 AS MATERIALIZED (SELECT x FROM d2, kk WHERE c >= k),
+    e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
+           JOIN k2 a ON e2.u = a.x JOIN k2 b ON e2.v = b.x),
+    d3 AS MATERIALIZED (SELECT x, COUNT(*) AS c
+           FROM (SELECT u AS x FROM e3 UNION ALL SELECT v AS x FROM e3)
+           GROUP BY x)
+    SELECT x AS node, CAST(c AS BIGINT) AS degree,
+           (SELECT k FROM kk) AS k
+    FROM d3
+    """,
+)
+def q_graph_kcore(spark, sf):
+    # k-CORE PEELING over the part co-occurrence graph — the density
+    # filter behind "keep only strongly cross-linked items" curation
+    # (spam subgraphs, weakly-attached entities drop out). k is data-
+    # relative — ⌊0.8 × exact median degree⌋, a driver-collected scalar
+    # (the kmeans-centroid exception) so the same query bites at every
+    # sf — and the declared semantics are THREE peel rounds, unrolled by
+    # the oracle as CTE stages (the fixed-rounds discipline of pagerank/
+    # kmeans); survivors below k prove rounds≠fixpoint — the exact-core
+    # mode (operators/dedup.kcore_peel rounds=None, checksum+exceptAll
+    # fixpoint) is unit-tested on graphs with known cores. Each round is
+    # one map-combined degree aggregate + two node-keyed semi joins over
+    # a monotonically shrinking edge set.
+    from mongo_to_parquet_spark.operators.dedup import kcore_peel
+
+    li = T(spark, sf, "lineitem")
+    g = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        g.select(F.posexplode("ps").alias("i", "u"), "ps")
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("ps"), F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = int(deg.agg(F.floor(F.percentile("c", 0.5) * 0.8)).collect()[0][0])
+    return kcore_peel(e, k=k, rounds=3, src="u", dst="v").withColumn(
+        "k", F.lit(k).cast("bigint")
+    )

@@ -1066,3 +1066,20 @@ def test_kmeans_lloyd_recovers_separated_blobs(spark):
     # inertia is non-negative and finite
     inert = assigned.agg(F.sum("d2")).collect()[0][0]
     assert inert is not None and inert >= 0
+
+
+def test_kcore_peel_fixpoint_and_fixed_rounds(spark):
+    """K4 clique + pendant chain 4-5-6-7: the exact 2-core (fixpoint
+    mode) is the clique alone — the chain peels one node per round
+    (needs 3 cascading rounds) — while rounds=1 still contains chain
+    remnants BELOW k, demonstrating fixed-rounds =/= fixpoint."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(clique + chain, "doc1 long, doc2 long")
+
+    core = {r["node"]: r["degree"] for r in dedup.kcore_peel(df, k=2).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}  # exactly the clique
+
+    one = {r["node"]: r["degree"] for r in dedup.kcore_peel(df, k=2, rounds=1).collect()}
+    assert set(one) == {1, 2, 3, 4, 5, 6}  # only 7 peeled so far
+    assert one[6] == 1  # below k: one round has not converged
