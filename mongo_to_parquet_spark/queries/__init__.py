@@ -11,6 +11,13 @@ Determinism rules applied throughout (SURVEY §2.3 header):
   - every LIMIT carries a total order with an id tiebreak
   - integer-ish result columns cast so Spark and DuckDB dtypes agree
     (DuckDB: year()->BIGINT, count->BIGINT, sum(BIGINT)->HUGEINT, ...)
+  - UNROUNDED double outputs must not pass through a WIDE decimal:
+    DuckDB converts INT128-backed DECIMAL(>18 digits) to DOUBLE as
+    unscaled/10^s in float (double-rounds, off-by-1-ulp vs Spark's
+    correctly-rounded BigDecimal path). Either ROUND the output, keep
+    precision <= 18 digits, or stay in integer/fixed-point space
+    (q_score_recency_decay). POWER()/exp()/ln() are libm — never in an
+    unrounded output either, even for exact-representable results.
 """
 
 from __future__ import annotations

@@ -2106,3 +2106,56 @@ def q_graph_kcore(spark, sf):
     return kcore_peel(e, k=k, rounds=3, src="u", dst="v").withColumn(
         "k", F.lit(k).cast("bigint")
     )
+
+
+# ------------------------------------------------- recency decay score -----
+@q(
+    "q_score_recency_decay",
+    """
+    SELECT l_partkey,
+           CAST(SUM(CAST(1 AS BIGINT) <<
+                    (15 - least(CAST(date_diff('day',
+                                     CAST(l_shipdate AS DATE),
+                                     DATE '1998-08-01') // 90 AS INT), 15))
+               ) AS DOUBLE) / 32768.0 AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_ships
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-08-01'
+    GROUP BY l_partkey
+    """,
+)
+def q_score_recency_decay(spark, sf):
+    # exponential-decay recency scoring — the half-life popularity signal
+    # behind recency-weighted sampling and freshness-aware mixing: each
+    # shipment contributes 2^(-age/90d epochs), so activity 90 days ago
+    # counts half of today's. Cross-engine exactness by construction:
+    # the whole computation stays in INTEGER fixed-point: each term is
+    # 1 << (15 − min(k, 15)) — i.e. 2^(−k) scaled by 2^15 — summed as
+    # BIGINT (exact, order-free), divided by 32768.0 only at the end
+    # (int ≤2^53 → double exact; /2^15 shifts the exponent, exact).
+    # Anything float-side drifts: POWER() differs from the JVM in the
+    # final ulp even for base 2, and DuckDB's DECIMAL(38,18)→DOUBLE
+    # conversion itself double-rounds via unscaled/10^18 — integer
+    # fixed-point sidesteps both. Epochs cap at 15 (≥45 months old ⇒
+    # the minimum weight 2^-15), bounding the shift. The anchor is a FIXED literal (deterministic replays; never
+    # wall-clock). Scale: one map-combinable aggregate over a pushed-down
+    # date filter — the cheapest possible shape; refreshing the score
+    # daily re-weights by a constant factor per epoch boundary, which the
+    # incremental-MV state fold (operators/incremental.py) can absorb.
+    li = T(spark, sf, "lineitem")
+    age_epochs = F.floor(
+        F.datediff(F.lit("1998-08-01").cast("date"), F.col("l_shipdate").cast("date"))
+        / 90
+    ).cast("int")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-08-01").cast("timestamp_ntz"))
+        .withColumn("__k", F.least(age_epochs, F.lit(15)))
+        # expression form: DataFrame F.shiftleft only takes a LITERAL bit
+        # count; the SQL function accepts a column
+        .withColumn("__term", F.expr("shiftleft(CAST(1 AS BIGINT), 15 - __k)"))
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum("__term").cast("double") / F.lit(32768.0)).alias("score"),
+            F.count(F.lit(1)).alias("n_ships"),
+        )
+    )
