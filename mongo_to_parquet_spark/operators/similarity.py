@@ -582,7 +582,11 @@ def kmeans_lloyd(
                 .groupBy("cid", "pos")
                 .agg(
                     (
-                        F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                        # scale 12, not 18: keeps the sum's unscaled decimal
+                        # magnitude < 2^53 so BOTH engines' decimal->double
+                        # conversions are exact (DuckDB divides unscaled/10^s
+                        # in float — see queries/__init__ determinism rules)
+                        F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
                         / F.count(F.lit(1))
                     ).alias("cval")
                 )

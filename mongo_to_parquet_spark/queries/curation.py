@@ -1980,7 +1980,7 @@ _KM_DIST = (
     ),
     c1 AS (
         SELECT a.cid, d.pos,
-               CAST(SUM(CAST(d.val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*)
+               CAST(SUM(CAST(d.val AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*)
                    AS cval
         FROM dims d JOIN a0 a USING (id)
         GROUP BY a.cid, d.pos

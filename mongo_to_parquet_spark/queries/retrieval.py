@@ -1029,6 +1029,13 @@ _PCA_ITERS = 3
     """,
 )
 def q_embed_pca(spark, sf):
+    # NOTE on the (38,18) decimal→double casts in the oracle: DuckDB's
+    # INT128-decimal→DOUBLE conversion double-rounds (unscaled/10^s in
+    # float; queries/__init__ determinism rules). Harmless HERE because
+    # every OUTPUT is ROUND-wrapped (6dp component / 4dp eigenvalue),
+    # which absorbs sub-ulp drift in intermediates; an unrounded output
+    # must use narrower decimals or fixed-point instead
+    # (q_score_recency_decay / the kmeans centroid means at scale 12).
     # top principal component of the embedding corpus by POWER ITERATION
     # (3 fixed steps from a deterministic uniform start): center, exact
     # decimal-summed covariance, then v ← normalize(Cv) three times with
