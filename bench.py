@@ -81,6 +81,8 @@ HEADLINE = [
     "q_ds_distinct_cube",   # CUBE x count-distinct double-Expand report
     "q_embed_kmeans",       # Lloyd k-means: map-only assign + k*d-state update
     "q_join_interval_overlap",  # grid-cell-blocked interval overlap join
+    "q_graph_kcore",        # iterative degree peeling, localCheckpoint rounds
+    "q_score_recency_decay",  # integer fixed-point decay scoring, one agg
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

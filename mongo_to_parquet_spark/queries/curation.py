@@ -2159,3 +2159,77 @@ def q_score_recency_decay(spark, sf):
             F.count(F.lit(1)).alias("n_ships"),
         )
     )
+
+
+# ------------------------------------------------- robust MAD anomalies ----
+@q(
+    "q_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(d.med, 4) AS med,
+           ROUND(m.mad, 4) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN m.mad > 0
+                          AND ABS(0.6745 * (d.value - d.med) / m.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def q_anomaly_mad(spark, sf):
+    # ROBUST anomaly detection: modified z-score from the median and the
+    # median absolute deviation (0.6745·(v−med)/MAD, |·| > 3.5 — the
+    # Iglewicz–Hoaglin rule). Complements q_anomaly_zscore: mean/stddev
+    # break down exactly when outliers are present (the outliers inflate
+    # σ and mask themselves); median/MAD have a 50% breakdown point.
+    # Exactness: both medians are interpolated exact percentiles
+    # (F.percentile ≡ quantile_cont, the q_agg_stats equivalence), the
+    # 0.6745/3.5 constants and the |v−med|/MAD arithmetic are identical
+    # double expressions, and a zero MAD (>50% identical values)
+    # disables flagging via the same guarded CASE in both engines.
+    #
+    # Scale: two grouped EXACT percentiles (ObjectHashAggregate buffers
+    # per group — the oracle-checkable baseline; swap approx_percentile
+    # at 100 TB, the q_agg_stats split) + two broadcast joins of
+    # |types|-row stats back onto the fact, one counting aggregate.
+    ev = T(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    flagged = F.when(
+        (F.col("mad") > 0)
+        & (
+            F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+            > 3.5
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
