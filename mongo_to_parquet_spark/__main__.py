@@ -94,7 +94,21 @@ def main(argv: list[str] | None = None) -> int:
         reader = lambda coll: read_collection(  # noqa: E731
             spark, cfg.mongo_uri, args.database, coll
         )
-        exists = None  # connector path: let the read surface the error
+        # the reference consults list_collection_names() via pymongo
+        # (main.py:280); do the same when pymongo is importable so absent
+        # collections skip with the reference's log line instead of
+        # failing the job — without pymongo the read surfaces the error
+        try:
+            import pymongo
+
+            _names = set(
+                pymongo.MongoClient(cfg.mongo_uri, serverSelectionTimeoutMS=5000)[
+                    args.database
+                ].list_collection_names()
+            )
+            exists = lambda c: c in _names  # noqa: E731
+        except Exception:
+            exists = None
     totals = ExportJob(
         spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger,
         # connector path: qualify START/END log lines like the reference

@@ -138,11 +138,12 @@ def profile_columns_kmv(
         )
 
     est = _reduce(lambda a, b: a.unionByName(b), (est_one(c) for c in names))
-    # LEFT join + coalesce: an all-NULL column has no surviving hashes
-    # (every h filtered), hence no est row — it must still appear in the
-    # profile with n_distinct=0 like profile_columns' exact/HLL modes,
-    # not silently vanish (those are exactly the columns a data-quality
-    # profile exists to flag)
+    # LEFT join + coalesce is belt-and-braces only: est_one's global
+    # agg always yields one row per column (an all-NULL column gets
+    # m=0 → n_distinct=0 — the columns a data-quality profile exists to
+    # flag stay visible), so an inner join would behave identically
+    # today; the defensive form survives future est implementations
+    # that might drop empty groups, and mirrors the oracle's LEFT JOIN
     return stacked.join(F.broadcast(est), "col_name", "left").select(
         "col_name",
         "n_nulls",

@@ -2095,6 +2095,10 @@ def q_graph_kcore(spark, sf):
             ).alias("v"),
         )
         .distinct()
+        # materialize ONCE: the expensive collect_set/explode edge build
+        # otherwise runs twice — for the median-k probe AND inside
+        # kcore_peel's first round (SURVEY retro item 9)
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("x"))
@@ -2102,7 +2106,8 @@ def q_graph_kcore(spark, sf):
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    k = int(deg.agg(F.floor(F.percentile("c", 0.5) * 0.8)).collect()[0][0])
+    med = deg.agg(F.floor(F.percentile("c", 0.5) * 0.8)).collect()[0][0]
+    k = int(med) if med is not None else 1  # empty graph → empty result
     return kcore_peel(e, k=k, rounds=3, src="u", dst="v").withColumn(
         "k", F.lit(k).cast("bigint")
     )

@@ -587,8 +587,8 @@ def q_ds_channel_migration(spark, sf):
         FROM al
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
-           CAST(cum_building AS DOUBLE) AS cum_building,
-           CAST(cum_machinery AS DOUBLE) AS cum_machinery
+           ROUND(CAST(cum_building AS DOUBLE), 2) AS cum_building,
+           ROUND(CAST(cum_machinery AS DOUBLE), 2) AS cum_machinery
     FROM filled
     WHERE cum_building > cum_machinery
     """,
@@ -656,8 +656,12 @@ def q_ds_cumulative_crossover(spark, sf):
     return (
         filled.filter(F.col("cum_building") > F.col("cum_machinery"))
         .select(
+            # ROUND-wrapped: the running sums are wide decimals, and
+            # unrounded doubles from >18-digit decimals hit DuckDB's
+            # double-rounding conversion (queries/__init__ rules); the
+            # crossover COMPARISON stays on exact decimals above
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("cum_building").cast("double").alias("cum_building"),
-            F.col("cum_machinery").cast("double").alias("cum_machinery"),
+            F.round(F.col("cum_building").cast("double"), 2).alias("cum_building"),
+            F.round(F.col("cum_machinery").cast("double"), 2).alias("cum_machinery"),
         )
     )

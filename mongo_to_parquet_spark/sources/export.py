@@ -96,6 +96,7 @@ def export_partitioned(
     drop_columns: tuple[str, ...] = ("_id",),
     mode: str = "overwrite",
     coalesce_partitions: int | None = None,
+    max_rows_per_file: int | None = None,
 ) -> None:
     """The reference's whole export job for one collection (main.py:287-309).
 
@@ -110,7 +111,7 @@ def export_partitioned(
     so the semantics cannot drift apart.
     """
     df = _prepare_export(df, date_field, start, end, drop_columns, coalesce_partitions)
-    _write_export(df, out_dir, date_field, mode)
+    _write_export(df, out_dir, date_field, mode, max_rows_per_file)
 
 
 def _prepare_export(df, date_field, start, end, drop_columns, coalesce_partitions):
@@ -125,9 +126,17 @@ def _prepare_export(df, date_field, start, end, drop_columns, coalesce_partition
     return df
 
 
-def _write_export(df, out_dir, date_field, mode):
-    """Shared export sink: year-partitioned iff a date field exists."""
+def _write_export(df, out_dir, date_field, mode, max_rows_per_file=None):
+    """Shared export sink: year-partitioned iff a date field exists.
+
+    ``max_rows_per_file`` rides as a PER-WRITE option, never a session
+    conf — mutating ``spark.sql.files.maxRecordsPerFile`` on the shared
+    session races concurrent jobs (one job's roll point would silently
+    govern another's writes; the same shared-session hazard as named
+    Observations)."""
     w = df.write.mode(mode)
+    if max_rows_per_file:
+        w = w.option("maxRecordsPerFile", str(max_rows_per_file))
     if date_field:
         w = w.partitionBy("year")
     w.parquet(out_dir)
@@ -328,6 +337,7 @@ def export_partitioned_observed(
     drop_columns: tuple[str, ...] = ("_id",),
     mode: str = "overwrite",
     coalesce_partitions: int | None = None,
+    max_rows_per_file: int | None = None,
 ) -> dict:
     """``export_partitioned`` with in-plan observability: returns the
     metrics the reference logged per collection (row total, main.py:309)
@@ -369,7 +379,7 @@ def export_partitioned_observed(
         )
     else:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    _write_export(df, out_dir, date_field, mode)
+    _write_export(df, out_dir, date_field, mode, max_rows_per_file)
     metrics = dict(obs.get)
     if not date_field:
         metrics.setdefault("rows_unknown_year", 0)

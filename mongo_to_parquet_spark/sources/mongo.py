@@ -113,7 +113,8 @@ class ExportJob:
         # read.parquet(out).count() re-scanned the entire export, a full
         # second pass over everything just written at 100 TB.
         metrics = export_partitioned_observed(
-            df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date
+            df, out, date_field, start=self.cfg.start_date, end=self.cfg.end_date,
+            max_rows_per_file=self.cfg.max_rows_per_file,
         )
         total = int(metrics["rows_written"])
         self.logger.info(f"END {qual} | documents={total}")
@@ -123,14 +124,18 @@ class ExportJob:
         """Export every configured collection; returns rows written per
         collection (reference's R12 count observability, main.py:104,158).
 
-        Reference lifecycle reproduced: DB-level START/END banner lines
-        when a database is set (main.py:276,285), configured-but-absent
-        collections skipped with the reference's log line (main.py:283),
-        and the file roll point applied from the config — the reference
-        rolls at ``row_group_size × 10`` (main.py:225), so the session's
-        ``maxRecordsPerFile`` follows ``cfg.max_rows_per_file`` for the
-        duration of the job (restored afterwards).
+        Reference lifecycle reproduced IN ORDER (main.py:276-285): the
+        ``START DB`` banner first, then per-collection skip lines for
+        configured-but-absent collections (main.py:283 — the reference
+        checks inside the per-DB loop), the exports, and ``END DB`` only
+        on SUCCESS — a crashed job must not log a completed-DB lifecycle
+        to msg-content parsers. The file roll point follows the config
+        (reference rolls at ``row_group_size × 10``, main.py:225) as a
+        PER-WRITE option — never a session conf, which would race
+        concurrent ExportJobs on the shared session.
         """
+        if self.database:
+            self.logger.info(f"START DB {self.database}")
         items = sorted(self.cfg.date_collections.items())
         if self.collection_exists is not None:
             present = []
@@ -143,15 +148,9 @@ class ExportJob:
                         f"Collection {coll} not found{where}, skipping."
                     )
             items = present
-        if self.database:
-            self.logger.info(f"START DB {self.database}")
-        conf_key = "spark.sql.files.maxRecordsPerFile"
-        prev_roll = self.spark.conf.get(conf_key, None)
-        self.spark.conf.set(conf_key, str(self.cfg.max_rows_per_file))
-        try:
-            if self.max_concurrent == 1 or len(items) <= 1:
-                return {coll: self._export_one(coll, f) for coll, f in items}
-
+        if self.max_concurrent == 1 or len(items) <= 1:
+            totals = {coll: self._export_one(coll, f) for coll, f in items}
+        else:
             from concurrent.futures import ThreadPoolExecutor
 
             sc = self.spark.sparkContext
@@ -167,11 +166,7 @@ class ExportJob:
 
             with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
                 futures = {coll: pool.submit(submit, coll, f) for coll, f in items}
-                return {coll: fut.result() for coll, fut in sorted(futures.items())}
-        finally:
-            if prev_roll is not None:
-                self.spark.conf.set(conf_key, prev_roll)
-            else:
-                self.spark.conf.unset(conf_key)
-            if self.database:
-                self.logger.info(f"END DB {self.database}")
+                totals = {coll: fut.result() for coll, fut in sorted(futures.items())}
+        if self.database:
+            self.logger.info(f"END DB {self.database}")
+        return totals

@@ -456,8 +456,13 @@ def test_export_job_applies_roll_point_and_skips_missing(spark, sf_dir, tmp_path
     ).run()
     assert spark.conf.get("spark.sql.files.maxRecordsPerFile") == before
     assert set(totals) == {"orders"}  # ghost skipped, not errored
+    # reference lifecycle ORDER (main.py:276-285): START DB first, then
+    # per-collection skip lines, END DB last
     assert "Collection ghost_coll not found in refdb, skipping." in records
-    assert "START DB refdb" in records and "END DB refdb" in records
+    assert records.index("START DB refdb") < records.index(
+        "Collection ghost_coll not found in refdb, skipping."
+    )
+    assert records[-1] == "END DB refdb" or "END DB refdb" in records
     n_rows = load_table(spark, sf_dir, "orders").count()
     if n_rows > 5000:  # sf0.01: 15k rows → at least one partition rolls
         files = glob.glob(str(tmp_path / "out" / "orders" / "year=*" / "*.parquet"))
