@@ -665,3 +665,29 @@ def test_interval_overlap_equals_naive(spark, data, cell):
                     a.s_us, b.s_us
                 )
     assert got == want
+
+
+def test_kmv_hash_null_parity(spark):
+    """NULL-in-NULL-out on BOTH engines — the exact divergence the round-4
+    review caught: DuckDB's concat() SKIPS null arguments, so the oracle
+    emitter must use || (kmv_hash_sql). A NULL value must hash to NULL
+    in Spark AND DuckDB, never to md5(salt)."""
+    import duckdb
+
+    from mongo_to_parquet_spark.functions import sketch as _sk
+
+    df = spark.createDataFrame([Row(v=None), Row(v="x")], "v string")
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", _sk.kmv_hash(F.col("v")).alias("h")).collect()
+    }
+    assert got[None] is None and got["x"] is not None
+
+    con = duckdb.connect()
+    expr = _sk.kmv_hash_sql("v")
+    want = dict(
+        con.execute(
+            f"SELECT v, {expr} AS h FROM (VALUES (CAST(NULL AS VARCHAR)), ('x')) t(v)"
+        ).fetchall()
+    )
+    assert want[None] is None and want["x"] == got["x"]
