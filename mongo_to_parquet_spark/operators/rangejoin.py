@@ -161,3 +161,56 @@ def max_concurrency(
         .groupBy("k")
         .agg(F.max("cur").cast("bigint").alias("max_concurrent"))
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str = "k",
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+) -> DataFrame:
+    """Merge overlapping-or-touching CLOSED intervals per key into
+    maximal islands. Output: key, island_start, island_end (one row per
+    island). The classic gaps-and-islands sweep: order intervals by
+    (start, end), track the running max of end over all PRIOR rows, and
+    open a new island whenever a start exceeds it (touching at one µs —
+    ``s == prev_max`` — merges, matching closed semantics).
+
+    NO self-join: coalescing looks like an interval-overlap join
+    (transitive closure of q_join_interval_overlap pairs) but is a
+    linear sweep — one shuffle on the key, one ordered window, then a
+    per-island aggregate. Deterministic across engines: rows tying on
+    (start, end) are identical, so any tie order yields the same
+    running-max sequence and the same island boundaries.
+
+    100 TB: per-key cost is O(n log n) in that key's interval count with
+    nothing materialized beyond the input rows; contrast the pair-join
+    route, quadratic per hot key before the union-find. A key's history
+    must fit one task's sort spill budget — same envelope as every
+    per-key window in the repo.
+    """
+    from pyspark.sql import Window
+
+    iv = df.select(
+        F.col(key_col).alias("k"), F.col(start_col).alias("s"), F.col(end_col).alias("e")
+    ).filter(F.col("e") >= F.col("s"))
+    w_ord = Window.partitionBy("k").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        (prev_max.isNull() | (F.col("s") > prev_max)).cast("int"),
+    )
+    island = F.sum("is_new").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("island", island)
+        .groupBy("k", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+        )
+        .drop("island")
+    )

@@ -263,6 +263,139 @@ def q_stats_skew(spark, sf):
     )
 
 
+# -------------------------------------------------------- Pareto skyline ---
+@q(
+    "q_skyline_pareto",
+    """
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline_pareto(spark, sf):
+    # 2-D Pareto skyline: parts not dominated on (price↓, size↑) — the
+    # quality-vs-cost frontier query behind "which corpus slices are
+    # worth keeping at this budget". The oracle states the semantics as
+    # the O(n²) NOT EXISTS; the engine never forms pairs: sort by price
+    # and a row is dominated iff a strictly-cheaper row has size ≥ mine
+    # (running MAX over an integer-cents RANGE frame excluding the
+    # current price) or an equal-priced row has size > mine (per-price
+    # MAX). Two window passes over ONE ordering replace the self-join.
+    #
+    # Scale: a bare global window would single-task, so dominated rows
+    # are first pruned per-partition (same two windows keyed by
+    # spark_partition_id — a row dominated locally is dominated
+    # globally), and only the per-partition frontiers — typically
+    # O(distinct prices) rows, not O(n) — meet the final global window.
+    # The skyline-of-skylines is exactly the skyline, so the
+    # partition-id-dependent intermediate never leaks into the result.
+    p = T(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+    def survivors(df, *part_cols):
+        w_cheaper = (
+            Window.partitionBy(*part_cols)
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_equal = Window.partitionBy(*part_cols, "cents")
+        m1 = F.max("p_size").over(w_cheaper)
+        m2 = F.max("p_size").over(w_equal)
+        dominated = (m1.isNotNull() & (m1 >= F.col("p_size"))) | (
+            m2 > F.col("p_size")
+        )
+        return df.withColumn("dom", dominated).filter(~F.col("dom")).drop("dom")
+
+    local = survivors(p.withColumn("pid", F.spark_partition_id()), "pid").drop("pid")
+    return survivors(local).select("p_partkey", "p_size", "p_retailprice")
+
+
+# ------------------------------------------------------- OLS regression ----
+@q(
+    "q_stats_regression",
+    """
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM t GROUP BY flag
+    )
+    SELECT flag AS l_returnflag, n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) / CAST(100 AS DOUBLE)
+               AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               / CAST(100 AS DOUBLE) AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def q_stats_regression(spark, sf):
+    # Per-group OLS fit (slope/intercept/R²) of price on quantity — the
+    # drift/QA regression you run per corpus slice. Both engines ship
+    # regr_slope/regr_intercept/regr_r2, but their double accumulation
+    # is partition-order dependent, so this is the repo's fixed-point
+    # formulation instead: scale x,y to exact integers (quantity units,
+    # price cents), take the five sufficient sums in overflow-proof
+    # integer space (Spark DECIMAL(38,0), DuckDB HUGEINT), convert ONCE
+    # to double, then evaluate the identical closed-form expression tree
+    # on both engines — same IEEE inputs, same op order, bit-equal
+    # UNROUNDED output (pattern: q_score_recency_decay; rule:
+    # queries/__init__ wide-decimal note — scale-0 conversion is a
+    # single correctly-rounded int→double on both engines, no 10^s
+    # float division).
+    #
+    # Scale: one partial-aggregated groupBy — sufficient statistics are
+    # the textbook map-side-combinable shape, one row per group out.
+    li = T(spark, sf, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = t.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    hundred = F.lit(100.0)
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        "n_rows",
+        (num / den / hundred).alias("slope"),
+        ((sy - num / den * sx) / n / hundred).alias("intercept"),
+        ((num * num) / (den * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
 # -------------------------------------------------------- SCD-2 history ----
 @q(
     "q_scd2_history",

@@ -2296,3 +2296,64 @@ def q_sim_hard_negatives(spark, sf):
     return similarity.hard_negatives(
         T(spark, sf, "embeddings"), probe_ids=[0, 1, 2, 3], k=5
     )
+
+
+@q(
+    "q_dedup_editdist",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 64) AS norm
+        FROM documents
+    ),
+    b AS (SELECT doc_id, norm, substr(norm, 1, 16) AS blk FROM n)
+    SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+           CAST(levenshtein(a.norm, c.norm) AS INT) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.norm, c.norm) <= 6
+    """,
+)
+def q_dedup_editdist(spark, sf):
+    # Edit-distance near-dup pairs with prefix blocking — the third
+    # near-dup lens after set-overlap (q_dedup_fuzzy: Jaccard) and
+    # hashing (q_dedup_minhash/simhash): Levenshtein catches small
+    # in-place edits that shift every downstream shingle. Candidate
+    # generation is an equi-join on the first-16-chars block of the
+    # normalized prefix (near-identical docs share it; blocks bound the
+    # per-block quadratic exactly like LSH bands), then the exact
+    # distance on the 64-char normalized prefix, threshold 6.
+    #
+    # Cross-engine trap pinned here: Spark's levenshtein counts Unicode
+    # CHARACTERS, DuckDB's counts BYTES ('café'→'cafe' = 1 vs 2), so the
+    # compared text is normalized to [a-z0-9 ] first — chars == bytes by
+    # construction and the distances agree exactly.
+    #
+    # Scale: shuffle on the block key only; per-block work is
+    # O(block²·L²) with block size bounded by prefix selectivity (cap a
+    # hot block by salting or lengthening the prefix, same lever as
+    # q_dedup_fuzzy_prefix). Spark-side uses the 3-arg bounded
+    # levenshtein (early-exits the DP above the threshold, returns −1)
+    # — same qualifying set, cheaper per pair.
+    docs = T(spark, sf, "documents")
+    n = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 64
+        ).alias("norm"),
+    )
+    b = n.withColumn("blk", F.substring("norm", 1, 16))
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("c.doc_id").alias("b_id"),
+            F.levenshtein(F.col("a.norm"), F.col("c.norm"), 6).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

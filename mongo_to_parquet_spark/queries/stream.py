@@ -602,3 +602,78 @@ def q_ts_max_concurrency(spark, sf):
     return max_concurrency(iv).select(
         F.col("k").alias("s_suppkey"), "max_concurrent"
     )
+
+
+@q(
+    "q_ts_interval_coalesce",
+    """
+    WITH iv AS (
+        SELECT l_suppkey AS k, epoch_us(o_orderdate) AS s,
+               epoch_us(l_shipdate) AS e
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+    ),
+    marked AS (
+        SELECT k, s, e,
+               CASE WHEN max(e) OVER prior IS NULL OR s > max(e) OVER prior
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+        WINDOW prior AS (PARTITION BY k ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+        SELECT k, s, e,
+               SUM(is_new) OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    agg AS (
+        SELECT k, island, MIN(s) AS i_s, MAX(e) AS i_e
+        FROM islands GROUP BY k, island
+    )
+    SELECT k AS s_suppkey,
+           COUNT(*) AS n_islands,
+           CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+           CAST(MAX(i_e - i_s) AS BIGINT) AS longest_us
+    FROM agg GROUP BY k
+    """,
+)
+def q_ts_interval_coalesce(spark, sf):
+    # Coalesce each supplier's order→ship busy spans into maximal
+    # islands and report coverage — the utilization question that looks
+    # like the transitive closure of q_join_interval_overlap's pair list
+    # but needs NO pairs and NO union-find: a per-key running-max sweep
+    # (operators/rangejoin.coalesce_intervals) marks island starts in
+    # one ordered window. Both engines order by (s, e); rows tying on
+    # both are identical intervals, so island boundaries — and the
+    # per-island MIN/MAX/SUM — are tie-order invariant, and all math is
+    # integer µs: hash-exact.
+    #
+    # Scale: one shuffle on the key + one window sort; the follow-up
+    # island aggregates touch island-count rows, already tiny. The
+    # pair-join + connected-components route this replaces is quadratic
+    # per hot key before the iterative CC even starts.
+    from mongo_to_parquet_spark.operators.rangejoin import coalesce_intervals
+
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("e_us"),
+        )
+    )
+    isl = coalesce_intervals(iv)
+    span = F.col("island_end") - F.col("island_start")
+    return (
+        isl.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(span).cast("bigint").alias("covered_us"),
+            F.max(span).cast("bigint").alias("longest_us"),
+        )
+        .select(F.col("k").alias("s_suppkey"), "n_islands", "covered_us", "longest_us")
+    )

@@ -276,3 +276,78 @@ def q_win_median(spark, sf):
         "o_orderkey",
         F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias("med5"),
     )
+
+
+@q(
+    "q_agg_weighted_median",
+    """
+    WITH t AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, v, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM t
+    )
+    SELECT flag AS l_returnflag,
+           MIN(v) AS weighted_median,
+           CAST(CAST(MAX(tot) AS DECIMAL(18,2)) AS DOUBLE) AS total_weight
+    FROM c
+    WHERE 2 * cum >= tot
+    GROUP BY flag
+    """,
+)
+def q_agg_weighted_median(spark, sf):
+    # Exact quantity-weighted median price per return flag — the
+    # lower weighted median: smallest v whose cumulative weight reaches
+    # half the total. percentile()/quantile_cont() can't take weights,
+    # so this is the cumulative-weight-window formulation: one ordered
+    # window for the running weight, one unbounded window for the total
+    # (both share the single per-flag exchange), filter 2·cum ≥ tot,
+    # MIN(v) per group.
+    #
+    # Hash-exact by construction: weights ride DECIMAL(18,2) (integer
+    # cents — no float accumulation order issues), and the answer is a
+    # SELECTED input double, bit-identical from parquet on both engines,
+    # never a computed float. Value ties need no tiebreak: the last row
+    # of a tied run always carries the run's full cumulative weight, so
+    # whether ANY row of value v qualifies is permutation-invariant,
+    # and MIN(v) over qualifying rows with it.
+    #
+    # Scale: one shuffle on the group key + one sort — the same envelope
+    # as any per-key window; no join, no second pass. At 100 TB with
+    # millions of rows per group this stays a single window; only if one
+    # group outgrows a task's sort budget would it demote to the GK
+    # sketch (q_agg_approx_percentile), which ignores weights.
+    li = T(spark, sf, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = t.select(
+        "flag",
+        "v",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").cast("decimal(18,2)").cast("double").alias("total_weight"),
+        )
+        .select(F.col("flag").alias("l_returnflag"), "weighted_median", "total_weight")
+    )
