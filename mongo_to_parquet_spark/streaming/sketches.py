@@ -125,3 +125,175 @@ def read_kmv_estimate(
     return s.select(
         _sk.kmv_estimate(F.col("m"), F.col("theta"), k).alias("approx_users")
     )
+
+
+# ------------------------------------------------------ multi-sketch fold ---
+
+CMS_D = 4
+CMS_W = 64
+
+
+def _cms_bucket(tok, i):
+    """Row-``i`` CMS bucket of ``tok`` — md5-derived, identical to the
+    batch formulation in queries/retrieval.q_sketch_cms (salt "cms")."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), tok)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def multi_sketch_batch(
+    df: DataFrame,
+    distinct_col: str,
+    freq_col: str,
+    hist_col: str,
+    hist_step: float,
+    k: int = _sk.DEFAULT_K,
+) -> dict[str, DataFrame]:
+    """The three sketch tables over a (batch) DataFrame — the single
+    source of truth for both the batch baseline and the per-batch
+    contribution inside :func:`stream_multi_sketch`:
+
+    - ``kmv``:  k smallest distinct md5 hashes of ``distinct_col``
+    - ``cms``:  d×w count-min cells over ``freq_col`` (additive)
+    - ``hist``: fixed-step bin counts over ``hist_col`` (additive)
+    """
+    h = _sk.kmv_hash(F.col(distinct_col))
+    kmv = (
+        df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    ii = F.array(*[F.lit(i) for i in range(CMS_D)])
+    toks = df.select(F.col(freq_col).cast("string").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    cms = (
+        toks.select("tok", F.explode(ii).alias("i"))
+        .groupBy("i", _cms_bucket(F.col("tok"), F.col("i")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = (
+        df.filter(F.col(hist_col).isNotNull())
+        .groupBy(
+            F.floor(F.col(hist_col) / F.lit(hist_step)).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return {"kmv": kmv, "cms": cms, "hist": hist}
+
+
+def stream_multi_sketch(
+    stream_df: DataFrame,
+    distinct_col: str,
+    freq_col: str,
+    hist_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    hist_step: float = 10.0,
+    k: int = _sk.DEFAULT_K,
+):
+    """Maintain THREE sketches over one stream pass with ONE atomic
+    commit per batch: a KMV distinct sketch (idempotent fold), a
+    count-min frequency sketch and a fixed-bin histogram (both ADDITIVE
+    folds — re-adding a replayed batch would double-count).
+
+    The exactly-once story differs per sketch and the state layout
+    resolves it: all three tables PLUS a ``batches`` ledger of folded
+    batch ids live under one ``current/`` directory that is swapped by
+    a single rename, so a batch is either folded into every sketch and
+    recorded, or into none. The additive folds check the ledger before
+    touching anything (operators/incremental.py's replay guard), and
+    because ledger and sketches commit in the same rename there is no
+    window where one sketch saw the batch and another didn't — the
+    multi-sketch atomicity is what upgrades the per-sketch guards into
+    a joint exactly-once.
+
+    Scale: per batch the shuffle carries the batch's distinct hashes
+    (≤ batch distinct count) + d·w CMS cells + histogram bins — state
+    and traffic are O(k + d·w + bins) regardless of stream length.
+    """
+    spark = stream_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(state_dir)
+        cur = _state_path(state_dir)
+        have_state = os.path.exists(cur)
+        if have_state:
+            seen = (
+                spark.read.parquet(os.path.join(cur, "batches"))
+                .filter(F.col("batch_id") == batch_id)
+                .count()
+            )
+            if seen:
+                return  # replayed batch: every sketch already has it
+        contrib = multi_sketch_batch(
+            batch_df, distinct_col, freq_col, hist_col, hist_step, k=k
+        )
+        kmv, cms, hist = contrib["kmv"], contrib["cms"], contrib["hist"]
+        ledger = spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        if have_state:
+            kmv = (
+                kmv.unionByName(spark.read.parquet(os.path.join(cur, "kmv")))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            )
+            cms = (
+                cms.unionByName(spark.read.parquet(os.path.join(cur, "cms")))
+                .groupBy("i", "b")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            hist = (
+                hist.unionByName(spark.read.parquet(os.path.join(cur, "hist")))
+                .groupBy("bin")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            ledger = ledger.unionByName(
+                spark.read.parquet(os.path.join(cur, "batches"))
+            )
+        tmp = os.path.join(state_dir, "_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # materialize EVERY table before the swap; the top-level marker
+        # is written last, so _recover only ever adopts a complete set
+        kmv.write.parquet(os.path.join(tmp, "kmv"))
+        cms.write.parquet(os.path.join(tmp, "cms"))
+        hist.write.parquet(os.path.join(tmp, "hist"))
+        ledger.write.parquet(os.path.join(tmp, "batches"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        old = os.path.join(state_dir, "_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if have_state:
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_multi_sketch(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    """The committed sketch tables (after crash recovery) — compare
+    directly against :func:`multi_sketch_batch` over the same data."""
+    _recover(state_dir)
+    cur = _state_path(state_dir)
+    return {
+        name: spark.read.parquet(os.path.join(cur, name))
+        for name in ("kmv", "cms", "hist", "batches")
+    }

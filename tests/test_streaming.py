@@ -539,3 +539,55 @@ def test_stream_kmv_state_swap_crash_recovery(spark, sf_dir, tmp_path):
     assert sorted(
         r["h"] for r in spark.read.parquet(f"{state}/current").collect()
     ) == committed
+
+
+def test_stream_multi_sketch_atomic_fold(spark, sf_dir, tmp_path):
+    """Three sketches (idempotent KMV + additive CMS + additive histogram)
+    folded in ONE stream pass with one atomic commit per batch: every
+    table must equal its batch-computed counterpart exactly, and a full
+    replay under a fresh checkpoint must change NOTHING — the batch-id
+    ledger commits in the same rename as the sketches, so the additive
+    folds cannot double-count."""
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    state = str(tmp_path / "ms_state")
+    q = sk.stream_multi_sketch(
+        sw.replay_events(spark, sf_dir), "user_id", "event_type", "value",
+        state, str(tmp_path / "ck1"), hist_step=10.0,
+    )
+    q.awaitTermination(120)
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sk.multi_sketch_batch(ev, "user_id", "event_type", "value", 10.0)
+    got = sk.read_multi_sketch(spark, state)
+
+    assert sorted(r["h"] for r in got["kmv"].collect()) == sorted(
+        r["h"] for r in want["kmv"].collect()
+    )
+    cms_key = lambda r: (r["i"], r["b"], r["c"])  # noqa: E731
+    assert sorted(map(cms_key, got["cms"].collect())) == sorted(
+        map(cms_key, want["cms"].collect())
+    )
+    hist_key = lambda r: (r["bin"], r["c"])  # noqa: E731
+    assert sorted(map(hist_key, got["hist"].collect())) == sorted(
+        map(hist_key, want["hist"].collect())
+    )
+    n_batches = got["batches"].count()
+    assert n_batches >= 2  # the fold really was incremental
+
+    # whole-stream replay, fresh checkpoint: ledger short-circuits every
+    # batch id, so even the ADDITIVE sketches stay bit-identical
+    q2 = sk.stream_multi_sketch(
+        sw.replay_events(spark, sf_dir), "user_id", "event_type", "value",
+        state, str(tmp_path / "ck2"), hist_step=10.0,
+    )
+    q2.awaitTermination(120)
+    got2 = sk.read_multi_sketch(spark, state)
+    assert sorted(map(cms_key, got2["cms"].collect())) == sorted(
+        map(cms_key, want["cms"].collect())
+    )
+    assert sorted(map(hist_key, got2["hist"].collect())) == sorted(
+        map(hist_key, want["hist"].collect())
+    )
+    assert got2["batches"].count() == n_batches
