@@ -2371,3 +2371,119 @@ def q_anomaly_mad(spark, sf):
             "n_outliers",
         )
     )
+
+
+# -------------------------------------------- kNN-graph link prediction ----
+@q(
+    "q_graph_linkpred",
+    """
+    WITH s AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    w AS (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM s a JOIN s b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    adj AS (
+        SELECT u AS x, v AS y, w FROM w
+        UNION ALL SELECT v AS x, u AS y, w FROM w
+    ),
+    knn AS (
+        SELECT x, y FROM (
+            SELECT x, y, row_number() OVER (
+                PARTITION BY x ORDER BY w DESC, y ASC) AS rk
+            FROM adj) WHERE rk <= 8
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM knn
+    ),
+    adj2 AS (SELECT u AS x, v AS y FROM und
+             UNION ALL SELECT v AS x, u AS y FROM und),
+    deg2 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj2 GROUP BY x),
+    cn AS (
+        SELECT a1.y AS a, a2.y AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj2 a1 JOIN adj2 a2 ON a1.x = a2.x AND a1.y < a2.y
+        GROUP BY a1.y, a2.y
+    ),
+    pred AS (
+        SELECT cn.a, cn.b, cn.cn, da.d AS da, db.d AS db,
+               cn.cn * 10000 // (da.d + db.d - cn.cn) AS jacc_x10000
+        FROM cn JOIN deg2 da ON da.x = cn.a JOIN deg2 db ON db.x = cn.b
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cn.a AND und.v = cn.b)
+    )
+    SELECT * FROM pred
+    ORDER BY jacc_x10000 DESC, cn DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def q_graph_linkpred(spark, sf):
+    # Link prediction by neighborhood Jaccard over the part co-occurrence
+    # graph — "parts likely to co-occur next" — with the one design move
+    # that makes common-neighbor scoring survive scale: kNN-GRAPH
+    # SPARSIFICATION first. The raw co-occurrence graph is dense (median
+    # degree ~115 at sf0.01, growing with corpus size), so enumerating
+    # common-neighbor pairs on it is Σd² — quadratic in the hot tail.
+    # Keeping only each node's 8 STRONGEST edges (co-occurrence weight
+    # desc, id tiebreak — fully deterministic) bounds degree by ~2·8
+    # (out-edges + reciprocated in-edges), so wedge generation is O(n)
+    # with a small constant, independent of raw density. Scores are
+    # integer: cn and ⌊cn·10⁴/(da+db−cn)⌋; the anti-join keeps only
+    # NON-adjacent pairs (that's the prediction). Total order under the
+    # LIMIT includes (a, b) so ties can't split engines.
+    #
+    # Scale: weighted edges come from per-order sorted part arrays with
+    # MAP-SIDE pair generation (one groupBy(ok) shuffle — the
+    # q_graph_triangles build; no self-join). kNN selection is one
+    # row_number window Spark executes as WindowGroupLimit (top-8 kept
+    # per partition before the sort spills). Wedges are again map-side
+    # pairs from per-node ≤16-element adjacency arrays — never a
+    # wedge JOIN. In-degree hubs (a node in everyone's top-8) are the
+    # residual risk; bound it by a second top-k pass on adj2 if a real
+    # corpus shows them (degree census: q_graph_degree_stats).
+    li = T(spark, sf, "lineitem")
+    s = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ps = s.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = ps.select(
+        F.posexplode("ps").alias("i", "u"), "ps"
+    ).select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
+    w = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    adj = w.select(F.col("u").alias("x"), F.col("v").alias("y"), "w").unionByName(
+        w.select(F.col("v").alias("x"), F.col("u").alias("y"), "w")
+    )
+    rk = Window.partitionBy("x").orderBy(F.col("w").desc(), F.col("y").asc())
+    knn = (
+        adj.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 8)
+        .select("x", "y")
+    )
+    und = knn.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    ).distinct()
+    adj2 = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    nbrs = adj2.groupBy("x").agg(F.sort_array(F.collect_set("y")).alias("ns"))
+    deg2 = nbrs.select("x", F.size("ns").cast("bigint").alias("d"))
+    wedges = nbrs.select(
+        F.posexplode("ns").alias("i", "a"), "ns"
+    ).select("a", F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("b"))
+    cn = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    pred = (
+        cn.join(und, (cn.a == und.u) & (cn.b == und.v), "left_anti")
+        .join(deg2.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg2.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .withColumn(
+            "jacc_x10000",
+            F.expr("div(cn * 10000, da + db - cn)").cast("bigint"),
+        )
+    )
+    return (
+        pred.select("a", "b", "cn", "da", "db", "jacc_x10000")
+        .orderBy(
+            F.col("jacc_x10000").desc(),
+            F.col("cn").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(20)
+    )

@@ -528,3 +528,70 @@ def q_mv_diff(spark, sf):
             (F.col("r2") - F.coalesce("r1", F.lit(0))).cast("bigint").alias("delta_rows"),
         )
     )
+
+
+# ---------------------------------------------------- compaction planning --
+@q(
+    "q_lake_compaction",
+    """
+    WITH f AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT y, GREATEST(SUM(r) // 4, 1) AS tgt FROM f GROUP BY y),
+    b AS (
+      SELECT f.y, f.m, f.r,
+             COALESCE(SUM(f.r) OVER (PARTITION BY f.y ORDER BY f.m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // t.tgt AS bin
+      FROM f JOIN t USING (y))
+    SELECT y, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(r) AS BIGINT) AS bin_rows,
+           MIN(m) AS first_month, MAX(m) AS last_month
+    FROM b GROUP BY y, bin
+    """,
+)
+def q_lake_compaction(spark, sf):
+    # Small-file compaction planning — the lakehouse maintenance step
+    # every partitioned table needs (OPTIMIZE / bin-pack): within each
+    # year partition, assign the per-month "files" (size proxy: row
+    # count) to target-sized output groups by CUMULATIVE-SIZE binning —
+    # bin = ⌊bytes_before / target⌋ over the month-ordered running sum.
+    # This is exactly how real compaction planners batch adjacent files
+    # (Delta OPTIMIZE, Iceberg binpack): deterministic, order-preserving
+    # (rewritten files stay range-sorted, so downstream partition/file
+    # pruning keeps working), and never splits a file. The exclusive
+    # (1-PRECEDING) frame makes the first file of every partition land
+    # in bin 0 even when it alone exceeds the target. All integers.
+    #
+    # Scale: the file census at 100 TB comes from the table metadata
+    # layer (file manifests), already one row per file — here derived
+    # from the fact with one map-combined pre-aggregation. The window
+    # sorts file-count rows per partition (thousands at most); the plan
+    # output feeds partition-parallel rewrite jobs. No data shuffles.
+    o = T(spark, sf, "orders")
+    f = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("r"))
+    t = f.groupBy("y").agg(
+        F.greatest(F.expr("div(sum(r), 4)"), F.lit(1).cast("bigint")).alias("tgt")
+    )
+    w = (
+        Window.partitionBy("y")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = (
+        f.join(t, "y")
+        .withColumn("before", F.coalesce(F.sum("r").over(w), F.lit(0)))
+        .withColumn("bin", F.expr("div(before, tgt)").cast("bigint"))
+    )
+    return b.groupBy("y", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("r").cast("bigint").alias("bin_rows"),
+        F.min("m").alias("first_month"),
+        F.max("m").alias("last_month"),
+    )

@@ -13,6 +13,7 @@ Both engines align tumbling/sliding windows to the epoch origin
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.sources.catalog import load_table as T
@@ -676,4 +677,91 @@ def q_ts_interval_coalesce(spark, sf):
             F.max(span).cast("bigint").alias("longest_us"),
         )
         .select(F.col("k").alias("s_suppkey"), "n_islands", "covered_us", "longest_us")
+    )
+
+
+# -------------------------------------------------- CUSUM changepoint ------
+@q(
+    "q_ts_changepoint",
+    """
+    WITH e AS (SELECT event_type,
+                      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+               FROM events),
+    hc AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                 CAST(SUM(c) * 100 // COUNT(*) AS BIGINT) AS target_x100
+          FROM hc GROUP BY 1),
+    c1 AS (
+      SELECT hc.event_type, hc.h, t.n_hours, t.target_x100,
+             SUM(hc.c * 100 - t.target_x100) OVER (
+                 PARTITION BY hc.event_type ORDER BY hc.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hc JOIN t USING (event_type)),
+    c2 AS (
+      SELECT *, cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM c1)
+    SELECT event_type, MAX(n_hours) AS n_hours,
+           MAX(target_x100) AS target_x100,
+           CAST(MAX(s) AS BIGINT) AS peak_cusum_x100,
+           CAST(COUNT(*) FILTER (WHERE s > 12 * target_x100) AS BIGINT)
+               AS n_alarms,
+           COALESCE(CAST(epoch_us(MIN(h) FILTER (WHERE s > 12 * target_x100))
+                         // 1000000 AS BIGINT), 0) AS first_alarm_epoch
+    FROM c2 GROUP BY event_type
+    """,
+)
+def q_ts_changepoint(spark, sf):
+    # One-sided CUSUM changepoint detection on each event type's hourly
+    # rate — the streaming-monitor question ("when did traffic shift?")
+    # that per-point z-scores miss because small sustained drifts never
+    # clear a per-point threshold. The recursive textbook form
+    # S_i = max(0, S_{i-1} + dev_i) is NOT a plain window — but it
+    # telescopes to S_i = cum_i − min(0, min_{j≤i} cum_j), turning the
+    # recursion into a running SUM plus a running MIN over the same
+    # ordering (one sort, two frames — the q_ts_interpolate trick).
+    # All arithmetic is integer fixed-point: the per-hour reference rate
+    # is ⌊total·100 / n_hours⌋ so deviations, cumulative sums and the
+    # 12-hour-burst alarm threshold (s > 12·target) compare exactly in
+    # both engines — no float drift at alarm boundaries. The sf0.001
+    # fixture is rate-uniform (0 alarms, COALESCE branch), sf0.01 has
+    # real bursts — both sides of the alarm predicate are gate-checked.
+    #
+    # Scale: the hourly pre-aggregation map-side-combines the raw events
+    # to one row per (type, hour) BEFORE any shuffle; the windows then
+    # sort only that tiny rate series per key. State per type is O(1).
+    # Keys = event types (few, bounded); a per-user variant would hash
+    # users across partitions with identical plans.
+    e = _events_ltz(spark, sf)
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.expr("div(sum(c) * 100, count(*))").cast("bigint").alias("target_x100"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c1 = hc.join(t, "event_type").withColumn(
+        "cum", F.sum(F.col("c") * 100 - F.col("target_x100")).over(w)
+    )
+    c2 = c1.withColumn(
+        "s", F.col("cum") - F.least(F.lit(0).cast("bigint"), F.min("cum").over(w))
+    )
+    alarm = F.col("s") > 12 * F.col("target_x100")
+    return c2.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        F.max("target_x100").alias("target_x100"),
+        F.max("s").cast("bigint").alias("peak_cusum_x100"),
+        F.count_if(alarm).cast("bigint").alias("n_alarms"),
+        F.coalesce(
+            (F.unix_micros(F.min(F.when(alarm, F.col("h")))) / F.lit(1000000))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("first_alarm_epoch"),
     )
