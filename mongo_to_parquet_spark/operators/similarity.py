@@ -223,6 +223,57 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat for MANY probes in one pass: each probe scans only its
+    own n_probe nearest cells, but the cell assignment — the expensive
+    corpus-sized step — is computed ONCE and shared across probes.
+
+    Returns (probe_id, id, sim, rk) with rk ≤ k per probe, ranked by
+    (rounded sim desc, id asc) like :func:`brute_force_topk_batch` so the
+    two are directly joinable for recall evaluation.
+    """
+    cents = F.broadcast(_centroids(emb, n_cells, id_col, vec_col))
+    assigned = _assign_cells(emb, cents, id_col, vec_col)
+    probes = F.broadcast(
+        emb.filter(F.col(id_col).isin(list(probe_ids))).select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe")
+        )
+    )
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.col("pscore").desc(), F.col("cell").asc()
+    )
+    cells = (
+        cents.crossJoin(probes.select("probe_id", "__probe"))
+        .withColumn("pscore", dot(F.col("cvec"), F.col("__probe")))
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= n_probe)
+        .select("probe_id", "cell")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.join(F.broadcast(cells), "cell")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .join(probes, "probe_id")
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__probe")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def build_ivf_layout(
     emb: DataFrame,
     out_dir: str,

@@ -1163,3 +1163,217 @@ def q_sim_topk_l2(spark, sf):
         .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ------------------------------------------------- retrieval evaluation ----
+_EVAL_PROBES = (0, 1, 2, 3)
+
+
+@q(
+    "q_eval_ann_recall",
+    """
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    cells AS (
+        SELECT probe_id, cell FROM (
+            SELECT p.probe_id, c.cell,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY list_dot_product(CAST(c.cvec AS DOUBLE[]),
+                                                 CAST(p.pv AS DOUBLE[])) DESC,
+                                c.cell ASC) AS crk
+            FROM cents c CROSS JOIN probes p)
+        WHERE crk <= 4
+    ),
+    approx AS (
+        SELECT probe_id, vec_id, rk FROM (
+            SELECT cl.probe_id, a.vec_id,
+                   row_number() OVER (PARTITION BY cl.probe_id ORDER BY
+                       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(p.pv AS DOUBLE[])), 4) DESC,
+                       a.vec_id ASC) AS rk
+            FROM assigned a JOIN cells cl USING (cell)
+                 JOIN probes p ON p.probe_id = cl.probe_id
+            WHERE a.vec_id <> cl.probe_id)
+        WHERE rk <= 10
+    ),
+    exact AS (
+        SELECT probe_id, vec_id, rk FROM (
+            SELECT p.probe_id, e.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(p.pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= 10
+    )
+    SELECT e.probe_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(a.vec_id) * 10 AS BIGINT) AS recall_pct,
+           CAST(COALESCE(MAX(CASE WHEN e.rk = 1 THEN a.rk END), 0) AS BIGINT)
+               AS top1_rank
+    FROM exact e LEFT JOIN approx a
+      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    GROUP BY e.probe_id
+    """,
+)
+def q_eval_ann_recall(spark, sf):
+    # ANN index QUALITY GATE: recall@10 of the IVF index against exact
+    # brute-force ground truth, per probe — the measurement that must
+    # accompany every approximate index before it replaces an exact
+    # scan ("the IVF answers in 1/n_cells the scan cost — at what
+    # recall?"). Both rankings use the identical (rounded sim, id)
+    # total order, so the overlap join is exact; outputs are pure
+    # integers (hits, recall%, and where the true top-1 landed in the
+    # approx list, 0 = missed entirely). The whole evaluation —
+    # ground-truth build included — is oracle-replayed.
+    #
+    # Scale: ground truth is the batch brute-force (ONE corpus scan for
+    # all probes, WindowGroupLimit top-k); the IVF side shares its cell
+    # assignment across probes and scans n_probe cells per probe. In
+    # production this runs over a SAMPLED probe set (here: 4 fixed ids)
+    # against the full corpus — cost is one exact scan total, not per
+    # probe, then k-row-per-probe joins. Recall regressions surface as
+    # integer deltas, stable under reruns.
+    from mongo_to_parquet_spark.operators.similarity import (
+        brute_force_topk_batch,
+        ivf_topk_batch,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    probes = list(_EVAL_PROBES)
+    exact = brute_force_topk_batch(emb, probes, k=10).select(
+        "probe_id", F.col("vec_id"), "rk"
+    )
+    approx = ivf_topk_batch(emb, probes, k=10, n_cells=16, n_probe=4).select(
+        F.col("probe_id").alias("a_pid"),
+        F.col("vec_id").alias("a_vid"),
+        F.col("rk").alias("a_rk"),
+    )
+    j = exact.join(
+        approx,
+        (F.col("probe_id") == F.col("a_pid")) & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return j.groupBy("probe_id").agg(
+        F.count("a_vid").cast("bigint").alias("hits"),
+        (F.count("a_vid") * 10).cast("bigint").alias("recall_pct"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 1, F.col("a_rk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("top1_rank"),
+    )
+
+
+@q(
+    "q_eval_ranking",
+    """
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, rk,
+               CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+        FROM (
+            SELECT p.probe_id, e.vec_id, e.label, p.plabel,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(p.pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= 10
+    ),
+    m AS (
+        SELECT probe_id, rk, rel,
+               SUM(rel) OVER (PARTITION BY probe_id ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+        FROM ranked)
+    SELECT probe_id,
+           CAST(SUM(rel) AS BIGINT) AS rel_at_10,
+           CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT)
+               AS first_rel_rank,
+           CAST(COALESCE(SUM(CASE WHEN rel = 1
+                                  THEN cumrel * (2520 // rk) END), 0) AS BIGINT)
+               AS ap_x2520
+    FROM m GROUP BY probe_id
+    """,
+)
+def q_eval_ranking(spark, sf):
+    # Label-relevance ranking metrics over the exact cosine top-10:
+    # precision@10, rank of the first relevant hit, and AVERAGE
+    # PRECISION — the metric that rewards putting relevant items EARLY,
+    # not just somewhere in the k. AP's rational arithmetic
+    # (Σ precision@hit = Σ cumrel_i / i) is made hash-exact by scaling
+    # with lcm(1..10) = 2520: cumrel·(2520/i) is a whole number for
+    # every i ≤ 10, so ap_x2520 is an exact BIGINT in both engines —
+    # divide by 2520·R offline for the usual [0,1] AP. No float enters
+    # any metric.
+    #
+    # Scale: one corpus scan scores every (candidate, probe) pair for
+    # the whole probe batch (WindowGroupLimit keeps k per probe); the
+    # metric windows then run over k·|probes| rows — nothing. With
+    # labeled eval sets in the millions, the same plan shards by
+    # probe_id; relevance labels ride the broadcast probe table.
+    from mongo_to_parquet_spark.operators.similarity import brute_force_topk_batch
+
+    emb = T(spark, sf, "embeddings")
+    probes = list(_EVAL_PROBES)
+    labels = emb.select("vec_id", "label")
+    plabels = F.broadcast(
+        emb.filter(F.col("vec_id").isin(probes)).select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+        )
+    )
+    ranked = (
+        brute_force_topk_batch(emb, probes, k=10)
+        .join(labels, "vec_id")
+        .join(plabels, "probe_id")
+        .select(
+            "probe_id",
+            "rk",
+            F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("probe_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = ranked.withColumn("cumrel", F.sum("rel").over(w))
+    return m.groupBy("probe_id").agg(
+        F.sum("rel").cast("bigint").alias("rel_at_10"),
+        F.coalesce(F.min(F.when(F.col("rel") == 1, F.col("rk"))), F.lit(0))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cumrel") * F.expr("div(2520, rk)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("ap_x2520"),
+    )
