@@ -83,6 +83,9 @@ HEADLINE = [
     "q_join_interval_overlap",  # grid-cell-blocked interval overlap join
     "q_graph_kcore",        # iterative degree peeling, localCheckpoint rounds
     "q_score_recency_decay",  # integer fixed-point decay scoring, one agg
+    "q_graph_linkpred",     # kNN-sparsified wedge generation + anti-join
+    "q_ts_changepoint",     # CUSUM telescoped to two window frames, one sort
+    "q_eval_ann_recall",    # exact + IVF rankings joined for recall@k
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct
