@@ -2456,13 +2456,23 @@ def q_graph_linkpred(spark, sf):
         .filter(F.col("rk") <= 8)
         .select("x", "y")
     )
+    # persist the two NODE-SCALE intermediates: und (≤8n edges) and nbrs
+    # (n rows, ≤16-element arrays). Unlike q_graph_triangles' branches —
+    # identical subtrees AQE's ReuseExchange already dedupes — these feed
+    # consumers through DIFFERENT projections/unions (adj2's two sides,
+    # the anti-join, deg2, wedges), so without the cache the fact-sized
+    # edge build re-executes per branch (static plan: Exchange×46).
+    # Measured at sf0.1 warm: 7.7s → 4.2s with the persists. Both tables
+    # stay node-scale at any corpus size — this is not caching the fact.
     und = knn.select(
         F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-    ).distinct()
+    ).distinct().persist()
     adj2 = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    nbrs = adj2.groupBy("x").agg(F.sort_array(F.collect_set("y")).alias("ns"))
+    nbrs = adj2.groupBy("x").agg(
+        F.sort_array(F.collect_set("y")).alias("ns")
+    ).persist()
     deg2 = nbrs.select("x", F.size("ns").cast("bigint").alias("d"))
     wedges = nbrs.select(
         F.posexplode("ns").alias("i", "a"), "ns"
