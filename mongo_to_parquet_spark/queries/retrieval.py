@@ -1267,8 +1267,10 @@ def q_eval_ann_recall(spark, sf):
         F.col("vec_id").alias("a_vid"),
         F.col("rk").alias("a_rk"),
     )
+    # both sides are k·|probes| rows; hint broadcast so the overlap join
+    # never sorts (Catalyst's stats otherwise pick an SMJ here)
     j = exact.join(
-        approx,
+        F.broadcast(approx),
         (F.col("probe_id") == F.col("a_pid")) & (F.col("vec_id") == F.col("a_vid")),
         "left",
     )
