@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.operators import dedup, multimodal, similarity, text
@@ -1083,3 +1083,56 @@ def test_kcore_peel_fixpoint_and_fixed_rounds(spark):
     one = {r["node"]: r["degree"] for r in dedup.kcore_peel(df, k=2, rounds=1).collect()}
     assert set(one) == {1, 2, 3, 4, 5, 6}  # only 7 peeled so far
     assert one[6] == 1  # below k: one round has not converged
+
+
+def test_ivf_batch_with_full_probing_is_exact(spark, sf_dir):
+    """ivf_topk_batch probing EVERY cell must reproduce brute-force
+    exactly — the approximation comes only from pruned cells, so
+    n_probe == n_cells closes the gap by construction (recall == 100%
+    at any corpus). Also pins the (rounded sim, id) rank order the two
+    sides share in q_eval_ann_recall's overlap join."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        brute_force_topk_batch,
+        ivf_topk_batch,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3]
+    key = lambda r: (r["probe_id"], r["rk"])  # noqa: E731
+    exact = {key(r): r["vec_id"] for r in
+             brute_force_topk_batch(emb, probes, k=5).collect()}
+    full = {key(r): r["vec_id"] for r in
+            ivf_topk_batch(emb, probes, k=5, n_cells=8, n_probe=8).collect()}
+    assert full == exact and len(exact) == 20
+
+
+def test_cusum_window_telescoping_matches_recursion(spark):
+    """The window form S_i = cum_i - min(0, running_min(cum)) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + dev_i) on an arbitrary
+    deviation series — the identity q_ts_changepoint stands on."""
+    import random
+
+    rng = random.Random(7)
+    devs = [rng.randint(-9, 9) for _ in range(200)]
+    # recursive reference
+    want, s = [], 0
+    for d in devs:
+        s = max(0, s + d)
+        want.append(s)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], "i long, dev long"
+    )
+    w = (
+        Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = [
+        r["s"]
+        for r in df.withColumn("cum", F.sum("dev").over(w))
+        .withColumn(
+            "s", F.col("cum") - F.least(F.lit(0).cast("long"), F.min("cum").over(w))
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == want

@@ -560,3 +560,38 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_embed_kmeans"](spark, sf_dir))
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_changepoint_one_sort_two_frames(spark, sf_dir):
+    # the telescoped CUSUM shares ONE ordering between the running-sum
+    # and running-min windows, and the hourly pre-agg partial-combines
+    # the raw events before the only data shuffle
+    plan = checks.formatted_plan(QS["q_ts_changepoint"](spark, sf_dir))
+    assert plan.count("Sort ") <= 2  # window sort + nothing global
+    assert "partial_count" in plan
+
+
+def test_compaction_plan_no_data_shuffle_beyond_census(spark, sf_dir):
+    # the file census partial-combines map-side; the bin window sorts
+    # file-count rows only, and the per-year target joins broadcast
+    plan = checks.formatted_plan(QS["q_lake_compaction"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_linkpred_knn_uses_window_group_limit(spark, sf_dir):
+    # top-8-per-node selection short-circuits to WindowGroupLimit (k rows
+    # kept per partition before the sort), and nothing degenerates to a
+    # cartesian product
+    plan = checks.formatted_plan(QS["q_graph_linkpred"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eval_ann_recall_windowed_topk_and_broadcast_overlap(spark, sf_dir):
+    # both rankings keep k rows per probe via WindowGroupLimit; the final
+    # overlap join broadcasts the k-row approx side (no sort-merge)
+    plan = checks.formatted_plan(QS["q_eval_ann_recall"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
