@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--database", default="default", help="Mongo database (connector path)")
     ap.add_argument(
+        "--all-databases",
+        action="store_true",
+        help="connector path: enumerate server databases and export every "
+        "one the config's include/exclude selects, 6 DB workers "
+        "(reference main.py:250-273)",
+    )
+    ap.add_argument(
         "--max-concurrent",
         type=int,
         default=1,
@@ -109,6 +116,32 @@ def main(argv: list[str] | None = None) -> int:
             exists = lambda c: c in _names  # noqa: E731
         except Exception:
             exists = None
+    if args.all_databases and not args.source_dir:
+        # the reference's top-level fan-out: include/exclude selection +
+        # 6 DB-worker threads + the selection banner (main.py:250-273)
+        from mongo_to_parquet_spark.sources.mongo import run_all_databases
+
+        import pymongo
+
+        client = pymongo.MongoClient(cfg.mongo_uri, serverSelectionTimeoutMS=5000)
+
+        def make_job(db_name: str) -> ExportJob:
+            db = client[db_name]
+            return ExportJob(
+                spark,
+                cfg,
+                lambda coll: read_collection(spark, cfg.mongo_uri, db_name, coll),
+                max_concurrent=args.max_concurrent,
+                logger=logger,
+                database=db_name,
+                collection_exists=lambda c: c in set(db.list_collection_names()),
+            )
+
+        all_totals = run_all_databases(
+            cfg, client.list_database_names, make_job, logger=logger
+        )
+        print(json.dumps({"rows_written": all_totals}))
+        return 0
     totals = ExportJob(
         spark, cfg, reader, max_concurrent=args.max_concurrent, logger=logger,
         # connector path: qualify START/END log lines like the reference

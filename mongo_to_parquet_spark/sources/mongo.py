@@ -107,7 +107,14 @@ class ExportJob:
                 query.setdefault(date_field, {})["$lte"] = self.cfg.end_date
         self.logger.info(f"START {qual} | query={query}")
         df = self.reader(coll)
-        out = f"{self.cfg.output_dir}/{coll}"
+        # reference layout: output_dir / db / collection / year=... when a
+        # database is in play (main.py:112-117); file-backed sources have
+        # no db notion and write output_dir / collection directly
+        out = (
+            f"{self.cfg.output_dir}/{self.database}/{coll}"
+            if self.database
+            else f"{self.cfg.output_dir}/{coll}"
+        )
         # Observation-backed totals (export_partitioned_observed): the END
         # count comes from the write plan itself — the previous
         # read.parquet(out).count() re-scanned the entire export, a full
@@ -136,7 +143,10 @@ class ExportJob:
         """
         if self.database:
             self.logger.info(f"START DB {self.database}")
-        items = sorted(self.cfg.date_collections.items())
+        # CONFIG-FILE order, not sorted: the reference iterates the
+        # date_collections dict as inserted (main.py:279), and users
+        # order configs so big collections start first under overlap
+        items = list(self.cfg.date_collections.items())
         if self.collection_exists is not None:
             present = []
             for coll, f in items:
@@ -166,7 +176,48 @@ class ExportJob:
 
             with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
                 futures = {coll: pool.submit(submit, coll, f) for coll, f in items}
-                totals = {coll: fut.result() for coll, fut in sorted(futures.items())}
+                totals = {coll: fut.result() for coll, fut in futures.items()}
         if self.database:
             self.logger.info(f"END DB {self.database}")
         return totals
+
+
+def run_all_databases(
+    cfg: JobConfig,
+    list_databases,
+    make_job,
+    logger=None,
+    max_workers: int = 6,
+) -> dict[str, dict[str, int]]:
+    """The reference's top-level ``ExportJob.run`` (main.py:250-273):
+    select databases (include ∩ / exclude −), log the selection banner,
+    and fan one worker per database over a thread pool (the reference
+    pins ``max_workers=6``).
+
+    ``list_databases()`` returns the server's database names (pymongo's
+    ``list_database_names`` on the live path; injectable for tests);
+    ``make_job(db_name)`` returns the per-database :class:`ExportJob`.
+    Threads only submit Spark actions — DB-level overlap composes with
+    each job's own ``max_concurrent`` collection overlap.
+
+    Log-content parity: an empty selection warns ``No databases to
+    process.`` and exports nothing (main.py:260-262); otherwise the
+    ``Databases to process: {...}`` banner is emitted with Python set
+    formatting like the reference's f-string over a set (main.py:264) —
+    the reference's element ORDER is hash-seed nondeterministic, so the
+    engine prints the sorted set literal (a legal rendering of the same
+    set, stable for log diffing).
+    """
+    import logging
+    from concurrent.futures import ThreadPoolExecutor
+
+    log = logger or logging.getLogger("mongo_to_parquet")
+    names = cfg.select_databases(list(list_databases()))
+    if not names:
+        log.warning("No databases to process.")
+        return {}
+    rendered = "{" + ", ".join(repr(n) for n in names) + "}"
+    log.info(f"Databases to process: {rendered}")
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {db: pool.submit(make_job(db).run) for db in names}
+        return {db: fut.result() for db, fut in futures.items()}

@@ -465,7 +465,94 @@ def test_export_job_applies_roll_point_and_skips_missing(spark, sf_dir, tmp_path
     assert records[-1] == "END DB refdb" or "END DB refdb" in records
     n_rows = load_table(spark, sf_dir, "orders").count()
     if n_rows > 5000:  # sf0.01: 15k rows → at least one partition rolls
-        files = glob.glob(str(tmp_path / "out" / "orders" / "year=*" / "*.parquet"))
+        # database set ⇒ reference layout output_dir/db/coll (main.py:112-117)
+        files = glob.glob(
+            str(tmp_path / "out" / "refdb" / "orders" / "year=*" / "*.parquet")
+        )
         import pyarrow.parquet as pq
 
         assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 5000
+
+
+def test_run_all_databases_selection_banner_and_fanout(spark, sf_dir, tmp_path):
+    """The reference's top-level run() (main.py:250-273): include ∩ /
+    exclude − database selection, the 'Databases to process' banner, the
+    'No databases to process.' WARNING on empty selection, and one job
+    per selected database. Verified with injected fakes (no live Mongo):
+    per-DB outputs land under output_dir/<db>/<coll> (main.py:112-117)."""
+    import logging
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob, run_all_databases
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append((record.levelname, record.getMessage()))
+
+    logger = logging.getLogger("test_m2p_alldb")
+    logger.setLevel(logging.INFO)
+    logger.handlers[:] = [Capture()]
+
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        date_collections={"orders": "o_orderdate"},
+        include_databases=["db_a", "db_b"],
+    )
+
+    def make_job(db_name):
+        return ExportJob(
+            spark, cfg, reader=lambda c: load_table(spark, sf_dir, c),
+            logger=logger, database=db_name,
+        )
+
+    totals = run_all_databases(
+        cfg, lambda: ["db_a", "db_b", "db_skip"], make_job, logger=logger
+    )
+    assert set(totals) == {"db_a", "db_b"}  # include ∩ server names
+    n = load_table(spark, sf_dir, "orders").count()
+    assert totals["db_a"]["orders"] == n and totals["db_b"]["orders"] == n
+    assert ("INFO", "Databases to process: {'db_a', 'db_b'}") in records
+    for db in ("db_a", "db_b"):
+        assert (tmp_path / "out" / db / "orders").is_dir()
+
+    # empty selection: WARNING + nothing exported (main.py:260-262)
+    records.clear()
+    empty = run_all_databases(
+        cfg, lambda: ["other1", "other2"], make_job, logger=logger
+    )
+    assert empty == {}
+    assert records == [("WARNING", "No databases to process.")]
+
+
+def test_export_job_iterates_collections_in_config_order(spark, sf_dir, tmp_path):
+    """main.py:279 iterates date_collections in CONFIG insertion order —
+    not sorted — so lifecycle log lines and the totals dict follow the
+    user's config file (big-collections-first configs stay meaningful)."""
+    import logging
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.sources.mongo import ExportJob
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("test_m2p_order")
+    logger.setLevel(logging.INFO)
+    logger.handlers[:] = [Capture()]
+
+    cfg = JobConfig(
+        output_dir=str(tmp_path / "out"),
+        # reverse-alphabetical on purpose: sorted() would flip these
+        date_collections={"region": None, "nation": None},
+    )
+    totals = ExportJob(
+        spark, cfg, reader=lambda c: load_table(spark, sf_dir, c), logger=logger
+    ).run()
+    assert list(totals) == ["region", "nation"]
+    starts = [m for m in records if m.startswith("START ")]
+    assert starts == ["START region | query={}", "START nation | query={}"]
