@@ -2497,3 +2497,61 @@ def q_graph_linkpred(spark, sf):
         )
         .limit(20)
     )
+
+
+# ------------------------------------------- chi-square independence -------
+@q(
+    "q_stats_chi2",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT pri, st, o,
+             SUM(o) OVER (PARTITION BY pri) AS r,
+             SUM(o) OVER (PARTITION BY st) AS c,
+             SUM(o) OVER () AS n
+      FROM cells)
+    SELECT pri, st, o,
+           CAST(r * c AS BIGINT) AS expected_xn,
+           CAST((o * n - r * c) * (o * n - r * c) // (r * c) AS BIGINT)
+               AS contrib_xn
+    FROM m
+    """,
+)
+def q_stats_chi2(spark, sf):
+    # Chi-square test of independence between two categoricals (order
+    # priority × status) — the drift/bias gate for categorical columns
+    # ("did the label mix shift between snapshots / across a split?")
+    # that PSI (q_drift_psi) answers for binned continuous values. The
+    # whole statistic stays INTEGER: expected·N = r·c exactly, and each
+    # cell's contribution is ⌊(o·N − r·c)²/(r·c)⌋ — N·χ² after summing
+    # contrib_xn/N offline — so there is no float division to drift at
+    # cell boundaries (the "scale fractions to integers" rule; floor is
+    # identical `div`/`//` semantics in both engines for the
+    # non-negative operands here). Per-cell contributions are the
+    # DIAGNOSTIC output: the offending cells, not just the scalar.
+    #
+    # Scale: ONE map-combined aggregate over the fact produces the
+    # R×C contingency cells; margins come from window sums OVER THE
+    # CELLS (R·C rows — constant), never a second fact scan. Any pair
+    # of bounded-cardinality categoricals fits the identical plan.
+    o = T(spark, sf, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = (
+        cells.withColumn("r", F.sum("o").over(Window.partitionBy("pri")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("st")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    return m.select(
+        "pri",
+        "st",
+        "o",
+        (F.col("r") * F.col("c")).cast("bigint").alias("expected_xn"),
+        F.expr("div((o * n - r * c) * (o * n - r * c), r * c)")
+        .cast("bigint")
+        .alias("contrib_xn"),
+    )
