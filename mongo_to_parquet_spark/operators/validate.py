@@ -234,3 +234,53 @@ def profile_columns(
         f"stack({len(names)}, {stack_args}) "
         "as (col_name, n_nulls, n_distinct, min_repr, max_repr)"
     )
+
+
+def exact_kth_smallest(
+    df: DataFrame, col: str, k: int, buckets: int = 1024
+) -> int:
+    """EXACT k-th smallest of an integer column WITHOUT a global sort —
+    the 100 TB path for exact quantiles.
+
+    Spark's ``percentile`` aggregate buffers every value (exact but
+    memory-bound); a global sort is a full shuffle of the fact. This
+    instead narrows an integer value range by iterative HISTOGRAM
+    REFINEMENT: each round is ONE map-combined aggregate that buckets
+    the in-range rows into ≤``buckets`` cells (≤``buckets`` rows reach
+    the driver), picks the cell holding rank k, and recurses into it.
+    Rounds = ⌈log_buckets(range)⌉ — 3 full scans for a 32-bit domain at
+    B=1024, independent of row count; per-round driver state is the
+    bucket census (the kmeans/kcore scalar-probe exception).
+
+    When the bucket width reaches 1, the chosen cell IS the answer (a
+    single integer with count > 0 — an actual data value). Requires a
+    non-null integer-valued column; caller pre-scales decimals.
+    """
+    c = F.col(col)
+    row = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
+    ).collect()[0]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if n == 0 or not 1 <= k <= n:
+        raise ValueError(f"rank {k} out of range for {n} rows")
+    base = 0  # values known < lo from previous rounds
+    while hi > lo:
+        width = (hi - lo + buckets) // buckets  # ceil → width >= 1
+        census = dict(
+            df.filter(c.between(lo, hi))
+            .groupBy(((c - lo) / width).cast("bigint").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        cum = base
+        for b in sorted(census):
+            if cum + census[b] >= k:
+                new_lo = lo + b * width
+                hi = min(hi, new_lo + width - 1)
+                lo = new_lo
+                base = cum
+                break
+            cum += census[b]
+        else:  # pragma: no cover - counts always reach k by construction
+            raise AssertionError("rank not found in census")
+    return int(lo)

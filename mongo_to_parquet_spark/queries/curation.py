@@ -2555,3 +2555,53 @@ def q_stats_chi2(spark, sf):
         .cast("bigint")
         .alias("contrib_xn"),
     )
+
+
+# ----------------------------------------- sortless exact quantiles --------
+@q(
+    "q_agg_quantile_histogram",
+    """
+    WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS c
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k50,
+                 CAST((COUNT(*) * 9 + 9) // 10 AS BIGINT) AS k90
+          FROM v)
+    SELECT n.n, n.k50, n.k90,
+           (SELECT c FROM v ORDER BY c LIMIT 1 OFFSET (SELECT k50 - 1 FROM n))
+               AS median_cents,
+           (SELECT c FROM v ORDER BY c LIMIT 1 OFFSET (SELECT k90 - 1 FROM n))
+               AS p90_cents
+    FROM n
+    """,
+)
+def q_agg_quantile_histogram(spark, sf):
+    # EXACT median and p90 of a 100 TB-sized numeric column with NO
+    # global sort and NO value buffering: iterative histogram refinement
+    # (operators/validate.exact_kth_smallest) — each round one
+    # map-combined ≤1024-cell bucket census, ⌈log₁₀₂₄(range)⌉ ≈ 3 full
+    # scans per quantile for a 32-bit integer domain, driver state one
+    # census. Contrast the exact alternatives that DON'T scale: Spark's
+    # `percentile` buffers every value in the aggregation state, and a
+    # sort-based rank select shuffles the entire fact. The decimal
+    # column pre-scales to integer cents, so ranks and the recovered
+    # value are exact in both engines (the oracle ranks by OFFSET).
+    #
+    # Scale: rounds are sequential but each is an embarrassingly
+    # parallel scan; the between-filter prunes with column min/max
+    # statistics as the range narrows (later rounds read a shrinking
+    # row-group subset under parquet zone maps).
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    li = T(spark, sf, "lineitem")
+    v = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    n = v.count()
+    k50, k90 = (n + 1) // 2, (n * 9 + 9) // 10
+    med = exact_kth_smallest(v, "c", k50)
+    p90 = exact_kth_smallest(v, "c", k90)
+    return spark.createDataFrame(
+        [(n, k50, k90, med, p90)],
+        "n bigint, k50 bigint, k90 bigint, median_cents bigint, p90_cents bigint",
+    )

@@ -1136,3 +1136,32 @@ def test_cusum_window_telescoping_matches_recursion(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_exact_kth_smallest_matches_sort(spark):
+    """Histogram-refinement rank selection must equal the sorted answer
+    for arbitrary ranks, duplicate-heavy data, negatives, tight ranges
+    (all-equal → width-1 immediately) and tiny bucket counts (forces
+    many refinement rounds)."""
+    import random
+
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    rng = random.Random(11)
+    cases = [
+        [rng.randint(-50_000, 50_000) for _ in range(500)],
+        [7] * 40,                       # degenerate single value
+        [rng.choice([1, 2, 3]) for _ in range(100)],  # heavy duplicates
+        list(range(1, 11)),
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        ordered = sorted(vals)
+        for k in {1, len(vals) // 2 + 1, len(vals)}:
+            assert exact_kth_smallest(df, "c", k, buckets=8) == ordered[k - 1]
+    # out-of-range ranks refuse loudly
+    df = spark.createDataFrame([(1,)], "c long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_kth_smallest(df, "c", 2)
