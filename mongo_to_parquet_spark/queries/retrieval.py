@@ -1379,3 +1379,74 @@ def q_eval_ranking(spark, sf):
         .cast("bigint")
         .alias("ap_x2520"),
     )
+
+
+@q(
+    "q_eval_kmv_error",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type, {_sk.kmv_hash_sql('user_id')} AS h
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+          FROM d),
+    per AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS exact_n,
+                   CAST(COUNT(*) FILTER (WHERE rn <= {_sk.DEFAULT_K}) AS BIGINT) AS m,
+                   MAX(h) FILTER (WHERE rn <= {_sk.DEFAULT_K}) AS theta
+            FROM r GROUP BY event_type),
+    est AS (SELECT event_type, exact_n,
+                   {_sk.kmv_estimate_long_sql('m', 'theta', _sk.DEFAULT_K)} AS kmv_n
+            FROM per)
+    SELECT event_type, exact_n, kmv_n,
+           kmv_n - exact_n AS err,
+           CAST(ABS(kmv_n - exact_n) * 10000 // exact_n AS BIGINT)
+               AS abs_err_bp
+    FROM est
+    """,
+)
+def q_eval_kmv_error(spark, sf):
+    # The third leg of the evaluation pack (ANN recall, ranking metrics,
+    # and now SKETCH ACCURACY): per-group KMV distinct estimates audited
+    # against the exact distinct count — the measurement that justifies
+    # replacing exact distincts with sketches at scale ("k=64 costs this
+    # many basis points of error on THIS data"). One distinct shuffle on
+    # (group, hash) feeds BOTH sides: the exact count is the group's
+    # distinct-hash count, the sketch is the same relation's k-smallest
+    # window prefix — no second scan, and the error columns are pure
+    # integers (signed err + basis points via floor div).
+    #
+    # Scale: the audit is exact-side bound (a full distinct), so it runs
+    # on samples/slices in production while the sketch runs everywhere —
+    # same plan, narrower filter. The estimator and this audit share
+    # functions/sketch.py, so a k retune re-validates automatically.
+    from pyspark.sql import Window as W
+
+    k = _sk.DEFAULT_K
+    w = W.partitionBy("event_type").orderBy("h")
+    d = (
+        T(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", _sk.kmv_hash(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    infull = F.col("rn") <= k
+    per = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n"),
+        F.count(F.when(infull, 1)).cast("bigint").alias("m"),
+        F.max(F.when(infull, F.col("h"))).alias("theta"),
+    )
+    est = per.select(
+        "event_type",
+        "exact_n",
+        _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("kmv_n"),
+    )
+    return est.select(
+        "event_type",
+        "exact_n",
+        "kmv_n",
+        (F.col("kmv_n") - F.col("exact_n")).alias("err"),
+        F.expr("div(abs(kmv_n - exact_n) * 10000, exact_n)")
+        .cast("bigint")
+        .alias("abs_err_bp"),
+    )
