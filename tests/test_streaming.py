@@ -591,3 +591,45 @@ def test_stream_multi_sketch_atomic_fold(spark, sf_dir, tmp_path):
         map(hist_key, want["hist"].collect())
     )
     assert got2["batches"].count() == n_batches
+
+
+def test_multi_sketch_crash_recovery_atomicity(spark, sf_dir, tmp_path):
+    """Crash simulations around the multi-sketch swap: (a) a PARTIAL _tmp
+    (no top-level _SUCCESS — crash mid-materialization) must be discarded
+    in favor of the committed state; (b) a COMPLETE _tmp with current
+    already renamed away (crash between the two renames) must be adopted
+    with every table intact — including the batch ledger, so the additive
+    sketches cannot double-fold after recovery."""
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    state = str(tmp_path / "ms_state")
+    q = sk.stream_multi_sketch(
+        sw.replay_events(spark, sf_dir), "user_id", "event_type", "value",
+        state, str(tmp_path / "ck1"), hist_step=10.0,
+    )
+    q.awaitTermination(120)
+    committed = sk.read_multi_sketch(spark, state)
+    want = {
+        name: sorted(map(tuple, committed[name].collect()))
+        for name in ("kmv", "cms", "hist", "batches")
+    }
+
+    # (a) partial _tmp, current intact → _tmp discarded, state unchanged
+    cur, tmp = os.path.join(state, "current"), os.path.join(state, "_tmp")
+    shutil.copytree(cur, tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    got = sk.read_multi_sketch(spark, state)
+    for name in want:
+        assert sorted(map(tuple, got[name].collect())) == want[name]
+
+    # (b) crash BETWEEN renames: current moved to _old, complete _tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(cur, tmp)  # complete (_SUCCESS included)
+    os.rename(cur, os.path.join(state, "_old"))
+    got2 = sk.read_multi_sketch(spark, state)
+    for name in want:
+        assert sorted(map(tuple, got2[name].collect())) == want[name]
+    assert not os.path.exists(os.path.join(state, "_old"))
