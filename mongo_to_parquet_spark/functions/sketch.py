@@ -105,3 +105,37 @@ def kmv_estimate_long_sql(m: str, theta: str, k: int) -> str:
         f"CAST(CASE WHEN {m} < {k} THEN {m} "
         f"ELSE FLOOR(({k} - 1) * {U32}.0 / {theta}) END AS BIGINT)"
     )
+
+
+# ----------------------------------------------------- count-min bucket ----
+
+#: CMS geometry shared by the batch query (queries/retrieval.q_sketch_cms)
+#: and the streaming fold (streaming/sketches.stream_multi_sketch) — one
+#: definition so a retune cannot silently de-twin the two.
+CMS_W, CMS_D = 64, 4
+
+
+def cms_bucket(tok: Column, i, w: int = CMS_W) -> Column:
+    """Row-``i`` count-min bucket of token ``tok``: first 8 hex digits of
+    md5('cms' || i || ':' || tok) mod w — md5 exists in both engines, so
+    CMS cells are hash-checkable (unlike xxhash sketches)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), tok)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % w
+    )
+
+
+def cms_bucket_sql(tok_expr: str, i_expr: str, w: int = CMS_W) -> str:
+    """DuckDB twin of :func:`cms_bucket`."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cms', CAST({i_expr} AS VARCHAR), "
+        f"':', {tok_expr})), 1, 8)) AS BIGINT) % {w}"
+    )

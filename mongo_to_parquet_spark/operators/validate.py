@@ -266,9 +266,13 @@ def exact_kth_smallest(
     base = 0  # values known < lo from previous rounds
     while hi > lo:
         width = (hi - lo + buckets) // buckets  # ceil → width >= 1
+        # INTEGER bucket index: (c - lo) / width through double would
+        # mis-bucket once the range passes 2^53 (value near a bucket
+        # boundary rounds across it); div() keeps the whole contract in
+        # int64 like the driver-side range arithmetic below
         census = dict(
             df.filter(c.between(lo, hi))
-            .groupBy(((c - lo) / width).cast("bigint").alias("b"))
+            .groupBy(F.expr(f"div({col} - {int(lo)}L, {int(width)}L)").alias("b"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         )

@@ -2515,8 +2515,8 @@ def q_graph_linkpred(spark, sf):
       FROM cells)
     SELECT pri, st, o,
            CAST(r * c AS BIGINT) AS expected_xn,
-           CAST((o * n - r * c) * (o * n - r * c) // (r * c) AS BIGINT)
-               AS contrib_xn
+           CAST(CAST(o * n - r * c AS HUGEINT) * CAST(o * n - r * c AS HUGEINT)
+                // CAST(r * c AS HUGEINT) AS BIGINT) AS contrib_xn
     FROM m
     """,
 )
@@ -2530,8 +2530,13 @@ def q_stats_chi2(spark, sf):
     # contrib_xn/N offline — so there is no float division to drift at
     # cell boundaries (the "scale fractions to integers" rule; floor is
     # identical `div`/`//` semantics in both engines for the
-    # non-negative operands here). Per-cell contributions are the
-    # DIAGNOSTIC output: the offending cells, not just the scalar.
+    # non-negative operands here). The SQUARE is taken in 128-bit
+    # arithmetic (DECIMAL(38,0) / HUGEINT): o·N − r·c fits int64 up to
+    # N ≈ 3·10⁹ rows but its square does not — squaring in int64 wraps
+    # silently under Spark's div. Domain bound: the QUOTIENT (≈ N·χ²
+    # per cell) must fit int64 — safe for any real contingency table.
+    # Per-cell contributions are the DIAGNOSTIC output: the offending
+    # cells, not just the scalar.
     #
     # Scale: ONE map-combined aggregate over the fact produces the
     # R×C contingency cells; margins come from window sums OVER THE
@@ -2551,7 +2556,11 @@ def q_stats_chi2(spark, sf):
         "st",
         "o",
         (F.col("r") * F.col("c")).cast("bigint").alias("expected_xn"),
-        F.expr("div((o * n - r * c) * (o * n - r * c), r * c)")
+        F.expr(
+            "div(cast(o * n - r * c as decimal(38,0)) * "
+            "cast(o * n - r * c as decimal(38,0)), "
+            "cast(r * c as decimal(38,0)))"
+        )
         .cast("bigint")
         .alias("contrib_xn"),
     )

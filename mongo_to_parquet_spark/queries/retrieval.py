@@ -251,15 +251,16 @@ def q_embed_pq(spark, sf):
 
 
 # ----------------------------------------------------- frequency sketch ----
-_CMS_W, _CMS_D = 64, 4
+# geometry + bucket hash live in functions/sketch.py, SHARED with the
+# streaming fold (stream_multi_sketch) so a retune cannot de-twin them
+from mongo_to_parquet_spark.functions.sketch import (  # noqa: E402
+    CMS_D as _CMS_D,
+    CMS_W as _CMS_W,
+    cms_bucket as _cms_bucket,
+    cms_bucket_sql as _cms_bucket_sql,
+)
+
 _CMS_PROBES = ("join", "hash", "spark", "scan", "zzz_absent_token")
-
-
-def _cms_bucket_sql(tok_expr: str, i_expr: str) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('cms', CAST({i_expr} AS VARCHAR), "
-        f"':', {tok_expr})), 1, 8)) AS BIGINT) % {_CMS_W}"
-    )
 
 
 @q(
@@ -300,25 +301,7 @@ def q_sketch_cms(spark, sf):
     d = T(spark, sf, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     ii = F.array(*[F.lit(i) for i in range(_CMS_D)])
-
-    def bucket(tok_col, i_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cms"), i_col.cast("string"), F.lit(":"), tok_col
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
+    bucket = _cms_bucket
     cells = (
         toks.select("tok", F.explode(ii).alias("i"))
         .groupBy("i", bucket(F.col("tok"), F.col("i")).alias("b"))

@@ -129,25 +129,13 @@ def read_kmv_estimate(
 
 # ------------------------------------------------------ multi-sketch fold ---
 
-CMS_D = 4
-CMS_W = 64
-
-
-def _cms_bucket(tok, i):
-    """Row-``i`` CMS bucket of ``tok`` — md5-derived, identical to the
-    batch formulation in queries/retrieval.q_sketch_cms (salt "cms")."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), tok)),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % CMS_W
-    )
+# geometry + bucket hash SHARED with the batch query (q_sketch_cms)
+# through functions/sketch.py — one definition, retunes stay twinned
+from mongo_to_parquet_spark.functions.sketch import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_bucket as _cms_bucket,
+)
 
 
 def multi_sketch_batch(

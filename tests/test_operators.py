@@ -1165,3 +1165,17 @@ def test_exact_kth_smallest_matches_sort(spark):
 
     with _pytest.raises(ValueError):
         exact_kth_smallest(df, "c", 2)
+
+
+def test_exact_kth_smallest_beyond_double_precision(spark):
+    """Bucket indices must be computed in int64: values near bucket
+    boundaries in a > 2^53 range silently mis-bucket through double
+    division (v/width rounds across the boundary), corrupting the census
+    against the driver's exact integer range arithmetic."""
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    base = 1 << 60
+    vals = [0, base - 1, base, base + 1, (1 << 62) + 3, (1 << 62) + 4]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    for k, want in enumerate(sorted(vals), start=1):
+        assert exact_kth_smallest(df, "c", k, buckets=4) == want
