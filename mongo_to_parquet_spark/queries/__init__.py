@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_parquet_spark.queries import (
+    analytics,
     curation,
     lakehouse,
     llm,
@@ -43,7 +44,7 @@ from mongo_to_parquet_spark.queries import (
 
 _MODULES = (
     relational, tpch, retail, windows, scalars, stream, udf, llm, curation,
-    lakehouse, retrieval, sinks,
+    lakehouse, retrieval, sinks, analytics,
 )
 
 

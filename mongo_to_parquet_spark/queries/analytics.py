@@ -1,0 +1,488 @@
+"""Statistical / BI analytics pack (round 4 widening).
+
+Classical analytics the reference's consumers would otherwise take to a
+warehouse: market-basket association rules, one-way ANOVA, Benford
+first-digit auditing, autocorrelation, and truncated-exact EWMA smoothing.
+Same discipline as every other family (SURVEY §2.3 header): declarative
+DataFrame plans, oracle-exact determinism, a 100 TB scale note per query.
+
+Heritage: the reference has none of this (single-collection ETL,
+reference main.py:287-309); these extend the analytics surface over the
+exported tables.
+
+Cross-engine exactness notes used below (queries/__init__ docstring):
+  - sufficient statistics accumulate in Spark DECIMAL(38,0) / DuckDB
+    HUGEINT (exact, order-free), convert ONCE to double, then evaluate an
+    IDENTICAL expression tree on both engines (q_stats_regression pattern);
+  - any double sum whose operand count exceeds one row per group is
+    replaced by an ORDERED left fold (sort_array+aggregate / list(ORDER
+    BY)+list_reduce) so IEEE addition order is pinned on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mongo_to_parquet_spark.sources.catalog import load_table as T
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if sql is not None:
+            ORACLE[key] = sql
+        return fn
+    return deco
+
+
+# ------------------------------------------------- association rules ------
+@q(
+    "q_assoc_rules",
+    """
+    WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+    ic AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob GROUP BY b),
+    pc AS (SELECT a.b AS u, c.b AS v, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+           FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+           GROUP BY a.b, c.b),
+    rules AS (SELECT u AS antecedent, v AS consequent, pair_cnt FROM pc
+              UNION ALL
+              SELECT v AS antecedent, u AS consequent, pair_cnt FROM pc)
+    SELECT antecedent, consequent, pair_cnt,
+           ia.cnt AS ante_cnt, ib.cnt AS cons_cnt, n.n_baskets,
+           ROUND(CAST(pair_cnt AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 4)
+               AS support,
+           ROUND(CAST(pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 4)
+               AS confidence,
+           ROUND((CAST(pair_cnt AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+                 / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 4)
+               AS lift
+    FROM rules
+    JOIN ic ia ON rules.antecedent = ia.b
+    JOIN ic ib ON rules.consequent = ib.b
+    CROSS JOIN n
+    WHERE pair_cnt * 100 >= n.n_baskets
+    ORDER BY lift DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def q_assoc_rules(spark, sf):
+    # Market-basket association rules over order baskets (basket = the
+    # distinct part brands in one order): top-20 rules A=>B with >=1%
+    # support, scored by support/confidence/lift. The oracle states pair
+    # counting as the O(basket^2) self-join; the engine never self-joins:
+    # each order's distinct brands are collected into ONE sorted array
+    # (collect_set dedupes in-agg) and ordered pairs are generated
+    # map-side via posexplode + slice (the q_graph_triangles edge-build
+    # pattern — one groupBy(order) shuffle replaces the self-join's two).
+    #
+    # Scale: the fact shuffles exactly once (groupBy order); per-basket
+    # pair fan-out is O(basket^2) with basket = items per order — data-
+    # bounded, not corpus-bounded, so no skew hazard. Item counts and the
+    # basket total are O(#brands) and O(1); both re-join broadcast. The
+    # 1%-support threshold is evaluated as integer pair_cnt*100 >= N —
+    # no float at the cut boundary. Brand dim attach is a broadcast of
+    # the slim (partkey, brand) projection.
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = T(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
+    )
+    baskets = ob.groupBy("ok").agg(F.sort_array(F.collect_set("b")).alias("bs"))
+    pairs = (
+        baskets.select(F.posexplode("bs").alias("i", "u"), "bs")
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("bs"), F.col("i") + F.lit(2), F.size("bs"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    ic = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    # both rule directions from ONE pass over the counted pairs — a
+    # union of two selects would duplicate the whole pairs subtree in
+    # the static plan (AQE ReuseExchange repairs it at runtime, but the
+    # single-Generate form needs no repairing)
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("antecedent"), F.col("v").alias("consequent")
+                ),
+                F.struct(
+                    F.col("v").alias("antecedent"), F.col("u").alias("consequent")
+                ),
+            )
+        ).alias("r"),
+        "pair_cnt",
+    ).select("r.antecedent", "r.consequent", "pair_cnt")
+    ia = F.broadcast(ic.select(F.col("b").alias("antecedent"), F.col("cnt").alias("ante_cnt")))
+    ib = F.broadcast(ic.select(F.col("b").alias("consequent"), F.col("cnt").alias("cons_cnt")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        rules.join(ia, "antecedent")
+        .join(ib, "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("pair_cnt") * 100 >= F.col("n_baskets"))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            "ante_cnt",
+            "cons_cnt",
+            "n_baskets",
+            F.round(d("pair_cnt") / d("n_baskets"), 4).alias("support"),
+            F.round(d("pair_cnt") / d("ante_cnt"), 4).alias("confidence"),
+            F.round(
+                (d("pair_cnt") * d("n_baskets")) / (d("ante_cnt") * d("cons_cnt")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------- one-way ANOVA -------
+@q(
+    "q_stats_anova",
+    """
+    WITH t AS (SELECT l_returnflag AS flag,
+                      CAST(l_quantity AS BIGINT) - 25 AS x
+               FROM lineitem),
+    g AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS ng,
+                 SUM(CAST(x AS HUGEINT)) AS sg,
+                 SUM(CAST(x AS HUGEINT) * x) AS qg
+          FROM t GROUP BY flag),
+    a AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS k_groups,
+                 CAST(SUM(ng) AS DOUBLE) AS nd,
+                 CAST(SUM(sg) AS DOUBLE) AS sd,
+                 CAST(SUM(qg) AS DOUBLE) AS qd,
+                 CAST(COUNT(*) AS DOUBLE) AS kd,
+                 list_reduce(
+                     list((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                          * CAST(sg AS DOUBLE) ORDER BY flag),
+                     (x, y) -> x + y) AS tt
+          FROM g)
+    SELECT n_rows, k_groups,
+           ROUND(tt - (sd / nd) * sd, 4) AS ssb,
+           ROUND(qd - tt, 4) AS ssw,
+           ROUND(((tt - (sd / nd) * sd) / (kd - 1))
+                 / ((qd - tt) / (nd - kd)), 4) AS f_stat,
+           ROUND((tt - (sd / nd) * sd) / (qd - (sd / nd) * sd), 4) AS eta_sq
+    FROM a
+    """,
+)
+def q_stats_anova(spark, sf):
+    # One-way ANOVA of l_quantity across return-flag groups: F statistic
+    # + effect size (eta^2) from per-group sufficient statistics. x is
+    # SHIFTED by the integer constant 25 (~ the quantity mean) before
+    # accumulating — ANOVA is shift-invariant, and centering keeps the
+    # exact integer sums (and their squares) small enough that the
+    # sufficient statistics stay far from the 128-bit ceiling at any
+    # realistic scale. Doubles appear ONCE, after aggregation; the only
+    # multi-operand double sum (sum over groups of Sg^2/ng) is an ORDERED
+    # left fold over the flag-sorted group list, so IEEE addition order —
+    # and hence the unrounded intermediate — is identical on both engines
+    # (init 0.0 + t1 == t1 exactly, so Spark's init-carrying fold matches
+    # DuckDB's initless list_reduce).
+    #
+    # Scale: one partial-aggregated groupBy over the fact produces k rows
+    # of fixed-width integer state; everything after is O(k) driver-size
+    # arithmetic in a single final agg. No second scan, no window.
+    li = T(spark, sf, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_quantity").cast("bigint") - 25).alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = t.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(dec(F.col("x"))).alias("sg"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("qg"),
+    )
+    term = (F.col("sg").cast("double") / F.col("ng").cast("double")) * F.col(
+        "sg"
+    ).cast("double")
+    a = g.select("flag", "ng", "sg", "qg", term.alias("term")).agg(
+        F.sum("ng").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("ng").cast("double").alias("nd"),
+        F.sum("sg").cast("double").alias("sd"),
+        F.sum("qg").cast("double").alias("qd"),
+        F.count(F.lit(1)).cast("double").alias("kd"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("flag", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("tt"),
+    )
+    tt, sd, nd = F.col("tt"), F.col("sd"), F.col("nd")
+    qd, kd = F.col("qd"), F.col("kd")
+    ssb = tt - (sd / nd) * sd
+    return a.select(
+        "n_rows",
+        "k_groups",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(qd - tt, 4).alias("ssw"),
+        F.round((ssb / (kd - 1)) / ((qd - tt) / (nd - kd)), 4).alias("f_stat"),
+        F.round(ssb / (qd - (sd / nd) * sd), 4).alias("eta_sq"),
+    )
+
+
+# ------------------------------------------------- Benford digit audit ----
+_BENFORD = {
+    1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792,
+    6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458,
+}
+_BENFORD_VALUES = ", ".join(f"({d}, {s})" for d, s in _BENFORD.items())
+
+@q(
+    "q_stats_benford",
+    f"""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM c GROUP BY 1),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM obs),
+    exp AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) v(digit, benford_share))
+    SELECT exp.digit, COALESCE(cnt, 0) AS cnt,
+           ROUND(CAST(COALESCE(cnt, 0) AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 4) AS obs_share,
+           benford_share,
+           ROUND((CAST(COALESCE(cnt, 0) AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                 / benford_share, 4) AS excess_ratio
+    FROM exp LEFT JOIN obs ON exp.digit = obs.digit CROSS JOIN n
+    ORDER BY exp.digit
+    """,
+)
+def q_stats_benford(spark, sf):
+    # Benford's-law first-digit audit of order totals — the forensic
+    # data-quality screen for fabricated/truncated numeric columns.
+    # Observed first-significant-digit shares vs the Benford expectation
+    # (log10(1+1/d), materialized as shared 4dp literals on BOTH engines
+    # so no libm log enters any output — __init__ rule). First digit is
+    # taken from the integer-cents string, so there is no float log/pow
+    # anywhere; all nine digits are emitted even at zero count (LEFT
+    # JOIN from the literal digit table).
+    #
+    # Scale: one partial-aggregated groupBy to 9 rows, then O(1)
+    # broadcast assembly against the 9-row literal dim. Nothing else
+    # touches the fact.
+    o = T(spark, sf, "orders")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+        )
+        .groupBy(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # total via a global window over the 9-row census — NOT a second
+    # aggregate branch, which would re-scan the fact (the subtrees
+    # differ, so ReuseExchange cannot dedupe them)
+    obs = obs.withColumn(
+        "n_rows", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    )
+    exp = spark.createDataFrame(
+        [(d, s) for d, s in _BENFORD.items()], "digit bigint, benford_share double"
+    )
+    cnt = F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))
+    share = cnt.cast("double") / F.col("n_rows").cast("double")
+    return (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .withColumn("n_rows", F.max("n_rows").over(Window.partitionBy()))
+        .select(
+            "digit",
+            cnt.alias("cnt"),
+            F.round(share, 4).alias("obs_share"),
+            "benford_share",
+            F.round(share / F.col("benford_share"), 4).alias("excess_ratio"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ----------------------------------------------------- autocorrelation ----
+_ACF_LAGS = 7
+
+@q(
+    "q_ts_acf",
+    f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS HUGEINT)) AS x
+               FROM orders GROUP BY day),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM d),
+    c AS (SELECT day, n_days, n * x - sx AS dev FROM d CROSS JOIN s),
+    l AS (SELECT n_days, dev,
+                 {", ".join(f"lag(dev, {k}) OVER w AS l{k}" for k in range(1, _ACF_LAGS + 1))}
+          FROM c WINDOW w AS (ORDER BY day)),
+    a AS (SELECT MIN(n_days) AS n_days, SUM(dev * dev) AS den,
+                 {", ".join(f"SUM(dev * l{k}) AS num{k}" for k in range(1, _ACF_LAGS + 1))}
+          FROM l)
+    {" UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, n_days, "
+        f"ROUND(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf FROM a"
+        for k in range(1, _ACF_LAGS + 1)
+    )}
+    """,
+)
+def q_ts_acf(spark, sf):
+    # Sample autocorrelation of the daily-revenue series at lags 1..7 —
+    # the seasonality screen run before any forecasting model. Exact
+    # fixed-point formulation: with S = sum(x), deviations are scaled to
+    # integers as dev_t = n*x_t - S (the n^2 factor cancels in the
+    # ratio), accumulated in DECIMAL(38,0)/HUGEINT, and each r_k =
+    # sum(dev_t * dev_{t-k}) / sum(dev_t^2) becomes ONE int128->double
+    # division, rounded 4dp. Domain bound: |dev| <= n*max_daily_cents
+    # must square-sum under 1e38 — holds to ~1e5 days x 1e13 cents/day.
+    #
+    # Scale: the fact collapses to one row per day in a partial-
+    # aggregated groupBy; the lag window's single global sort runs on
+    # that day-sized series (O(years*365) rows — driver-small however
+    # large the fact is), and the final agg is one row. Lagged products
+    # with NULL (the first k rows) drop out of SUM on both engines.
+    o = T(spark, sf, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("x")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    c = d.crossJoin(F.broadcast(s)).select(
+        "day", "n_days", (F.col("n") * F.col("x") - F.col("sx")).alias("dev")
+    )
+    w = Window.orderBy("day")
+    lags = c.select(
+        "n_days",
+        "dev",
+        *[F.lag("dev", k).over(w).alias(f"l{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    a = lags.agg(
+        F.min("n_days").alias("n_days"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"l{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col("n_days").alias("n_days"),
+                F.round(
+                    F.col(f"num{k}").cast("double") / F.col("den").cast("double"), 4
+                ).alias("acf"),
+            )
+            for k in range(1, _ACF_LAGS + 1)
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.lag", "r.n_days", "r.acf")
+
+
+# ------------------------------------------------- truncated-exact EWMA ----
+_EWMA_K = 16  # window length; weight of the i-th most recent point: 2^(K-1-i)
+
+@q(
+    "q_ts_ewma",
+    f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS x_cents
+               FROM orders GROUP BY day),
+    l AS (SELECT day, x_cents,
+                 {", ".join(f"lag(x_cents, {i}) OVER w AS g{i}" for i in range(_EWMA_K))}
+          FROM d WINDOW w AS (ORDER BY day)),
+    e AS (SELECT day, x_cents,
+                 {" + ".join(f"COALESCE(CAST(g{i} AS HUGEINT), 0) * {1 << (_EWMA_K - 1 - i)}" for i in range(_EWMA_K))} AS num,
+                 CAST({" + ".join(f"CASE WHEN g{i} IS NULL THEN 0 ELSE {1 << (_EWMA_K - 1 - i)} END" for i in range(_EWMA_K))} AS HUGEINT) AS den
+          FROM l)
+    SELECT CAST(day AS VARCHAR) AS day, x_cents,
+           CAST((num * 20000 + den) // (den * 2) AS DOUBLE) / 10000.0 AS ewma
+    FROM e
+    """,
+)
+def q_ts_ewma(spark, sf):
+    # Exponentially-weighted moving average (alpha = 1/2) of daily
+    # revenue, truncated to the last 16 points so it is EXACT: with
+    # power-of-two weights 2^15..2^0 the weighted numerator is a plain
+    # integer sum (no float recursion to drift), normalized by the sum of
+    # the weights actually present (so the series head uses its true
+    # partial-window weighting rather than a damped start-up bias). The
+    # dropped tail beyond 16 points carries < 2^-16 of the weight — below
+    # the 4dp output grid for any series whose dynamic range is < 2^16.
+    # One division int128 -> double at the end, rounded 4dp.
+    #
+    # Scale: same shape as q_ts_acf — the fact collapses to the day
+    # series in one partial agg; the 16 lags share ONE window ordering
+    # (single sort over O(days) rows, driver-small); per-row arithmetic
+    # is a fixed 16-term integer expression. For per-key smoothing the
+    # same window takes a partitionBy(key) and distributes freely.
+    o = T(spark, sf, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x_cents")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day",
+        "x_cents",
+        *[F.lag("x_cents", i).over(w).alias(f"g{i}") for i in range(_EWMA_K)],
+    )
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - i)
+        ni = F.coalesce(
+            F.col(f"g{i}").cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+        ) * F.lit(wt).cast("decimal(38,0)")
+        di = F.when(F.col(f"g{i}").isNull(), F.lit(0)).otherwise(F.lit(wt))
+        num = ni if num is None else num + ni
+        den = di if den is None else den + di
+    lagged = lagged.withColumn("num", num).withColumn(
+        "den", den.cast("decimal(38,0)")
+    )
+    # ISO string for the date output (cross-engine dtype rule — Spark
+    # DATE surfaces as python objects, DuckDB as datetime64). The 4dp
+    # rounding happens HALF-UP IN EXACT INTEGER SPACE — round(num/den, 4)
+    # on the double quotient diverges between engines when the true
+    # rational lands on a 4dp half-point (measured: ...7.83505 →
+    # Spark .8351 / DuckDB .835); div(num*20000 + den, 2*den) is the
+    # same half-up rule with no float anywhere, and the final
+    # int→double / 10000.0 is the identical two-op tree on both engines.
+    return lagged.select(
+        F.col("day").cast("string").alias("day"),
+        "x_cents",
+        (
+            F.expr("div(num * 20000 + den, den * 2)").cast("double") / 10000.0
+        ).alias("ewma"),
+    ).drop("num", "den")

@@ -595,3 +595,46 @@ def test_eval_ann_recall_windowed_topk_and_broadcast_overlap(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_eval_ann_recall"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_mapside_pairs_no_self_join(spark, sf_dir):
+    # basket pairs are generated map-side (Generate over the per-order
+    # sorted array) — the oracle's O(basket^2) self-join never appears;
+    # every dimension attach (item counts, basket total) broadcasts
+    plan = checks.formatted_plan(QS["q_assoc_rules"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anova_single_scan_partial_agg(spark, sf_dir):
+    # one pass over the fact: sufficient statistics partial-aggregate
+    # map-side; no window, no join, no second scan
+    df = QS["q_stats_anova"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "partial" in plan  # map-side combine on the groupBy
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_benford_single_scan_broadcast_assembly(spark, sf_dir):
+    # fact → 9-row digit census once; literal dim + total attach via
+    # broadcast, never a shuffle join
+    df = QS["q_stats_benford"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_acf_windows_after_day_aggregation(spark, sf_dir):
+    # the global-sort window runs on the post-agg day series (partial
+    # agg collapses the fact first); all 7 lags share ONE Window node
+    df = QS["q_ts_acf"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Window") == 1
+    assert "partial" in plan
+
+
+def test_ewma_sixteen_lags_share_one_window(spark, sf_dir):
+    df = QS["q_ts_ewma"](spark, sf_dir)
+    assert checks.count_nodes(df, "Window") == 1
