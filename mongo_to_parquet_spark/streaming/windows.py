@@ -127,6 +127,52 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
+def window_topk(
+    events: DataFrame, k: int = 3, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-hour top-k event types by count — CHAINED stateful aggregation.
+
+    Two streaming aggregations in one query (Spark's multi-stateful-
+    operator support): the per-(window, type) count feeds a second
+    aggregation keyed on ``window_time`` of the first window, which keeps
+    only the k heaviest types per window (count desc, type asc tiebreak)
+    via a sorted-struct slice — so the top-k selection is itself
+    incrementalized in the state store, not a foreachBatch afterthought.
+
+    Scale: state is (windows in watermark horizon) x (type cardinality)
+    fixed-width rows for stage 1 and k structs per open window for stage
+    2 — both bounded; no per-event retention anywhere. The same plan
+    shape gives streaming heavy-hitters for any keyed census.
+    """
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = (
+        counts.groupBy(F.window(F.window_time("w"), "1 hour").alias("w2"))
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "event_type"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(
+            F.unix_timestamp(F.col("w2.start")).alias("bucket_start"),
+            F.posexplode("top").alias("pos", "t"),
+        )
+    )
+    return ranked.select(
+        "bucket_start",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.event_type").alias("event_type"),
+        (-F.col("t.neg")).cast("bigint").alias("cnt"),
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state (late dupes
     beyond the watermark are dropped rather than tracked forever)."""

@@ -633,3 +633,45 @@ def test_multi_sketch_crash_recovery_atomicity(spark, sf_dir, tmp_path):
     for name in want:
         assert sorted(map(tuple, got2[name].collect())) == want[name]
     assert not os.path.exists(os.path.join(state, "_old"))
+
+
+def test_streaming_window_topk_chained_aggregation(spark, sf_dir):
+    """Chained stateful aggregation (count-per-window -> top-k-per-window):
+    every emitted row matches the batch top-k, and every bucket certainly
+    closed by the watermark is emitted (append mode only flushes closed
+    windows, so the comparison is watermark-aware rather than complete)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("w").orderBy(F.desc("cnt"), F.asc("event_type"))
+        ),
+    ).filter(F.col("rank") <= 3)
+    batch = {
+        (r["bs"], r["rank"]): (r["event_type"], r["cnt"])
+        for r in ranked.select(
+            F.unix_timestamp("w.start").alias("bs"), "rank", "event_type", "cnt"
+        ).collect()
+    }
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+
+    stream = sw.window_topk(sw.replay_events(spark, sf_dir), k=3, watermark="2 hours")
+    rows = sw.run_to_completion(stream, mode="append")
+    got = {(r["bucket_start"], r["rank"]): (r["event_type"], r["cnt"]) for r in rows}
+
+    assert got, "append-mode stream emitted nothing"
+    for key, val in got.items():
+        assert batch[key] == val, f"stream diverges from batch at {key}"
+    # buckets whose window end precedes the final watermark MUST be flushed
+    closed = {
+        k for k in batch if k[0] + 3600 <= max_ts - 7200 - 3600
+    }
+    assert closed <= got.keys()
