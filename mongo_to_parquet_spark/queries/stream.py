@@ -189,6 +189,146 @@ def q_funnel(spark, sf):
     )
 
 
+def window_funnel_levels(e, horizon_us: int, steps=("view", "click", "purchase")):
+    """Per-user max funnel level for the 3-step chain within ``horizon_us``
+    of the anchor (q_funnel_window's core; property-tested against brute-
+    force chain enumeration in tests/test_properties.py).
+
+    ``e`` must have columns (user_id, event_type, tsu:long). Returns
+    (user_id, lvl) with lvl in {1,2,3} for every user having a step-1
+    event.
+    """
+    s1, s2, s3 = steps
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    n = e.select(
+        "user_id",
+        "event_type",
+        "tsu",
+        F.min(F.when(F.col("event_type") == s2, F.col("tsu"))).over(w).alias("nc"),
+        F.min(F.when(F.col("event_type") == s3, F.col("tsu"))).over(w).alias("np"),
+    )
+    anchors = n.filter(F.col("event_type") == s1).select("user_id", "tsu", "nc")
+    clicks = (
+        n.filter(F.col("event_type") == s2)
+        .select("user_id", F.col("tsu").alias("ctsu"), "np")
+        .distinct()
+    )
+    lv = anchors.join(
+        clicks,
+        (anchors.user_id == clicks.user_id) & (clicks.ctsu == anchors.nc),
+        "left",
+    ).select(
+        anchors.user_id,
+        F.when(
+            F.col("np").isNotNull() & (F.col("np") <= anchors.tsu + horizon_us), 3
+        )
+        .when(F.col("nc").isNotNull() & (F.col("nc") <= anchors.tsu + horizon_us), 2)
+        .otherwise(1)
+        .alias("lvl"),
+    )
+    return lv.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+
+
+@q(
+    "q_funnel_window",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsu
+               FROM events),
+    n AS (SELECT user_id, event_type, tsu,
+                 MIN(CASE WHEN event_type = 'click' THEN tsu END) OVER w AS nc,
+                 MIN(CASE WHEN event_type = 'purchase' THEN tsu END) OVER w AS np
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    anchors AS (SELECT user_id, tsu, nc FROM n WHERE event_type = 'view'),
+    clicks AS (SELECT DISTINCT user_id, tsu, np FROM n
+               WHERE event_type = 'click'),
+    lv AS (SELECT a.user_id,
+                  CASE WHEN c.np IS NOT NULL
+                            AND c.np <= a.tsu + 86400000000 THEN 3
+                       WHEN a.nc IS NOT NULL
+                            AND a.nc <= a.tsu + 86400000000 THEN 2
+                       ELSE 1 END AS lvl
+           FROM anchors a
+           LEFT JOIN clicks c ON a.user_id = c.user_id AND c.tsu = a.nc),
+    ul AS (SELECT user_id, MAX(lvl) AS lvl FROM lv GROUP BY user_id),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2,
+                   CAST(SUM(CASE WHEN lvl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n3
+            FROM ul)
+    SELECT CAST(1 AS INT) AS step, 'view' AS stage, n1 AS n_users,
+           ROUND(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS share
+    FROM agg
+    UNION ALL
+    SELECT CAST(2 AS INT), 'view>click<=24h', n2,
+           ROUND(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) FROM agg
+    UNION ALL
+    SELECT CAST(3 AS INT), 'view>click>purchase<=24h', n3,
+           ROUND(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) FROM agg
+    """,
+)
+def q_funnel_window(spark, sf):
+    # windowFunnel (ClickHouse-style) — q_funnel's ordered stages PLUS a
+    # bounded conversion window: a user reaches level 3 iff some view is
+    # followed by a click then a purchase, all within 24h OF THAT VIEW.
+    # Greedy-earliest is provably optimal per anchor (if any chain from
+    # anchor v fits the window, the chain through the EARLIEST click
+    # after v and the earliest purchase after that click also fits — an
+    # exchange argument), so two "next event of type X strictly after
+    # me" attributes decide every anchor exactly. Both next-event
+    # attributes come from ONE window ordering (house rule: frames
+    # differing only in the CASE share a single sort), with RANGE
+    # BETWEEN 1 FOLLOWING on integer microseconds so "strictly later"
+    # is tie-safe and deterministic — no ROWS-frame dependence on the
+    # order of equal timestamps. The purchase-after-the-click lookup is
+    # function COMPOSITION (np of the click nc points at), resolved by
+    # one equi-join of view anchors to click rows on (user, tsu=nc) —
+    # same-(user,tsu) click duplicates collapse first (their RANGE frame
+    # is identical, so np is too).
+    #
+    # Scale: one shuffle for the per-user window, one user-keyed equi
+    # join of two already-partitioned projections of it (the shuffle
+    # partitioning is reused), then user-sized aggregates down to one
+    # row. No per-anchor scan, no time-range join explosion; per-user
+    # state is the event stream itself, never materialized as pairs.
+    e = _events_ltz(spark, sf).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tsu")
+    )
+    ul = window_funnel_levels(e, horizon_us=24 * 3600 * 1000000)
+    agg = ul.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("lvl") >= 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("lvl") >= 3, 1).otherwise(0)).cast("bigint").alias("n3"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("step"),
+                F.lit(name).alias("stage"),
+                F.col(c).alias("n_users"),
+                F.round(F.col(c).cast("double") / F.col("n1").cast("double"), 4).alias(
+                    "share"
+                ),
+            )
+            for s, name, c in [
+                (1, "view", "n1"),
+                (2, "view>click<=24h", "n2"),
+                (3, "view>click>purchase<=24h", "n3"),
+            ]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.stage", "r.n_users", "r.share"
+    )
+
+
 @q(
     "q_retention_cohort",
     """

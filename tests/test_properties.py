@@ -691,3 +691,53 @@ def test_kmv_hash_null_parity(spark):
         ).fetchall()
     )
     assert want[None] is None and want["x"] == got["x"]
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(0, 30),                     # ts (small so ties happen)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(funnel_events, st.integers(1, 12))
+@settings(**_SETTINGS)
+def test_window_funnel_equals_bruteforce(spark, data, horizon):
+    # the greedy-earliest window-funnel plan (one window + one equi-join)
+    # must equal brute-force enumeration of ALL (view, click, purchase)
+    # chains with strictly increasing ts and p.ts <= v.ts + horizon
+    from mongo_to_parquet_spark.queries.stream import window_funnel_levels
+
+    expected = {}
+    by_user: dict[int, list] = {}
+    for u, t, ts in data:
+        by_user.setdefault(u, []).append((t, ts))
+    for u, evs in by_user.items():
+        views = [ts for t, ts in evs if t == "view"]
+        if not views:
+            continue
+        lvl = 1
+        for v in views:
+            for c in (ts for t, ts in evs if t == "click" and ts > v):
+                if c <= v + horizon:
+                    lvl = max(lvl, 2)
+                for p in (ts for t, ts in evs if t == "purchase" and ts > c):
+                    if p <= v + horizon:
+                        lvl = max(lvl, 3)
+        expected[u] = lvl
+
+    if data:
+        df = spark.createDataFrame(
+            [Row(user_id=u, event_type=t, tsu=ts) for u, t, ts in data]
+        )
+    else:
+        df = spark.createDataFrame([], "user_id: bigint, event_type: string, tsu: bigint")
+    got = {
+        r["user_id"]: r["lvl"]
+        for r in window_funnel_levels(df, horizon_us=horizon).collect()
+    }
+    assert got == expected
