@@ -29,6 +29,12 @@ Shape provenance per query (TPC-DS query numbers are the spec's):
   - q_ds_cumulative_crossover → Q51 (two channels' cumulative series
                                  full-outer aligned with ignore-nulls
                                  gap fill; overtake days reported)
+  - q_ds_timeband_counts      → Q88 (8 filtered-count subqueries fused
+                                 into one conditional aggregate)
+  - q_ds_basket_buckets       → Q34/Q73 (order-size buckets per sales
+                                 attribute; orderkey-co-partitioned join)
+  - q_ds_hour_ratio           → Q90 (am/pm activity ratio, NULL-guarded
+                                 division)
 
 Determinism (the cross-engine conventions from queries/__init__.py):
 money sums in DECIMAL cast to DOUBLE at the end; ratios as
@@ -665,3 +671,136 @@ def q_ds_cumulative_crossover(spark, sf):
             F.round(F.col("cum_machinery").cast("double"), 2).alias("cum_machinery"),
         )
     )
+
+
+# ----------------------------------------------- Q88: time-band report ----
+@q(
+    "q_ds_timeband_counts",
+    """
+    WITH e AS (SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   AS h
+               FROM events WHERE event_type <> 'error')
+    SELECT CAST(SUM(CASE WHEN h BETWEEN 0  AND 2  THEN 1 ELSE 0 END) AS BIGINT) AS h0_2,
+           CAST(SUM(CASE WHEN h BETWEEN 3  AND 5  THEN 1 ELSE 0 END) AS BIGINT) AS h3_5,
+           CAST(SUM(CASE WHEN h BETWEEN 6  AND 8  THEN 1 ELSE 0 END) AS BIGINT) AS h6_8,
+           CAST(SUM(CASE WHEN h BETWEEN 9  AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS h9_11,
+           CAST(SUM(CASE WHEN h BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS BIGINT) AS h12_14,
+           CAST(SUM(CASE WHEN h BETWEEN 15 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS h15_17,
+           CAST(SUM(CASE WHEN h BETWEEN 18 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS h18_20,
+           CAST(SUM(CASE WHEN h BETWEEN 21 AND 23 THEN 1 ELSE 0 END) AS BIGINT) AS h21_23
+    FROM e
+    """,
+)
+def q_ds_timeband_counts(spark, sf):
+    # TPC-DS Q88 shape: the spec writes EIGHT separate filtered-count
+    # subqueries cross-joined into one row; the engine fuses them into
+    # ONE conditional aggregate over ONE scan — the canonical
+    # multi-band report rewrite (same fusion discipline as
+    # q_ds_yoy_growth's join-free pivot). Eight counts, zero joins.
+    #
+    # Scale: single map-combined aggregate; the shuffle carries 8
+    # integers per map partition. The filter prunes before the scan
+    # (PushedFilters on event_type).
+    e = T(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    h = F.hour("ts")
+    bands = [(0, 2), (3, 5), (6, 8), (9, 11), (12, 14), (15, 17), (18, 20), (21, 23)]
+    return e.filter(F.col("event_type") != "error").agg(
+        *[
+            F.sum(F.when(h.between(lo, hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"h{lo}_{hi}")
+            for lo, hi in bands
+        ]
+    )
+
+
+# ------------------------------------- Q34/Q73: basket-size distribution ---
+@q(
+    "q_ds_basket_buckets",
+    """
+    WITH per_order AS (SELECT l_orderkey AS ok, COUNT(*) AS n_items
+                       FROM lineitem GROUP BY l_orderkey),
+    b AS (SELECT o.o_orderpriority,
+                 CASE WHEN p.n_items <= 3 THEN '1-3'
+                      WHEN p.n_items <= 6 THEN '4-6'
+                      ELSE '7+' END AS bucket
+          FROM per_order p JOIN orders o ON p.ok = o.o_orderkey)
+    SELECT o_orderpriority, bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY o_orderpriority, bucket
+    ORDER BY o_orderpriority, bucket
+    """,
+)
+def q_ds_basket_buckets(spark, sf):
+    # TPC-DS Q34/Q73 shape: order-size distribution per sales attribute
+    # (basket buckets 1-3 / 4-6 / 7+ per order priority). The per-order
+    # item census is the only fact-sized aggregate; the join back to
+    # orders is keyed on o_orderkey — the natural co-partitioning key —
+    # and the final (priority, bucket) aggregate is 15 rows.
+    #
+    # Scale: lineitem shuffles once on orderkey (map-combined count);
+    # the join with orders is orderkey-to-orderkey, so with bucketed or
+    # AQE-partitioned storage neither side re-shuffles more than once,
+    # and skew is impossible (one row per orderkey on the build side).
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    bucket = (
+        F.when(F.col("n_items") <= 3, "1-3")
+        .when(F.col("n_items") <= 6, "4-6")
+        .otherwise("7+")
+    )
+    return (
+        per_order.join(o, per_order.ok == o.o_orderkey)
+        .select("o_orderpriority", bucket.alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+# --------------------------------------------- Q90: time-of-day ratio -----
+@q(
+    "q_ds_hour_ratio",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          AS h
+               FROM events),
+    a AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN h BETWEEN 6 AND 11 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS am_cnt,
+                 CAST(SUM(CASE WHEN h BETWEEN 18 AND 23 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pm_cnt
+          FROM e GROUP BY event_type)
+    SELECT event_type, am_cnt, pm_cnt,
+           ROUND(CAST(am_cnt AS DOUBLE) / CAST(NULLIF(pm_cnt, 0) AS DOUBLE), 4)
+               AS am_pm_ratio
+    FROM a ORDER BY event_type
+    """,
+)
+def q_ds_hour_ratio(spark, sf):
+    # TPC-DS Q90 shape: morning/evening activity ratio per type — the
+    # spec's two filtered scalar subqueries fused into one conditional
+    # aggregate (as in q_ds_timeband_counts), with the division NULL-
+    # guarded identically on both engines (NULLIF, not a CASE, so the
+    # NULL propagates through ROUND the same way).
+    #
+    # Scale: one map-combined groupBy to |event_type| rows; nothing else.
+    e = T(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    h = F.hour("ts")
+    a = e.groupBy("event_type").agg(
+        F.sum(F.when(h.between(6, 11), 1).otherwise(0)).cast("bigint").alias("am_cnt"),
+        F.sum(F.when(h.between(18, 23), 1).otherwise(0)).cast("bigint").alias("pm_cnt"),
+    )
+    return a.select(
+        "event_type",
+        "am_cnt",
+        "pm_cnt",
+        F.round(
+            F.col("am_cnt").cast("double")
+            / F.nullif(F.col("pm_cnt"), F.lit(0)).cast("double"),
+            4,
+        ).alias("am_pm_ratio"),
+    ).orderBy("event_type")

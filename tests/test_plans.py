@@ -638,3 +638,20 @@ def test_acf_windows_after_day_aggregation(spark, sf_dir):
 def test_ewma_sixteen_lags_share_one_window(spark, sf_dir):
     df = QS["q_ts_ewma"](spark, sf_dir)
     assert checks.count_nodes(df, "Window") == 1
+
+
+def test_timeband_counts_fused_single_scan(spark, sf_dir):
+    # Q88's eight subqueries fused: one scan, one aggregate, no join;
+    # the event_type filter reaches the scan
+    df = QS["q_ds_timeband_counts"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "Join" not in plan
+    checks.assert_pushed_filter(df, "Not(EqualTo(event_type,error))")
+
+
+def test_hour_ratio_single_pass(spark, sf_dir):
+    df = QS["q_ds_hour_ratio"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "Join" not in plan
