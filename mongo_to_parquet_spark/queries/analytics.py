@@ -486,3 +486,85 @@ def q_ts_ewma(spark, sf):
             F.expr("div(num * 20000 + den, den * 2)").cast("double") / 10000.0
         ).alias("ewma"),
     ).drop("num", "den")
+
+
+# ------------------------------------------- seasonal decomposition -------
+@q(
+    "q_ts_seasonal",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS x
+               FROM orders GROUP BY day),
+    t AS (SELECT day, x,
+                 SUM(CAST(x AS HUGEINT)) OVER w AS sum7,
+                 COUNT(*) OVER w AS cnt7
+          FROM d
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dev AS (SELECT CAST(isodow(day) AS BIGINT) AS dow,
+                   7 * CAST(x AS HUGEINT) - sum7 AS dev7
+            FROM t WHERE cnt7 = 7),
+    g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(dev7) AS s
+          FROM dev GROUP BY dow)
+    SELECT dow, n_days,
+           CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                * ((abs(s) * 20000 + 14 * n_days)
+                   // (CAST(28 AS HUGEINT) * n_days)) AS BIGINT)
+               AS seasonal_x10000
+    FROM g ORDER BY dow
+    """,
+)
+def q_ts_seasonal(spark, sf):
+    # Classical seasonal decomposition, the weekday leg: seasonal index
+    # per ISO weekday = mean deviation of daily revenue from its centered
+    # 7-day moving trend. ENTIRELY integer: the deviation is scaled to
+    # 7·x − sum7 (no division per row), the per-weekday mean
+    # Σdev/(7·n) is rounded HALF-AWAY-FROM-ZERO in integer space
+    # (sign·div(|s|·2·10⁴ + 7n, 2·7n)) and emitted as a ×10⁴ BIGINT —
+    # zero float in the whole query, so nothing can drift between
+    # engines (the q_ts_ewma lesson applied from the start; plain div()
+    # would FLOOR negatives differently than DuckDB's // floors... both
+    # floor, but half-up on negatives still needs the abs/sign split).
+    # The trend spine is the OBSERVED day series (ROWS frame), identical
+    # on both engines; head/tail days without a full 7-row window are
+    # excluded (cnt7 = 7), the textbook centered-MA edge rule.
+    #
+    # Scale: the fact collapses to the day series in one partial agg;
+    # the single ROWS window runs over O(days) rows (driver-small), and
+    # the weekday aggregate is 7 rows. For per-key seasonality the same
+    # window takes a partitionBy(key).
+    o = T(spark, sf, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "x",
+        F.sum(F.col("x").cast("decimal(38,0)")).over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    )
+    dev = t.filter(F.col("cnt7") == 7).select(
+        (F.weekday("day") + 1).cast("bigint").alias("dow"),
+        (F.lit(7).cast("decimal(38,0)") * F.col("x") - F.col("sum7")).alias("dev7"),
+    )
+    g = dev.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dev7").alias("s"),
+    )
+    g = g.withColumn("abss", F.abs(F.col("s"))).withColumn(
+        "sgn", F.when(F.col("s") < 0, -1).otherwise(1)
+    )
+    return g.select(
+        "dow",
+        "n_days",
+        (
+            F.col("sgn")
+            * F.expr("div(abss * 20000 + 14 * n_days, 28 * cast(n_days as decimal(38,0)))")
+        )
+        .cast("bigint")
+        .alias("seasonal_x10000"),
+    ).orderBy("dow")
