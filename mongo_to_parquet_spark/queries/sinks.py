@@ -302,3 +302,64 @@ def q_join_bucketed(spark, sf):
             rev.cast("double").alias("revenue"),
         )
     )
+
+
+@q(
+    "q_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                THEN '<pre-evolution>' ELSE o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q_schema_evolution(spark, sf):
+    # Schema evolution on read — the Mongo-schemaless ingestion hazard
+    # (the reference exports whatever fields each document has;
+    # collections GROW fields over time): era-1 files are written
+    # WITHOUT o_orderpriority, era-2 files with it, and one
+    # mergeSchema read reconciles both vintages — missing columns
+    # surface as NULLs, mapped to an explicit '<pre-evolution>' bucket.
+    # The oracle never sees the files: it recomputes the same report
+    # from the SOURCE table with the era split as a CASE, so a
+    # hash-match proves the split write + merged read is lossless
+    # (the q_mongo_export verification pattern).
+    #
+    # Scale: schema merging is a FOOTER-only operation (respectSummary
+    # files aside, Spark samples file footers on the driver) — the data
+    # path stays one scan + one map-combined aggregate; no rewrite of
+    # old files is ever needed to add a column, which at 100 TB is the
+    # difference between a metadata tick and a full-corpus migration.
+    scratch = os.path.join(os.path.dirname(__file__), "..", "..", "_scratch")
+    outroot = os.path.abspath(
+        os.path.join(scratch, "schema_evo", os.path.basename(sf.rstrip("/")))
+    )
+    o = T(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    o.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(outroot, "era1"))
+    o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(outroot, "era2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(outroot)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
+    )
