@@ -88,6 +88,7 @@ HEADLINE = [
     "q_eval_ann_recall",    # exact + IVF rankings joined for recall@k
     "q_agg_quantile_histogram",  # sortless exact quantiles, 3 censuses/rank
     "q_assoc_rules",        # basket rules via map-side pair generation
+    "q_dedup_incremental",  # delta-vs-persisted-index dedup (daily-crawl shape)
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

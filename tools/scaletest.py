@@ -13,10 +13,24 @@ structure-preserving growth:
     give every doc N-1 exact twins and quadratically exploding LSH
     candidate sets — a different workload, not a bigger one).
 
+  - customer/supplier: entity keys offset, nation/region left AS-IS
+    (dims don't grow when facts do — each replica adds new customers
+    in the same 25 nations, which is what real growth looks like);
+  - events: user_id/event_id offset, the time axis untouched (more
+    users in the same wall-clock window, not a longer history).
+
 Then each probe query runs best-of-3 (after an sf0.001 warmup) at every
 scale, identical to bench.py's protocol. The verdict column is
 t(sf) / (t(0.1) * sf/0.1) — 1.0 is perfectly linear, < 1 superlinear
 throughput (fixed overheads amortizing), > 1 sublinear (a scale hazard).
+
+Besides wall time, the final rep of each (probe, scale) snapshots the
+executor-cumulative `totalShuffleWrite` counter through the Spark UI
+REST API — shuffle BYTES are the physical quantity the linearity
+argument is actually about (candidate pairs, sort runs, exchange
+volume), and unlike wall time they are deterministic per run and
+immune to CPU contention. `shuffle_ratio` = bytes(×m)/bytes(×1); a
+banded/blocked algorithm must keep it ≈ m.
 
 Usage: python tools/scaletest.py [out_json]
 """
@@ -25,8 +39,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -46,9 +62,13 @@ KEY_STRIDE = 10**9
 PROBES = {
     "q_agg_groupby": ["lineitem"],
     "q_join_sortmerge": ["lineitem", "orders"],
+    "q_tpch_q5": ["lineitem", "orders", "customer", "supplier"],
     "q_graph_triangles": ["lineitem"],
+    "q_graph_pagerank": ["lineitem", "orders"],
     "q_dedup_minhash": ["documents"],
+    "q_dedup_fuzzy_prefix": ["documents"],
     "q_text_entropy": ["documents"],
+    "q_ts_interpolate": ["events"],
     "q_win_running": ["orders"],
 }
 
@@ -56,13 +76,48 @@ PROBES = {
 OFFSETS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    "events": ["user_id", "event_id"],
 }
+
+#: dimension tables copied unmodified into every scale dir (facts grow,
+#: dims don't — q_tpch_q5 reads nation/region alongside the facts)
+STATIC = ["nation", "region"]
+
+
+def shuffle_bytes(spark) -> int:
+    """Executor-cumulative shuffle write bytes via the UI REST API.
+
+    The counter never resets within an app, so a before/after delta
+    isolates one run's shuffle volume. Returns -1 if the UI is off.
+    """
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl
+    if not ui:
+        return -1
+    url = f"{ui}/api/v1/applications/{sc.applicationId}/executors"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            rows = json.loads(r.read())
+        return sum(e.get("totalShuffleWrite", 0) for e in rows)
+    except Exception:
+        return -1
 
 
 def materialize(spark, mult: int) -> str:
     out = os.path.join(SCRATCH, f"m{mult}")
     tables = sorted({t for ts in PROBES.values() for t in ts})
+    for t in STATIC:
+        src = f"{BASE}/{t}.parquet"
+        dest = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dest):
+            if os.path.isdir(src):
+                shutil.copytree(src, dest)
+            else:
+                os.makedirs(out, exist_ok=True)
+                shutil.copy2(src, dest)
     for t in tables:
         dest = os.path.join(out, f"{t}.parquet")
         if os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -74,8 +129,24 @@ def materialize(spark, mult: int) -> str:
             for c in OFFSETS[t]:
                 r = r.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
             if t == "documents" and i > 0:
-                # keep near-dup density CONSTANT across scales
-                r = r.withColumn("text", F.concat("text", F.lit(f" replica{i}")))
+                # keep near-dup density CONSTANT across scales: prefix
+                # EVERY token with the replica id, making replica shingle
+                # spaces fully disjoint while preserving each replica's
+                # internal near-dup structure exactly. (The first draft
+                # appended ONE trailing token — that left cross-replica
+                # trigram Jaccard ≈ (n−1)/(n+1) ≫ τ, so pair counts grew
+                # quadratically in the replica count: the shuffle-bytes
+                # sentinel caught it as a 52× byte ratio at ×10.)
+                r = r.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda tok: F.concat(F.lit(f"r{i}·"), tok),
+                        ),
+                        " ",
+                    ),
+                )
             reps.append(r)
         u = reps[0]
         for r in reps[1:]:
@@ -99,16 +170,30 @@ def main() -> None:
         row = {}
         for m in mults:
             best = float("inf")
-            for _ in range(3):
+            s0 = s1 = -1
+            for rep in range(3):
+                if rep == 2:
+                    s0 = shuffle_bytes(spark)
                 t0 = time.perf_counter()
                 qs[key](spark, dirs[m]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                if rep == 2:
+                    s1 = shuffle_bytes(spark)
             spark.catalog.clearCache()
             row[f"x{m}"] = round(best, 3)
+            if s0 >= 0 and s1 >= 0:
+                row[f"shuffle_x{m}"] = s1 - s0
         base = row["x1"]
         row["linearity"] = {
             f"x{m}": round(row[f"x{m}"] / (base * m), 3) for m in mults if m > 1
         }
+        sb = row.get("shuffle_x1", 0)
+        if sb > 0:
+            row["shuffle_ratio"] = {
+                f"x{m}": round(row[f"shuffle_x{m}"] / sb, 2)
+                for m in mults
+                if m > 1 and f"shuffle_x{m}" in row
+            }
         results[key] = row
         print(key, json.dumps(row))
 
