@@ -458,6 +458,152 @@ def minhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# Incremental MinHash (delta-vs-corpus dedup against a persisted index)
+# --------------------------------------------------------------------------
+_IMH_P = 4294967311  # prime > 2^32 (Kirsch–Mitzenmacher family, md5-derived)
+
+
+def _md5_long(prefix: str, col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 12), 16, 10)
+        .cast("bigint")
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Banded MinHash index rows ``(doc, band, sigstr)`` — the persistable
+    side of incremental dedup.
+
+    Same md5-derived Kirsch–Mitzenmacher family, banding, and shingling
+    as ``q_dedup_minhash_md5`` (queries/llm.py), so an index built by one
+    is probe-compatible with the other and every stage stays
+    hash-checkable by the DuckDB oracle. The output is tiny relative to
+    the corpus — ``bands`` short rows per document, no text, no shingle
+    sets — which is exactly what makes it worth persisting: tomorrow's
+    delta probes these rows instead of re-signaturing the corpus.
+
+    Scale: one shuffle to assemble per-(doc, band) signature strings;
+    partial-combined min() per hash index before it. Parquet-persisted
+    and partitioned by ``band`` the probe join prunes to matching bands.
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("s"),
+    )
+    hs = sh.select(
+        "doc",
+        _md5_long("mh1:", F.col("s")).alias("h1"),
+        _md5_long("mh2:", F.col("s")).alias("h2"),
+    )
+    idx = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = (
+        hs.select("doc", "h1", "h2", F.explode(idx).alias("i"))
+        .groupBy("doc", "i")
+        .agg(F.min((F.col("h1") + F.col("i") * F.col("h2")) % _IMH_P).alias("mh"))
+    )
+    return sig.groupBy("doc", F.expr(f"i div {rows}").alias("band")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            "-",
+        ).alias("sigstr")
+    )
+
+
+def minhash_incremental_pairs(
+    delta: DataFrame,
+    base_index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new-document delta, against a persisted
+    banded index — the daily-crawl shape: dedup today's documents against
+    the historical corpus without re-minhashing the corpus.
+
+    Candidates come from two joins, neither of which touches corpus text:
+    delta bands probe ``base_index`` buckets (new×base), and delta bands
+    self-join (new×new). Exact-Jaccard verification then re-shingles ONLY
+    the documents that appear in some candidate pair — a semi join prunes
+    ``corpus`` before any shingling, so base-side text work is
+    candidate-sized, not corpus-sized.
+
+    Restricted-output equivalence: the candidate set equals the full
+    corpus-wide ``q_dedup_minhash_md5`` pipeline's candidates restricted
+    to pairs with ≥1 delta member (base×base pairs are the only ones a
+    band bucket can produce that neither join here sees), so the verified
+    output is exactly the full pipeline's output under that restriction —
+    which is what the oracle checks.
+
+    Scale (the whole point): per-day cost is O(|delta| signatures) +
+    O(bucket-join on index rows) + O(candidate verify). The 100 TB corpus
+    contributes only its (tiny) index rows and the candidate docs' texts.
+    Appending today's ``minhash_index(delta)`` rows keeps the index
+    current — signatures are per-document, so the index is append-only.
+    """
+    di = minhash_index(delta, text_col, id_col, num_hashes, bands, ngram)
+    nb = (
+        di.alias("d")
+        .join(base_index.alias("b"), ["band", "sigstr"])
+        .select(
+            F.least("d.doc", "b.doc").alias("id1"),
+            F.greatest("d.doc", "b.doc").alias("id2"),
+        )
+    )
+    nn = (
+        di.alias("x")
+        .join(di.alias("y"), ["band", "sigstr"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id1"), F.col("y.doc").alias("id2"))
+    )
+    cand = nb.unionByName(nn).distinct()
+    cd = (
+        cand.select(F.col("id1").alias(id_col))
+        .union(cand.select("id2"))
+        .distinct()
+    )
+    sh = corpus.join(cd, [id_col], "semi").select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), ngram))).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("id1"), "s")
+    sb = sh.select(F.col("doc").alias("id2"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(sa, "id1")
+        .join(sb, "id2")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_inter")
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 def simhash(text_col) -> F.Column:

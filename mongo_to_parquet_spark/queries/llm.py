@@ -1848,6 +1848,48 @@ def q_dedup_minhash_md5(spark, sf):
     )
 
 
+# ------------------------------------------- incremental MinHash dedup -----
+# Oracle = the corpus-wide md5 twin restricted to pairs involving a delta
+# document (doc_id % 4 == 0 plays "today's crawl"). Deriving it from
+# ORACLE["q_dedup_minhash_md5"] keeps the two pipelines pinned to one
+# hash family / banding — a parameter change there re-gates this key too.
+_INC_SQL = f"""
+    SELECT id1, id2, jaccard,
+           CASE WHEN id1 % 4 = 0 AND id2 % 4 = 0 THEN 'new-new'
+                ELSE 'new-base' END AS link
+    FROM ({ORACLE["q_dedup_minhash_md5"]})
+    WHERE id1 % 4 = 0 OR id2 % 4 = 0
+"""
+
+
+@q("q_dedup_incremental", _INC_SQL)
+def q_dedup_incremental(spark, sf):
+    # the daily-crawl dedup shape: new documents (doc_id % 4 == 0) are
+    # checked against the historical corpus through a PERSISTED banded
+    # index (operators/dedup.minhash_index) — the corpus is never
+    # re-minhashed; its text is touched only to exact-verify candidate
+    # pairs (semi-join pruned). Candidates = delta-probes-index (new×base)
+    # ∪ delta self-join (new×new); restricted-output equivalence to the
+    # corpus-wide pipeline is argued in minhash_incremental_pairs's
+    # docstring and checked by the oracle. The index round-trip through
+    # parquet is pinned in tests/test_operators.py.
+    d = T(spark, sf, "documents")
+    delta = d.filter(F.col("doc_id") % 4 == 0)
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    idx = dedup.minhash_index(base)
+    pairs = dedup.minhash_incremental_pairs(delta, idx, d, threshold=_MH_TAU)
+    return pairs.select(
+        "id1",
+        "id2",
+        "jaccard",
+        F.when(
+            (F.col("id1") % 4 == 0) & (F.col("id2") % 4 == 0), F.lit("new-new")
+        )
+        .otherwise(F.lit("new-base"))
+        .alias("link"),
+    )
+
+
 # ------------------------------------------------ oracle-exact SimHash -----
 _SH_BITS, _SH_CHUNKS, _SH_HAM = 48, 4, 3   # 4×12-bit chunks → hamming ≤ 3
 

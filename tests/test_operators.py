@@ -1179,3 +1179,47 @@ def test_exact_kth_smallest_beyond_double_precision(spark):
     df = spark.createDataFrame([(v,) for v in vals], "c long")
     for k, want in enumerate(sorted(vals), start=1):
         assert exact_kth_smallest(df, "c", k, buckets=4) == want
+
+
+# -------------------------------------------------- incremental minhash ----
+def test_minhash_index_roundtrip_and_incremental_pairs(spark, tmp_path):
+    """The banded index survives a parquet round-trip byte-identically,
+    and incremental probing through the persisted copy returns the same
+    pairs as the in-plan index — the append-only daily-crawl contract."""
+    docs = spark.createDataFrame(
+        [
+            # base corpus: two unrelated docs + one that today near-dups
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different content about spark shuffles"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta theta iota"),
+            # delta (doc_id % 4 == 0): near-dup of 1, dup of itself, noise
+            Row(doc_id=4, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=8, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=12, text="unrelated fresh crawl text with novel words only"),
+        ]
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+
+    idx = dedup.minhash_index(base)
+    path = str(tmp_path / "mh_index")
+    idx.write.partitionBy("band").parquet(path)
+    reloaded = spark.read.parquet(path).select(
+        # partition-dir values come back as strings under the session's
+        # type-inference settings; the probe join only needs equal values
+        "doc",
+        F.col("band").cast("bigint").alias("band"),
+        "sigstr",
+    )
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, reloaded.collect()))
+
+    inplan = dedup.minhash_incremental_pairs(delta, idx, docs, threshold=0.8)
+    persisted = dedup.minhash_incremental_pairs(delta, reloaded, docs, threshold=0.8)
+    got = sorted(map(tuple, inplan.collect()))
+    assert got == sorted(map(tuple, persisted.collect()))
+    # near-identical docs pair up (4,8 exact dup; 1,4 and 1,8 one-token-off);
+    # every pair involves a delta doc; noise pairs with nothing
+    pairs = {(a, b) for a, b, _ in got}
+    assert (4, 8) in pairs
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in pairs)
+    assert not any(12 in p for p in pairs)

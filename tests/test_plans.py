@@ -655,3 +655,15 @@ def test_hour_ratio_single_pass(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert checks.count_nodes(df, "Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_dedup_incremental_semi_prunes_corpus_text(spark, sf_dir):
+    # the incremental contract: corpus text is only read to verify
+    # candidates — the documents scans feed through a LeftSemi before any
+    # shingling of the verify side, and candidates come from equi-joins
+    # on (band, sigstr), never an all-pairs product
+    df = QS["q_dedup_incremental"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

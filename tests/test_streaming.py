@@ -675,3 +675,69 @@ def test_streaming_window_topk_chained_aggregation(spark, sf_dir):
         k for k in batch if k[0] + 3600 <= max_ts - 7200 - 3600
     }
     assert closed <= got.keys()
+
+
+def test_stream_dedup_incremental_converges_to_batch_pairs(spark, sf_dir, tmp_path):
+    """Streaming incremental dedup: cumulative per-batch pairs equal the
+    corpus-wide q_dedup_minhash_md5 batch answer (each pair is emitted
+    exactly when its later member arrives — index probe for cross-batch
+    pairs, delta self-join for same-batch ones); a full replay against a
+    fresh checkpoint is a no-op (ledger markers skip committed batches);
+    and a torn batch (marker deleted → artifacts invisible) is recommitted
+    identically by the next run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import dedup as sd
+
+    src = str(tmp_path / "docs_src")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.parquet(src)
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sd.stream_dedup_incremental(stream, state, ck, threshold=0.8)
+        q.awaitTermination(300)
+
+    state = str(tmp_path / "state")
+    run(str(tmp_path / "ck1"))
+
+    want = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in LLM_Q["q_dedup_minhash_md5"](spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in sd.read_incremental_pairs(spark, state).collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+    # replay, fresh checkpoint: every batch skips on its ledger marker
+    run(str(tmp_path / "ck2"))
+    again = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in sd.read_incremental_pairs(spark, state).collect()
+    )
+    assert again == got
+
+    # torn batch: delete the last marker — its pairs leave the committed
+    # view (crash-consistent read) — then a fresh run recommits it
+    last = max(sd._committed(state))
+    os.remove(os.path.join(state, "ledger", str(last)))
+    partial = sd.read_incremental_pairs(spark, state)
+    assert partial.count() <= len(got)
+    run(str(tmp_path / "ck3"))
+    final = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in sd.read_incremental_pairs(spark, state).collect()
+    )
+    assert final == want
