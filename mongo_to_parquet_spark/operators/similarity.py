@@ -297,6 +297,33 @@ def build_ivf_layout(
     cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
 
 
+def ivf_append(
+    emb: DataFrame,
+    layout_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to an existing :func:`build_ivf_layout` directory
+    — the incremental-maintenance half of the IVF story (the ANN analogue
+    of dedup's persisted MinHash index).
+
+    Cell assignment depends ONLY on the persisted centroid table, so
+    append ∪ original is IDENTICAL to a full rebuild with the same
+    centroids: probes see new vectors immediately, partition pruning is
+    untouched (new rows land in existing ``cell=`` partitions), and the
+    corpus is never re-read. Centroids are deliberately NOT updated —
+    IVF recall degrades only as the data distribution drifts away from
+    the centroid sample; `q_eval_ann_recall` is the monitor and a layout
+    rebuild the (rare, offline) remedy. At 100 TB: per-day cost is one
+    broadcast-assign map pass over the delta plus an append write.
+    """
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{layout_dir}/centroids")
+    _assign_cells(emb, cents, id_col, vec_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{layout_dir}/vectors")
+
+
 def ivf_topk_from_layout(
     spark,
     layout_dir: str,

@@ -459,6 +459,82 @@ def q_sim_topk_ivf(spark, sf):
 
 
 @q(
+    "q_sim_topk_ivf_incremental",
+    # identical to the q_sim_topk_ivf oracle except the centroids come
+    # from the BASE subset only (vec_id % 4 <> 0) — the persisted-index
+    # contract: appended vectors are assigned by the OLD centroids, so
+    # append ∪ original ≡ a rebuild with the same centroid table, which
+    # is exactly what this SQL computes over the full corpus.
+    """
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+        FROM (SELECT * FROM embeddings WHERE vec_id % 4 <> 0
+              ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rk = 1
+    ),
+    probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cells AS (
+        SELECT cell FROM cents, probe
+        ORDER BY list_dot_product(CAST(cvec AS DOUBLE[]), CAST(pv AS DOUBLE[])) DESC,
+                 cell ASC
+        LIMIT 4
+    )
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(pv AS DOUBLE[])), 4) AS sim
+    FROM assigned a JOIN cells USING (cell) CROSS JOIN probe
+    WHERE a.vec_id <> 0
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_topk_ivf_incremental(spark, sf):
+    # the ANN analogue of q_dedup_incremental: the IVF index is BUILT from
+    # the historical corpus (vec_id % 4 != 0), today's vectors are APPENDED
+    # through the persisted centroid table (operators/similarity.ivf_append
+    # — one broadcast-assign map pass over the delta, corpus never
+    # re-read), and the probe runs off the layout with partition pruning
+    # intact. The oracle recomputes the whole thing with base-derived
+    # centroids over the full corpus, so the hash match proves
+    # append ∪ original ≡ rebuild-with-same-centroids end-to-end —
+    # including that the probe (vec_id 0, itself a delta vector) sees
+    # same-day neighbors. Layout is rebuilt from scratch each run
+    # (rmtree) so repeated invocations can't stack appends.
+    import os
+    import shutil
+
+    emb = T(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "ivf_inc", tag
+        )
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    similarity.build_ivf_layout(base, layout)
+    similarity.ivf_append(delta, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.ivf_topk_from_layout(
+        spark, layout, pv, k=10, n_probe=4, exclude_id=0
+    )
+
+
+@q(
     "q_sim_pairs_label",
     """
     SELECT l.label,

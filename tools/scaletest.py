@@ -197,6 +197,39 @@ def main() -> None:
         results[key] = row
         print(key, json.dumps(row))
 
+    # the reference's core operation (R1-R15): date-partitioned zstd
+    # export — scan → year/month/day derivation → hive year= write. The
+    # one probe where the WRITE path is the product; rows/sec per scale
+    # shows whether export throughput holds as the table grows.
+    from mongo_to_parquet_spark.sources.export import export_partitioned
+
+    exp_root = os.path.join(SCRATCH, "_export")
+    export_partitioned(
+        spark.read.parquet(f"{WARM}/lineitem.parquet"),
+        os.path.join(exp_root, "warmup"),
+        date_field="l_shipdate",
+    )
+    row: dict = {}
+    for m in mults:
+        li = spark.read.parquet(os.path.join(dirs[m], "lineitem.parquet"))
+        n = li.count()
+        best = float("inf")
+        for i in range(2):
+            dest = os.path.join(exp_root, f"m{m}_{i}")
+            t0 = time.perf_counter()
+            export_partitioned(li, dest, date_field="l_shipdate")
+            best = min(best, time.perf_counter() - t0)
+            shutil.rmtree(dest, ignore_errors=True)
+        row[f"x{m}"] = round(best, 3)
+        row[f"rows_per_sec_x{m}"] = int(n / best)
+    base = row["x1"]
+    row["linearity"] = {
+        f"x{m}": round(row[f"x{m}"] / (base * m), 3) for m in mults if m > 1
+    }
+    shutil.rmtree(exp_root, ignore_errors=True)
+    results["export_partitioned"] = row
+    print("export_partitioned", json.dumps(row))
+
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaletest.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
