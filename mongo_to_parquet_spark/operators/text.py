@@ -118,13 +118,17 @@ def hash_split(
     inequality on the hex prefix so any engine with md5 computes the
     identical assignment (oracle-checked in queries/llm.py).
     """
+    return df.withColumn("split", split_expr(F.col(id_col), train_frac, salt))
+
+
+def split_expr(id_col, train_frac: float = 0.8, salt: str = "split1"):
+    """The content-addressed split assignment as a bare Column — usable on
+    ANY id-bearing relation (e.g. dedup pair endpoints in
+    queries/llm.q_split_leakage) without joining back to the corpus: the
+    split is a pure function of (salt, id)."""
     threshold = format(max(0, min(65536, round(train_frac * 65536))), "04x")
-    bucket = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
-    )
-    return df.withColumn(
-        "split", F.when(bucket < F.lit(threshold), "train").otherwise("test")
-    )
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 4)
+    return F.when(bucket < F.lit(threshold), "train").otherwise("test")
 
 
 def pack_documents(

@@ -568,3 +568,114 @@ def q_ts_seasonal(spark, sf):
         .cast("bigint")
         .alias("seasonal_x10000"),
     ).orderBy("dow")
+
+
+# --------------------------------------------- two-sample KS test ----------
+@q(
+    "q_stats_ks",
+    """
+    WITH s AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    census AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM s GROUP BY v),
+    n AS (SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                 CAST(SUM(b) AS BIGINT) AS n2 FROM census),
+    cum AS (
+        SELECT v,
+               SUM(a) OVER (ORDER BY v) AS c1,
+               SUM(b) OVER (ORDER BY v) AS c2
+        FROM census),
+    d AS (SELECT v,
+                 ABS(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) AS num
+          FROM cum CROSS JOIN n),
+    m AS (SELECT MAX(num) AS mnum FROM d)
+    SELECT n.n1, n.n2,
+           CAST(m.mnum AS BIGINT) AS ks_num,
+           CAST((SELECT MIN(v) FROM d WHERE d.num = m.mnum) AS BIGINT)
+               AS ks_at_cents,
+           CAST(m.mnum * 10000 // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT)
+               AS d_x10000
+    FROM n CROSS JOIN m
+    """,
+)
+def q_stats_ks(spark, sf):
+    # Two-sample Kolmogorov–Smirnov test (urgent vs low-priority order
+    # values) — the DISTRIBUTIONAL drift gate beside q_drift_psi's binned
+    # PSI and q_stats_chi2's categorical χ²: D = max_v |F₁(v) − F₂(v)|
+    # needs no binning choice at all. ENTIRELY integer: the ECDF gap is
+    # kept as |c1·n2 − c2·n1| (common denominator n1·n2 cleared), the
+    # max is exact, and D×10⁴ is one floor division at the end — no
+    # float compare anywhere, so the argmax value cannot differ between
+    # engines. The (max, argmax) pair comes from ONE aggregate over a
+    # max-ordered struct (num DESC, then smallest v via negated v) —
+    # tie-broken deterministically, no second pass over the gaps.
+    # Domain bound: ks_num <= n1·n2 must fit int64 → safe to ~3·10⁹ rows
+    # per sample; the 128-bit intermediates carry it beyond that and
+    # only d_x10000 (<= 10⁴) survives to the output.
+    #
+    # Scale: the fact collapses to a (value, count, count) census in one
+    # map-combined aggregate — cumulative sums then run over DISTINCT
+    # values only. The prefix sum is TWO-PHASE: in-bucket window
+    # (partitionBy value-range bucket — parallel) + bucket-offset window
+    # over the ~O(domain/width) bucket census (driver-small) joined back
+    # broadcast, so no global single-partition sort ever sees the census
+    # (the distributed-prefix-sum shape; a global ORDER BY window would
+    # funnel every distinct value through one task at 100 TB).
+    o = T(spark, sf, "orders")
+    s = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(2).alias("g"),
+    )
+    census = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("bigint").alias("b"),
+    ).withColumn("bucket", F.expr("div(v, 1000000)"))
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    cum_in = census.select(
+        "v",
+        "bucket",
+        F.sum("a").over(w_in).alias("ca"),
+        F.sum("b").over(w_in).alias("cb"),
+    )
+    totals = census.groupBy("bucket").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    n = totals.agg(
+        F.sum("ta").cast("bigint").alias("n1"), F.sum("tb").cast("bigint").alias("n2")
+    )
+    d = (
+        cum_in.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            "n1",
+            "n2",
+            F.abs(
+                (F.col("ca") + F.col("oa")).cast("decimal(38,0)") * F.col("n2")
+                - (F.col("cb") + F.col("ob")).cast("decimal(38,0)") * F.col("n1")
+            ).alias("num"),
+        )
+    )
+    best = d.groupBy("n1", "n2").agg(
+        F.max(F.struct(F.col("num"), (-F.col("v")).alias("negv"))).alias("best")
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("best.num").cast("bigint").alias("ks_num"),
+        (-F.col("best.negv")).cast("bigint").alias("ks_at_cents"),
+        F.expr("div(best.num * 10000, cast(n1 as decimal(38,0)) * n2)")
+        .cast("bigint")
+        .alias("d_x10000"),
+    )

@@ -18,7 +18,7 @@ from mongo_to_parquet_spark.functions.textfns import (
     tokens,
 )
 from mongo_to_parquet_spark.functions.vector import cosine, norm
-from mongo_to_parquet_spark.operators import dedup, similarity, text
+from mongo_to_parquet_spark.operators import dedup, freq, similarity, text
 from mongo_to_parquet_spark.sources.catalog import load_table as T
 
 QUERIES = {}
@@ -174,6 +174,41 @@ def q_dedup_embed_lsh(spark, sf):
     return similarity.pairwise_cosine(
         e, block_col="lsh_bucket", threshold=0.4
     )
+
+
+# ------------------------------------------------------- heavy hitters -----
+@q(
+    "q_freq_tokens",
+    """
+    WITH t AS (
+        SELECT item FROM (SELECT unnest(string_split(text, ' ')) AS item
+                          FROM documents)
+        WHERE item <> ''),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY item)
+    SELECT item, cnt, n.n FROM c CROSS JOIN n WHERE cnt * 100 > n.n * 3
+    """,
+)
+def q_freq_tokens(spark, sf):
+    # φ-heavy-hitter tokens (count > 3% of the corpus) via partition-local
+    # Misra-Gries summaries → merged candidates → EXACT recount
+    # (operators/freq.frequent_items — rationale and the mergeability
+    # guarantee in that module docstring). The oracle is the naive
+    # full-groupBy HAVING — valid because the MG middle stage only ever
+    # changes the CANDIDATE superset, never the exact-filtered output, so
+    # the operator is deterministic despite a partitioning-dependent
+    # intermediate. Stopword/boilerplate mining is this exact query with
+    # φ lowered.
+    #
+    # Scale: shuffle is bounded at k·partitions candidate rows
+    # (k = ⌈1/φ⌉ = 34) + |candidates| recount rows — NOT one row per
+    # distinct token per partition, which for a long-tailed vocabulary is
+    # the difference between a bounded summary and shuffling the corpus.
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return freq.frequent_items(toks, "tok", phi_num=3, phi_den=100)
 
 
 # ------------------------------------------------------------ text stats ---
@@ -1964,6 +1999,55 @@ def q_dedup_incremental(spark, sf):
         .otherwise(F.lit("new-base"))
         .alias("link"),
     )
+
+
+# ------------------------------------------------ split-leakage audit ------
+_LEAK_SPLIT_SQL = (
+    "CASE WHEN substr(md5('split1' || CAST({id} AS VARCHAR)), 1, 4) < 'cccd' "
+    "THEN 'train' ELSE 'test' END"
+)
+
+
+@q(
+    "q_split_leakage",
+    f"""
+    SELECT id1, id2, jaccard, split1, split2
+    FROM (
+        SELECT id1, id2, jaccard,
+               {_LEAK_SPLIT_SQL.format(id="id1")} AS split1,
+               {_LEAK_SPLIT_SQL.format(id="id2")} AS split2
+        FROM ({ORACLE["q_dedup_minhash_md5"]})
+    )
+    WHERE split1 <> split2
+    """,
+)
+def q_split_leakage(spark, sf):
+    # Cross-split contamination audit — the eval-integrity gate the
+    # decontamination family (q_decontaminate: train vs EXTERNAL
+    # benchmark) does not cover: near-duplicate pairs WITHIN the corpus
+    # that straddle the train/test boundary leak test answers into
+    # training. Pairs come from the SAME banded-MinHash pipeline as
+    # q_dedup_minhash_md5 (its oracle is embedded verbatim above, so one
+    # hash-family/banding definition gates both keys — the
+    # q_dedup_incremental derivation trick), and the split is the SAME
+    # content-addressed assignment as q_split_train (operators/
+    # text.split_expr) — evaluated directly on the pair ENDPOINTS, no
+    # join back to the corpus: the split is a pure function of the id.
+    # Remediation (drop the test twin or re-home the pair) is a follow-up
+    # filter on this output.
+    #
+    # Scale: identical to q_dedup_minhash_md5 (banded candidates, never
+    # all-pairs); the split columns are two md5 calls per SURVIVING pair
+    # — a per-row map over an already-tiny relation.
+    pairs = QUERIES["q_dedup_minhash_md5"](spark, sf)
+    out = pairs.select(
+        "id1",
+        "id2",
+        "jaccard",
+        text.split_expr(F.col("id1")).alias("split1"),
+        text.split_expr(F.col("id2")).alias("split2"),
+    )
+    return out.filter(F.col("split1") != F.col("split2"))
 
 
 # ------------------------------------------------ oracle-exact SimHash -----

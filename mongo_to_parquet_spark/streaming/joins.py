@@ -103,6 +103,87 @@ def stream_event_pairs(
     )
 
 
+def stream_interval_overlap(
+    intervals: DataFrame,
+    max_span_minutes: int,
+    key_col: str = "k",
+    id_col: str = "iv_id",
+    start_col: str = "s_ts",
+    end_col: str = "e_ts",
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Same-key INTERVAL×INTERVAL overlap pairs over a stream of closed
+    intervals ``[s_ts, e_ts]`` — the streaming analogue of
+    ``operators/rangejoin.interval_overlap_pairs`` (the point-banded
+    ``stream_event_pairs`` can't express this shape: overlap is a
+    condition on four endpoints, not one time difference).
+
+    State eviction needs an event-time RANGE between the two WATERMARKED
+    columns, and raw overlap (``s1 <= e2 AND s2 <= e1``) isn't one — it
+    constrains starts against ENDS. The bounded-span trick closes the
+    gap: with every span <= D (enforced by filter; a longer interval
+    should be chunked upstream, the grid-cell idea in batch), overlap
+    implies |s1 − s2| <= D, so the join carries
+      - the START-band range (evicts state at watermark − D),
+      - the exact overlap check as a residual predicate,
+      - ``id1 < id2`` so the self-pair emits once.
+    Per-key state is the start-band's interval density — same bound as
+    the batch operator's cells, held in the state store instead.
+
+    Output: key, id1, id2, overlap_us (= min(e)−max(s) >= 0).
+    """
+    src = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("iv_id"),
+        F.col(start_col).alias("s_ts"),
+        F.col(end_col).alias("e_ts"),
+    ).filter(
+        (F.col("e_ts") >= F.col("s_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("s_ts") + F.expr(f"INTERVAL {max_span_minutes} MINUTES")
+        )
+    )
+    a = src.withWatermark("s_ts", watermark).alias("a")
+    b = (
+        src.select(
+            F.col("k").alias("k_b"),
+            F.col("iv_id").alias("iv_id_b"),
+            F.col("s_ts").alias("s_ts_b"),
+            F.col("e_ts").alias("e_ts_b"),
+        )
+        .withWatermark("s_ts_b", watermark)
+        .alias("b")
+    )
+    band = F.expr(f"INTERVAL {max_span_minutes} MINUTES")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k_b"))
+            & (F.col("b.s_ts_b") >= F.col("a.s_ts") - band)
+            & (F.col("b.s_ts_b") <= F.col("a.s_ts") + band)
+            & (F.col("a.s_ts") <= F.col("b.e_ts_b"))
+            & (F.col("b.s_ts_b") <= F.col("a.e_ts"))
+            & (F.col("a.iv_id") < F.col("b.iv_id_b")),
+        )
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.iv_id").alias("id1"),
+            F.col("b.iv_id_b").alias("id2"),
+            (
+                F.least(
+                    F.unix_micros(F.col("a.e_ts").cast("timestamp")),
+                    F.unix_micros(F.col("b.e_ts_b").cast("timestamp")),
+                )
+                - F.greatest(
+                    F.unix_micros(F.col("a.s_ts").cast("timestamp")),
+                    F.unix_micros(F.col("b.s_ts_b").cast("timestamp")),
+                )
+            ).alias("overlap_us"),
+        )
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join (the streaming analog of
     ``q_join_broadcast``): each micro-batch of the stream joins a STATIC

@@ -741,3 +741,80 @@ def test_window_funnel_equals_bruteforce(spark, data, horizon):
         for r in window_funnel_levels(df, horizon_us=horizon).collect()
     }
     assert got == expected
+
+
+_TOKS = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_TOKS), min_size=1, max_size=8),
+            st.booleans(),  # True -> the doc arrives in the delta
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_minhash_equals_restricted_full(spark, docs):
+    """minhash_incremental_pairs(delta, index(base), corpus) must equal the
+    corpus-wide pipeline restricted to delta-involving pairs, for ANY
+    split — the restricted-output equivalence q_dedup_incremental's
+    oracle relies on. The corpus-wide pipeline is itself expressed as
+    the incremental operator with an empty index and delta=everything
+    (then the delta self-join IS the full banded candidate join)."""
+    schema = "doc_id bigint, text string"
+    rows = [Row(doc_id=i + 1, text=" ".join(toks)) for i, (toks, _) in enumerate(docs)]
+    corpus = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    delta_ids = {i + 1 for i, (_, is_new) in enumerate(docs) if is_new}
+    delta = corpus.filter(F.col("doc_id").isin(delta_ids) if delta_ids else F.lit(False))
+    base = corpus.filter(~F.col("doc_id").isin(delta_ids) if delta_ids else F.lit(True))
+
+    empty_idx = spark.createDataFrame([], "doc bigint, band bigint, sigstr string")
+    full = dedup.minhash_incremental_pairs(corpus, empty_idx, corpus, threshold=0.5)
+    want = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in full.collect()
+        if r["id1"] in delta_ids or r["id2"] in delta_ids
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.minhash_incremental_pairs(
+            delta, dedup.minhash_index(base), corpus, threshold=0.5
+        ).collect()
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=120),
+    st.integers(1, 6),
+    st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_frequent_items_exact_and_partition_invariant(spark, items, den, parts):
+    """frequent_items == the naive groupBy-HAVING answer for ANY data,
+    threshold, and partitioning — the Misra-Gries candidate stage may
+    vary with partition boundaries, but the exact recount + integer
+    threshold must erase that (the determinism claim q_freq_tokens's
+    oracle relies on)."""
+    from mongo_to_parquet_spark.operators.freq import frequent_items
+
+    schema = "item string"
+    df = (
+        spark.createDataFrame([Row(item=i) for i in items], schema)
+        if items
+        else spark.createDataFrame([], schema)
+    ).repartition(parts)
+    got = sorted(
+        (r["item"], r["cnt"], r["n"])
+        for r in frequent_items(df, "item", phi_num=1, phi_den=den).collect()
+    )
+    from collections import Counter
+
+    c = Counter(items)
+    n = len(items)
+    want = sorted((i, cnt, n) for i, cnt in c.items() if cnt * den > n)
+    assert got == want

@@ -233,6 +233,49 @@ def test_stream_stream_range_join_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_stream_interval_overlap_matches_batch(spark, sf_dir):
+    """The bounded-span stream-stream INTERVAL join emits exactly the
+    batch grid-cell operator's pair set: per-event intervals
+    [ts, ts + (event_id % 7) min] per user, overlap pairs compared as
+    sets (the batch side is itself property-tested ≡ naive)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.rangejoin import interval_overlap_pairs
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import joins as sj
+
+    def to_intervals(df):
+        return df.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("s_ts"),
+            (F.col("ts") + (F.col("event_id") % 7) * F.expr("INTERVAL 1 MINUTE"))
+            .alias("e_ts"),
+        )
+
+    b = to_intervals(load_table(spark, sf_dir, "events")).select(
+        "k",
+        "iv_id",
+        F.unix_micros(F.col("s_ts").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("e_ts").cast("timestamp")).alias("e_us"),
+    )
+    batch = {
+        (r["k"], r["id1"], r["id2"], r["overlap_us"])
+        for r in interval_overlap_pairs(
+            b, cell_us=120_000_000, key_col="k", id_col="iv_id"
+        ).collect()
+    }
+    stream = sj.stream_interval_overlap(
+        to_intervals(sw.replay_events(spark, sf_dir)), max_span_minutes=7
+    )
+    got = {
+        (r["k"], r["id1"], r["id2"], r["overlap_us"])
+        for r in sw.run_to_completion(stream, mode="append")
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
 def test_stream_stream_left_outer_join(spark, tmp_path):
     """Left-outer stream-stream join: matched rows pair normally;
     unmatched rows emit null-padded, but only after the watermark passes
