@@ -276,6 +276,114 @@ def stream_multi_sketch(
     )
 
 
+# -------------------------------------------------- heavy-hitters fold -----
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 32,
+):
+    """Maintain a k-counter Misra-Gries heavy-hitters summary over a
+    stream — the streaming half of ``operators/freq.frequent_items``
+    (same algebra, same module-docstring guarantees; the batch operator's
+    exact-recount stage has no streaming analogue, so the state here is
+    the CANDIDATE summary plus lower bounds, and the containment
+    guarantee is what the reader exposes).
+
+    Fold per batch: exact per-item batch counts (map-combined groupBy)
+    merge additively into the state, then ONE compaction — subtract the
+    (k+1)-th largest merged count from everything, drop the non-positive
+    — restores ``|state| <= k`` ("Mergeable Summaries" thm 1: merged
+    error stays <= n/(k+1), identical to sequential MG). Hence any item
+    with true count > n_total/(k+1) is guaranteed present, and each
+    retained ``c`` is a LOWER bound with ``true - c <= n/(k+1)``.
+
+    The additive merge makes replay double-count, so the batch-id ledger
+    commits in the SAME rename as the summary (the stream_multi_sketch
+    exactly-once pattern); total row count ``n`` rides in a meta table
+    for threshold math at read time. Per-batch shuffle: the batch's
+    distinct items (map-combined) + k state rows; state O(k).
+    """
+    spark = stream_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(state_dir)
+        cur = _state_path(state_dir)
+        have_state = os.path.exists(cur)
+        if have_state:
+            seen = (
+                spark.read.parquet(os.path.join(cur, "batches"))
+                .filter(F.col("batch_id") == batch_id)
+                .count()
+            )
+            if seen:
+                return
+        src = batch_df.select(F.col(col).cast("string").alias("item")).filter(
+            F.col("item").isNotNull()
+        )
+        merged = src.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        n_new = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        ledger = spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        if have_state:
+            merged = (
+                merged.unionByName(spark.read.parquet(os.path.join(cur, "mg")))
+                .groupBy("item")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            n_new = (
+                n_new.unionByName(spark.read.parquet(os.path.join(cur, "meta")))
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+            ledger = ledger.unionByName(
+                spark.read.parquet(os.path.join(cur, "batches"))
+            )
+        # compaction: cut = (k+1)-th largest count if more than k items
+        # survive the merge (0 otherwise) — only the top-(k+1) slice is
+        # ever materialized, never a global sort of the merged relation
+        top = merged.orderBy(F.desc("c"), "item").limit(k + 1).collect()
+        cut = int(top[-1]["c"]) if len(top) == k + 1 else 0
+        summary = merged.filter(F.col("c") > cut).select(
+            "item", (F.col("c") - cut).alias("c")
+        )
+        tmp = os.path.join(state_dir, "_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        summary.write.parquet(os.path.join(tmp, "mg"))
+        n_new.write.parquet(os.path.join(tmp, "meta"))
+        ledger.write.parquet(os.path.join(tmp, "batches"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        old = os.path.join(state_dir, "_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if have_state:
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Committed MG summary joined with the folded total: (item, lb, n).
+    Containment contract for callers: every item with true count
+    > n/(k+1) is present, and lb <= true count <= lb + n/(k+1)."""
+    _recover(state_dir)
+    cur = _state_path(state_dir)
+    mg = spark.read.parquet(os.path.join(cur, "mg"))
+    n = spark.read.parquet(os.path.join(cur, "meta"))
+    return mg.crossJoin(F.broadcast(n)).select(
+        "item", F.col("c").alias("lb"), "n"
+    )
+
+
 def read_multi_sketch(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
     """The committed sketch tables (after crash recovery) — compare
     directly against :func:`multi_sketch_batch` over the same data."""

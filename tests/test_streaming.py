@@ -784,3 +784,49 @@ def test_stream_dedup_incremental_converges_to_batch_pairs(spark, sf_dir, tmp_pa
         for r in sd.read_incremental_pairs(spark, state).collect()
     )
     assert final == want
+
+
+def test_stream_heavy_hitters_containment_and_bounds(spark, tmp_path):
+    """The streaming Misra-Gries fold keeps every true phi-heavy item and
+    honest lower bounds: for k=4 counters, any item with count > n/5 must
+    survive the folds, every retained lb satisfies lb <= true <= lb +
+    n/5, the state stays <= k rows, and the folded n is exact. The
+    corpus is skewed on purpose (hot=50%, warm=25%, singleton tail) and
+    split across micro-batches so compaction fires mid-stream."""
+    import time
+    from collections import Counter
+
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    batches = [
+        ["hot"] * 20 + ["warm"] * 10 + [f"t{i}" for i in range(10)],
+        ["hot"] * 15 + ["warm"] * 8 + [f"u{i}" for i in range(7)],
+        ["hot"] * 15 + ["warm"] * 7 + [f"v{i}" for i in range(8)],
+    ]
+    d = str(tmp_path / "hh_in")
+    for items in batches:
+        spark.createDataFrame(
+            [Row(item=i) for i in items], "item string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("item string").option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "hh_state")
+    q = sk.stream_heavy_hitters(
+        stream, "item", state, str(tmp_path / "hh_ck"), k=4
+    )
+    q.awaitTermination(300)
+
+    truth = Counter(i for b in batches for i in b)
+    n = sum(truth.values())
+    got = {r["item"]: (r["lb"], r["n"]) for r in
+           sk.read_heavy_hitters(spark, state).collect()}
+    assert len(got) <= 4
+    assert all(gn == n for _, gn in got.values())
+    slack = n / 5
+    for item, true_c in truth.items():
+        if true_c > slack:
+            assert item in got, f"phi-heavy {item} evicted"
+    for item, (lb, _) in got.items():
+        assert lb <= truth[item] <= lb + slack
