@@ -31,6 +31,7 @@ from mongo_to_parquet_spark.queries import (
     curation,
     lakehouse,
     llm,
+    privacy,
     relational,
     retail,
     retrieval,
@@ -44,7 +45,7 @@ from mongo_to_parquet_spark.queries import (
 
 _MODULES = (
     relational, tpch, retail, windows, scalars, stream, udf, llm, curation,
-    lakehouse, retrieval, sinks, analytics,
+    lakehouse, retrieval, sinks, analytics, privacy,
 )
 
 

@@ -679,3 +679,201 @@ def q_stats_ks(spark, sf):
         .cast("bigint")
         .alias("d_x10000"),
     )
+
+
+# ------------------------------------------------- Mann-Whitney U test -----
+@q(
+    "q_stats_mannwhitney",
+    """
+    WITH e AS (
+        SELECT event_type AS t, value AS v FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM e GROUP BY v
+    ),
+    r AS (
+        SELECT *, CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(SUM(nc) AS BIGINT) AS n1,
+               CAST(SUM(nv) AS BIGINT) AS n2,
+               CAST(SUM(nc * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+        FROM r
+    )
+    SELECT n1, n2,
+           (r1x2 - n1 * (n1 + 1)) AS u1_x2,
+           (2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))) AS u2_x2,
+           tie_t,
+           ROUND((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - CAST(tie_t AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
+                 4) AS z
+    FROM s
+    """,
+)
+def q_stats_mannwhitney(spark, sf):
+    # Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between the
+    # click and view cohorts — the nonparametric two-sample test a
+    # quality pipeline runs when distributions are skewed and a t-test's
+    # normality assumption fails. All rank arithmetic is INTEGER: joint
+    # average ranks are kept DOUBLED (2*avg = 2*rank_min + cnt - 1, always
+    # integral even at .5 ties), so rank sums, U1/U2 (reported ×2) and the
+    # tie-correction term Σ(t³−t) are exact BIGINTs on both engines; only
+    # the final tie-corrected z converts to double (identical expression
+    # tree, ROUND 4 — the q_stats_regression discipline).
+    #
+    # The joint ranking is computed over the VALUE CENSUS (groupBy value →
+    # cohort counts → running cumulative), never by ranking raw rows: the
+    # window's global sort touches one row per DISTINCT value (bounded by
+    # the 2dp value grid), not one per event — the same census trick as
+    # q_stats_ks. Sanity invariant: u1_x2 + u2_x2 = 2*n1*n2 by
+    # construction. Assumes both cohorts non-empty and not all values
+    # tied (z's denominator > 0) — true of any fixture SF.
+    #
+    # Scale: one partial-aggregated groupBy over the events scan, then a
+    # distinct-value-census window and a 1-row reduce. Map-side combine
+    # carries the corpus; the sort is census-sized.
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    c = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nv"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = c.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    )
+    s = r.agg(
+        F.sum("nc").cast("bigint").alias("n1"),
+        F.sum("nv").cast("bigint").alias("n2"),
+        F.sum(F.col("nc") * (2 * F.col("cum_prev") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    nd = n1d + n2d
+    z = (
+        u1x2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0)
+    ) / F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie_t").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1x2).alias("u2_x2"),
+        "tie_t",
+        F.round(z, 4).alias("z"),
+    )
+
+
+# ------------------------------------------------- Spearman correlation ----
+@q(
+    "q_stats_spearman",
+    """
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY x),
+    rx AS (SELECT x, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS rx2
+           FROM cx),
+    cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY y),
+    ry AS (SELECT y, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS ry2
+           FROM cy),
+    j AS (SELECT rx2, ry2 FROM t JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(rx2) AS DOUBLE) AS sx,
+               CAST(SUM(ry2) AS DOUBLE) AS sy,
+               CAST(SUM(rx2 * ry2) AS DOUBLE) AS sxy,
+               CAST(SUM(rx2 * rx2) AS DOUBLE) AS sxx,
+               CAST(SUM(ry2 * ry2) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM j
+    )
+    SELECT n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS rho
+    FROM s
+    """,
+)
+def q_stats_spearman(spark, sf):
+    # Spearman rank correlation of quantity vs extended price — the
+    # monotone-association check that survives outliers and nonlinear
+    # scaling (Pearson on RANKS). Average ranks are kept DOUBLED so heavy
+    # ties (quantity has ~50 distinct values) stay exact integers; the
+    # Pearson-on-ranks form handles ties correctly where the 6Σd²
+    # shortcut would not. Sufficient sums accumulate in Spark
+    # DECIMAL(38,0) / DuckDB HUGEINT (rx2*ry2 sums pass 2^63 by sf1),
+    # convert ONCE to double, then one identical expression tree, ROUND 4.
+    #
+    # Scale: two census aggregations (distinct quantities: ~50 rows;
+    # distinct price cents: data-bounded) + two equi-joins mapping ranks
+    # back onto the fact. The censuses are orders of magnitude smaller
+    # than the fact, so Catalyst/AQE takes them broadcast — the fact
+    # never shuffles for the joins, only for its own partial-agg partials.
+    # The census windows sort census rows, never the corpus.
+    li = T(spark, sf, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+
+    def rank2(df, col):
+        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return c.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+                + F.col("cnt")
+                + 1
+            ).alias(f"r{col}2"),
+        )
+
+    j = t.join(rank2(t, "x"), "x").join(rank2(t, "y"), "y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("rx2"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("ry2"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("rx2") * F.col("ry2"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("rx2") * F.col("rx2"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("ry2") * F.col("ry2"))).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select("n_rows", F.round(rho, 4).alias("rho"))

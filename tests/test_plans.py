@@ -128,6 +128,8 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
         "q_mm_features",
         "q_udtf_kwic",          # Arrow-optimized Python UDTF (useArrow=True)
         "q_udf_grouped_arrow",  # grouped-map applyInArrow
+        "q_freq_tokens",        # Misra-Gries partial summaries (mapInPandas,
+                                # vectorized value_counts fold — operators/freq.py)
     }
     for key, fn in sorted(queries().items()):
         plan = checks.formatted_plan(fn(spark, sf_dir))
@@ -667,3 +669,32 @@ def test_dedup_incremental_semi_prunes_corpus_text(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ privacy pack -
+
+
+def test_pii_redact_is_pure_map_side(spark, sf_dir):
+    # redaction of 100 TB must be IO-bound: the regexp_replace chain and
+    # span counts stay codegen'd JVM work — no Python stage, no shuffle
+    plan = checks.formatted_plan(QS["q_pii_redact"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pii_luhn_folds_stay_in_codegen(spark, sf_dir):
+    # the Luhn digit folds are HigherOrderFunction expressions in the
+    # projection — one scan, no Python, no shuffle
+    plan = checks.formatted_plan(QS["q_pii_luhn"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pii_detect_single_partial_agg_shuffle(spark, sf_dir):
+    # the census shuffles one partial row per (event_type, partition):
+    # partial HashAggregate below the single exchange, final above
+    # (+ the orderBy's range exchange on 5 rows)
+    plan = checks.formatted_plan(QS["q_pii_detect"](spark, sf_dir))
+    assert "Python" not in plan
+    assert _n_nodes(plan, "Exchange") == 2
+    assert _n_nodes(plan, "HashAggregate") == 2

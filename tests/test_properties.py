@@ -818,3 +818,137 @@ def test_frequent_items_exact_and_partition_invariant(spark, items, den, parts):
     n = len(items)
     want = sorted((i, cnt, n) for i, cnt in c.items() if cnt * den > n)
     assert got == want
+
+
+# ------------------------------------------------------------ privacy pack -
+
+
+def test_luhn_semantics_independent_of_oracle(spark, sf_dir):
+    # the oracle gate proves Spark == DuckDB on the SAME expression tree;
+    # this proves the tree itself is a correct Luhn implementation:
+    # (1) every uncorrupted PAN passes python-stdlib Luhn, every corrupted
+    #     one fails, (2) is_valid is exactly (o_orderkey % 7 != 0)
+    from mongo_to_parquet_spark.queries import queries
+
+    rows = queries()["q_pii_luhn"](spark, sf_dir).collect()
+    assert rows
+
+    def luhn_ok(pan: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(pan)):  # i=0 is the check digit
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            s += d
+        return s % 10 == 0
+
+    for r in rows:
+        assert len(r["pan"]) == 16 and r["pan"].isdigit()
+        assert r["is_valid"] == luhn_ok(r["pan"])
+        assert r["is_valid"] == (r["o_orderkey"] % 7 != 0)
+
+
+def test_pii_redact_leaves_no_pii_shapes(spark, sf_dir):
+    # post-condition a release auditor would run: after redaction no
+    # IP / email / SSN shape survives, and every placeholder that
+    # appears is accounted for by n_pii
+    import re
+
+    from mongo_to_parquet_spark.queries import queries
+
+    rows = queries()["q_pii_redact"](spark, sf_dir).collect()
+    assert rows
+    pats = [
+        re.compile(r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+        re.compile(r"[a-z0-9]+@[a-z]+\.[a-z]+"),
+        re.compile(r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ]
+    for r in rows:
+        for p in pats:
+            assert not p.search(r["redacted"]), (r, p.pattern)
+        n_placeholders = sum(
+            r["redacted"].count(t) for t in ("<IP>", "<EMAIL>", "<SSN>")
+        )
+        assert n_placeholders == r["n_pii"]
+
+
+def _avg_ranks(values):
+    # average (midrank) assignment, returned as float ranks 1..n
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1  # positions i..j (0-based) -> ranks i+1..j+1
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_mannwhitney_matches_naive_python(spark, sf_dir):
+    # oracle parity proves Spark == DuckDB on one expression tree; this
+    # proves the tree is actually the Mann-Whitney statistic: recompute
+    # U and the tie-corrected z from the raw rows with a direct
+    # textbook implementation
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_stats_mannwhitney"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('click','view') AND value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = [r["value"] for r in rows]
+    ranks = _avg_ranks(vals)
+    r1 = sum(rk for rk, r in zip(ranks, rows) if r["event_type"] == "click")
+    n1 = sum(1 for r in rows if r["event_type"] == "click")
+    n2 = len(rows) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["u1_x2"] == round(2 * u1)
+    assert got["u1_x2"] + got["u2_x2"] == 2 * n1 * n2
+    from collections import Counter
+
+    tie_t = sum(c**3 - c for c in Counter(vals).values())
+    assert got["tie_t"] == tie_t
+    n = n1 + n2
+    z = (u1 - n1 * n2 / 2) / math.sqrt(
+        n1 * n2 / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+    )
+    assert abs(got["z"] - z) <= 1e-4
+
+
+def test_spearman_matches_naive_python(spark, sf_dir):
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_stats_spearman"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    xs = _avg_ranks([r["x"] for r in rows])
+    ys = _avg_ranks([r["y"] for r in rows])
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got["n_rows"] == n
+    assert abs(got["rho"] - rho) <= 1e-4
