@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_to_parquet_spark.queries import (
     analytics,
     curation,
+    geo,
     lakehouse,
     llm,
     privacy,
@@ -45,7 +46,7 @@ from mongo_to_parquet_spark.queries import (
 
 _MODULES = (
     relational, tpch, retail, windows, scalars, stream, udf, llm, curation,
-    lakehouse, retrieval, sinks, analytics, privacy,
+    lakehouse, retrieval, sinks, analytics, privacy, geo,
 )
 
 

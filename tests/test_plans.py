@@ -698,3 +698,22 @@ def test_pii_detect_single_partial_agg_shuffle(spark, sf_dir):
     assert "Python" not in plan
     assert _n_nodes(plan, "Exchange") == 2
     assert _n_nodes(plan, "HashAggregate") == 2
+
+
+# ---------------------------------------------------------------- geo pack -
+
+
+def test_geo_knn_broadcasts_build_and_group_limits(spark, sf_dir):
+    # the cell equi-join takes the dim-sized supplier side broadcast, and
+    # the per-customer top-3 is a WindowGroupLimit — no cartesian anywhere
+    df = QS["q_geo_grid_knn"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_geo_radius_is_semi_join(spark, sf_dir):
+    plan = checks.formatted_plan(QS["q_geo_radius_semi"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

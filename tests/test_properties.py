@@ -952,3 +952,68 @@ def test_spearman_matches_naive_python(spark, sf_dir):
     )
     assert got["n_rows"] == n
     assert abs(got["rho"] - rho) <= 1e-4
+
+
+# ---------------------------------------------------------------- geo pack -
+
+
+def _geo_points(spark, sf_dir):
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    A, B = 2654435761, 2246822519
+    cust = [
+        (r["c_custkey"], (r["c_custkey"] * A) % 1000000, (r["c_custkey"] * B) % 1000000)
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    supp = [
+        (
+            r["s_suppkey"],
+            (r["s_suppkey"] * B + 123456789) % 1000000,
+            (r["s_suppkey"] * A + 987654321) % 1000000,
+        )
+        for r in load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    return cust, supp
+
+
+def test_geo_radius_blocking_is_complete(spark, sf_dir):
+    # R < CELL must make the ring lookup COMPLETE: the engine's semi-join
+    # answer equals the O(n*m) brute-force "any supplier within R" set —
+    # proving the grid blocking loses no true neighbor
+    from mongo_to_parquet_spark.queries import queries
+
+    got = {
+        r["c_custkey"]
+        for r in queries()["q_geo_radius_semi"](spark, sf_dir).collect()
+    }
+    cust, supp = _geo_points(spark, sf_dir)
+    R2 = 40_000 ** 2
+    want = {
+        k
+        for k, lat, lon in cust
+        if any((lat - sl) ** 2 + (lon - so) ** 2 <= R2 for _, sl, so in supp)
+    }
+    assert got == want
+
+
+def test_geo_knn_matches_bruteforce_within_ring(spark, sf_dir):
+    # the declared semantics: top-3 by (dist2, suppkey) among suppliers in
+    # the probe's 3x3 cell ring — verified against a python brute force
+    from collections import defaultdict
+
+    from mongo_to_parquet_spark.queries import queries
+
+    got = defaultdict(list)
+    for r in queries()["q_geo_grid_knn"](spark, sf_dir).collect():
+        got[r["c_custkey"]].append((r["rk"], r["s_suppkey"], r["dist2"]))
+    cust, supp = _geo_points(spark, sf_dir)
+    CELL = 50_000
+    for k, lat, lon in cust:
+        cx, cy = lon // CELL, lat // CELL
+        cand = sorted(
+            ((lat - sl) ** 2 + (lon - so) ** 2, sk)
+            for sk, sl, so in supp
+            if abs(so // CELL - cx) <= 1 and abs(sl // CELL - cy) <= 1
+        )[:3]
+        want = [(i + 1, sk, d2) for i, (d2, sk) in enumerate(cand)]
+        assert sorted(got.get(k, [])) == want, k
