@@ -89,6 +89,9 @@ HEADLINE = [
     "q_agg_quantile_histogram",  # sortless exact quantiles, 3 censuses/rank
     "q_assoc_rules",        # basket rules via map-side pair generation
     "q_dedup_incremental",  # delta-vs-persisted-index dedup (daily-crawl shape)
+    "q_pii_luhn",           # codegen HOF digit folds, pure map-side throughput
+    "q_geo_grid_knn",       # grid-cell-blocked spatial kNN join
+    "q_stats_spearman",     # two rank censuses joined back onto the fact
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

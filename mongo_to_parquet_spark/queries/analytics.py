@@ -838,28 +838,54 @@ def q_stats_spearman(spark, sf):
     # DECIMAL(38,0) / DuckDB HUGEINT (rx2*ry2 sums pass 2^63 by sf1),
     # convert ONCE to double, then one identical expression tree, ROUND 4.
     #
-    # Scale: two census aggregations (distinct quantities: ~50 rows;
-    # distinct price cents: data-bounded) + two equi-joins mapping ranks
-    # back onto the fact. The censuses are orders of magnitude smaller
-    # than the fact, so Catalyst/AQE takes them broadcast — the fact
-    # never shuffles for the joins, only for its own partial-agg partials.
-    # The census windows sort census rows, never the corpus.
+    # Scale: the price census is NEARLY THE CORPUS (583k distinct of 600k
+    # rows at sf0.1), so ranking must not funnel it through one global
+    # window. Midranks are built with the standard TWO-LEVEL distributed
+    # rank instead: per-value counts bucket by `value div 2^14`, only the
+    # ~hundreds-row BUCKET census crosses a global (offset) window, and
+    # the per-value cumulative runs in a window PARTITIONED BY bucket —
+    # fully parallel. The rank joins back onto the fact by value
+    # (broadcast for the 50-value quantity census, shuffle for the
+    # price-sized one — AQE picks). The oracle keeps the naive
+    # one-window census formulation: same ranks, simpler SQL.
     li = T(spark, sf, "lineitem")
     t = li.select(
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     )
 
-    def rank2(df, col):
-        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return c.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
-                + F.col("cnt")
-                + 1
-            ).alias(f"r{col}2"),
+    def rank2(df, col, bucket_div=16384):
+        c = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("bkt", F.expr(f"{col} div {bucket_div}"))
+        )
+        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        bo = (
+            c.groupBy("bkt")
+            .agg(F.sum("cnt").cast("bigint").alias("bn"))
+            .withColumn(
+                "boff",
+                F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint"),
+            )
+            .drop("bn")
+        )
+        wv = Window.partitionBy("bkt").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            c.join(bo, "bkt")
+            .withColumn(
+                "cum_in", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("bigint")
+            )
+            .select(
+                col,
+                (
+                    2 * (F.col("boff") + F.col("cum_in"))
+                    + F.col("cnt")
+                    + 1
+                ).alias(f"r{col}2"),
+            )
         )
 
     j = t.join(rank2(t, "x"), "x").join(rank2(t, "y"), "y")
@@ -877,3 +903,248 @@ def q_stats_spearman(spark, sf):
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return s.select("n_rows", F.round(rho, 4).alias("rho"))
+
+
+# ---------------------------------------------- Poisson bootstrap CI -------
+# Truncated-Poisson(1) weights from 6 hex digits of md5: cumulative pmf
+# thresholds floor(P(X<=k) * 16^6) rendered as hex strings ONCE here and
+# interpolated into both dialects, so the constants cannot diverge.
+# P(X<=4) = 0.9963 — weights cap at 5 (the tail mass rides the top
+# bucket; documented truncation, irrelevant at any corpus size).
+_POIS_T = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+_B = 32  # bootstrap replicates
+
+
+def _pois_w_duck(expr: str) -> str:
+    h = f"substr(md5({expr}), 1, 6)"
+    return (
+        f"CASE WHEN {h} < '{_POIS_T[0]}' THEN 0 "
+        f"WHEN {h} < '{_POIS_T[1]}' THEN 1 "
+        f"WHEN {h} < '{_POIS_T[2]}' THEN 2 "
+        f"WHEN {h} < '{_POIS_T[3]}' THEN 3 "
+        f"WHEN {h} < '{_POIS_T[4]}' THEN 4 ELSE 5 END"
+    )
+
+
+@q(
+    "q_stats_bootstrap",
+    f"""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT t.k, t.cents, b.b,
+               {_pois_w_duck("concat('boot', CAST(b.b AS VARCHAR), ':', CAST(t.k AS VARCHAR))")} AS w
+        FROM t CROSS JOIN (SELECT unnest(range({_B})) AS b) AS b
+    ),
+    rep AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * cents) AS BIGINT) AS s,
+               CAST(SUM(cents) AS BIGINT) AS sc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM r GROUP BY b
+    ),
+    m AS (SELECT b, n_b, sc_b,
+                 CAST((s * 10000) // n_eff AS BIGINT) AS mean10k FROM rep)
+    SELECT MAX(CASE WHEN b = 0 THEN n_b END) AS n_rows,
+           CAST((MAX(CASE WHEN b = 0 THEN sc_b END) * 10000)
+                // MAX(CASE WHEN b = 0 THEN n_b END) AS BIGINT) AS mean_x10000,
+           list_sort(list(mean10k))[2] AS ci_lo_x10000,
+           list_sort(list(mean10k))[{_B - 1}] AS ci_hi_x10000
+    FROM m
+    """,
+)
+def q_stats_bootstrap(spark, sf):
+    # Poisson bootstrap CI for the mean order value — THE scalable
+    # bootstrap: classical resampling needs n draws per replicate
+    # (a shuffle per replicate); the Poisson trick gives every (row,
+    # replicate) an independent Poisson(1) multiplicity, so all B=32
+    # replicates accumulate in ONE pass over the data, map-side. Weights
+    # are deterministic md5-hex draws against truncated-Poisson
+    # cumulative thresholds (hex-string compares — the md5-twin split/
+    # sample discipline, no float RNG anywhere); replicate means are
+    # exact integer fixed-point (×10⁴, floor div — Spark `div` ≡ DuckDB
+    # `//` on non-negatives); the 95% CI is the 2nd / 31st order
+    # statistic of the 32 replicate means.
+    #
+    # Scale: the 32× expand is map-side (explode of a literal sequence);
+    # the groupBy(b) shuffles 32 partial rows per partition — bootstrap
+    # over 100 TB costs ONE scan plus a 32-row reduce (the unweighted
+    # point estimate rides replicate 0's partials, no second scan). No
+    # resampling shuffle exists in the plan.
+    o = T(spark, sf, "orders")
+    t = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    r = t.select(
+        "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("k").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = (
+        F.when(h < _POIS_T[0], 0)
+        .when(h < _POIS_T[1], 1)
+        .when(h < _POIS_T[2], 2)
+        .when(h < _POIS_T[3], 3)
+        .when(h < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        r.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
+            # every replicate group holds EVERY row exactly once, so the
+            # unweighted base statistics ride the same shuffle for free —
+            # no second scan of the fact for the point estimate
+            F.sum("cents").cast("bigint").alias("sc_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        )
+    )
+    m = rep.select(
+        "b",
+        "n_b",
+        "sc_b",
+        F.expr("(s * 10000) div n_eff").cast("bigint").alias("mean10k"),
+    )
+    # ONE final aggregation over the 32 replicate rows: the point
+    # estimate reads replicate 0's pass-through stats, the CI reads order
+    # statistics of the sorted replicate means — a single subtree, so the
+    # fact is scanned exactly once (three separate 1-row branches would
+    # each re-derive the aggregate through different projections, which
+    # defeats subtree reuse and triples the scan)
+    b0 = lambda c: F.max(F.when(F.col("b") == 0, F.col(c)))  # noqa: E731
+    ms = F.sort_array(F.collect_list("mean10k"))
+    return m.agg(
+        b0("n_b").alias("n_rows"),
+        b0("sc_b").alias("sc"),
+        ms.alias("ms"),
+    ).select(
+        "n_rows",
+        F.expr("(sc * 10000) div n_rows").cast("bigint").alias("mean_x10000"),
+        F.col("ms").getItem(1).alias("ci_lo_x10000"),
+        F.col("ms").getItem(_B - 2).alias("ci_hi_x10000"),
+    )
+
+
+# ------------------------------------------------------- Welch's t-test ----
+@q(
+    "q_stats_ttest",
+    """
+    WITH e AS (
+        SELECT event_type AS t, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    s AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM e GROUP BY t
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN t = 'click' THEN n END) AS n1,
+               MAX(CASE WHEN t = 'click' THEN sc END) AS sc1,
+               MAX(CASE WHEN t = 'click' THEN scc END) AS scc1,
+               MAX(CASE WHEN t = 'view' THEN n END) AS n2,
+               MAX(CASE WHEN t = 'view' THEN sc END) AS sc2,
+               MAX(CASE WHEN t = 'view' THEN scc END) AS scc2
+        FROM s
+    ),
+    d AS (
+        SELECT n1, n2,
+               CAST(sc1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(sc2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               (CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) * CAST(sc1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+                   / CAST(n1 AS DOUBLE) AS se1sq,
+               (CAST(scc2 AS DOUBLE) - CAST(sc2 AS DOUBLE) * CAST(sc2 AS DOUBLE)
+                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+                   / CAST(n2 AS DOUBLE) AS se2sq
+        FROM w
+    )
+    SELECT n1, n2,
+           ROUND((m1 - m2) / sqrt(se1sq + se2sq), 4) AS t_stat,
+           ROUND((se1sq + se2sq) * (se1sq + se2sq)
+                 / (se1sq * se1sq / (CAST(n1 AS DOUBLE) - 1.0)
+                    + se2sq * se2sq / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df
+    FROM d
+    """,
+)
+def q_stats_ttest(spark, sf):
+    # Welch's unequal-variance t-test on the same click-vs-view contrast
+    # as q_stats_mannwhitney — the parametric twin, so a pipeline can
+    # report both and flag when they disagree (heavy skew). Values scale
+    # to exact cents; n/Σc/Σc² accumulate as exact BIGINTs (order-free),
+    # then ONE double conversion feeds an identical expression tree for
+    # t and the Welch–Satterthwaite df, ROUND 4 (q_stats_regression
+    # discipline). t is dimensionless — the cents scaling cancels between
+    # the mean difference and the standard error, so no rescale exists.
+    #
+    # Scale: one partial-aggregated groupBy (2 rows out), then scalar
+    # math on a 1-row relation. Map-side combine carries everything.
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    s = e.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("t") == t, F.col(c)))  # noqa: E731
+    w = s.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "sc").alias("sc1"),
+        pick("click", "scc").alias("scc1"),
+        pick("view", "n").alias("n2"),
+        pick("view", "sc").alias("sc2"),
+        pick("view", "scc").alias("scc2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("sc1").cast("double") / n1d
+    m2 = F.col("sc2").cast("double") / n2d
+    se1sq = (
+        (F.col("scc1").cast("double") - F.col("sc1").cast("double") * F.col("sc1").cast("double") / n1d)
+        / (n1d - F.lit(1.0))
+        / n1d
+    )
+    se2sq = (
+        (F.col("scc2").cast("double") - F.col("sc2").cast("double") * F.col("sc2").cast("double") / n2d)
+        / (n2d - F.lit(1.0))
+        / n2d
+    )
+    d = w.select(
+        "n1", "n2", m1.alias("m1"), m2.alias("m2"),
+        se1sq.alias("se1sq"), se2sq.alias("se2sq"),
+    )
+    sesum = F.col("se1sq") + F.col("se2sq")
+    return d.select(
+        "n1",
+        "n2",
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(sesum), 4).alias("t_stat"),
+        F.round(
+            sesum * sesum
+            / (
+                F.col("se1sq") * F.col("se1sq") / (F.col("n1").cast("double") - F.lit(1.0))
+                + F.col("se2sq") * F.col("se2sq") / (F.col("n2").cast("double") - F.lit(1.0))
+            ),
+            4,
+        ).alias("df"),
+    )

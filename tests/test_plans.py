@@ -717,3 +717,20 @@ def test_geo_radius_is_semi_join(spark, sf_dir):
     plan = checks.formatted_plan(QS["q_geo_radius_semi"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_is_single_scan(spark, sf_dir):
+    # the Poisson bootstrap's whole point: B=32 replicates, ONE scan of
+    # the fact (point estimate included), no Python, no resample shuffle
+    df = QS["q_stats_bootstrap"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "Python" not in plan
+
+
+def test_ttest_is_single_scan_sufficient_stats(spark, sf_dir):
+    df = QS["q_stats_ttest"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "Python" not in plan
+    assert "partial_" in plan  # map-side combine carries the corpus

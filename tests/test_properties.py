@@ -1017,3 +1017,78 @@ def test_geo_knn_matches_bruteforce_within_ring(spark, sf_dir):
         )[:3]
         want = [(i + 1, sk, d2) for i, (d2, sk) in enumerate(cand)]
         assert sorted(got.get(k, [])) == want, k
+
+
+def test_bootstrap_matches_hashlib_recomputation(spark, sf_dir):
+    # full independent recomputation: python hashlib md5 -> truncated-
+    # Poisson weights -> replicate means -> order-statistic CI must equal
+    # the engine's answer bit for bit (the md5-twin guarantee, proven
+    # end-to-end through the weighting, fixed-point division and ranking)
+    import hashlib
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_stats_bootstrap"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr("o_orderkey AS k", "CAST(ROUND(o_totalprice*100) AS BIGINT) AS c")
+        .collect()
+    )
+    thresholds = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+
+    def weight(b, k):
+        h = hashlib.md5(f"boot{b}:{k}".encode()).hexdigest()[:6]
+        for w, t in enumerate(thresholds):
+            if h < t:
+                return w
+        return 5
+
+    means = []
+    for b in range(32):
+        n_eff = s = 0
+        for r in rows:
+            w = weight(b, r["k"])
+            n_eff += w
+            s += w * r["c"]
+        means.append((s * 10000) // n_eff)
+    means.sort()
+    n = len(rows)
+    sc = sum(r["c"] for r in rows)
+    assert got["n_rows"] == n
+    assert got["mean_x10000"] == (sc * 10000) // n
+    assert got["ci_lo_x10000"] == means[1]
+    assert got["ci_hi_x10000"] == means[30]
+    # the CI must bracket the point estimate
+    assert got["ci_lo_x10000"] <= got["mean_x10000"] <= got["ci_hi_x10000"]
+
+
+def test_welch_ttest_matches_naive_python(spark, sf_dir):
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_stats_ttest"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('click','view') AND value IS NOT NULL")
+        .selectExpr("event_type AS t", "CAST(ROUND(value*100) AS BIGINT) AS c")
+        .collect()
+    )
+    a = [r["c"] for r in rows if r["t"] == "click"]
+    b = [r["c"] for r in rows if r["t"] == "view"]
+
+    def mean_sesq(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return m, var / n
+
+    m1, se1 = mean_sesq(a)
+    m2, se2 = mean_sesq(b)
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / (len(a) - 1) + se2**2 / (len(b) - 1))
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["t_stat"] - t) <= 1e-3
+    assert abs(got["df"] - df) <= 1e-2
