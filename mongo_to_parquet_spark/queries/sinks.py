@@ -363,3 +363,74 @@ def q_schema_evolution(spark, sf):
         )
         .orderBy("priority")
     )
+
+
+# ----------------------------------------- dynamic partition pruning -------
+@q(
+    "q_join_dpp",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE year(o_orderdate) >= 1997
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_dpp(spark, sf):
+    # DYNAMIC partition pruning end-to-end — the feature that makes the
+    # reference's own year-partitioned export layout (main.py:293-295,
+    # reproduced by sources/export.export_partitioned) pay off for joins,
+    # not just literal date filters: the fact is stored
+    # partitionBy("year"), the probe filter lives on a DIM table (a date
+    # dimension with a status column, only resolvable by READING the
+    # dim), and Spark inserts a runtime dynamicpruning subquery into the
+    # fact scan's PartitionFilters so only the dim-selected year
+    # directories are read. Statically the fact filter is unknowable —
+    # without DPP this scans every partition of 100 TB to join-discard
+    # most of it; the plan assertion in tests/test_plans.py pins the
+    # subquery's presence.
+    #
+    # The dim is derived (distinct years -> status 'recent' iff >= 1997)
+    # and written to parquet so the optimizer sees an opaque source, not
+    # a foldable literal; the oracle collapses dim+join to the equivalent
+    # static predicate on the unpartitioned source table. Money sums in
+    # exact cents (partition-ordering-free).
+    outroot = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "dpp",
+            os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        )
+    )
+    o = T(spark, sf, "orders")
+    fact_path = os.path.join(outroot, "orders_by_year")
+    o.withColumn("year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("year").parquet(fact_path)
+    dim_path = os.path.join(outroot, "dim_year")
+    (
+        o.select(F.year("o_orderdate").alias("year"))
+        .where(F.col("year").isNotNull())
+        .distinct()
+        .select(
+            "year",
+            F.when(F.col("year") >= 1997, "recent").otherwise("old").alias(
+                "status"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("status") == "recent")
+    return (
+        fact.join(dim, "year")
+        .groupBy(F.col("year").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("yr")
+    )

@@ -734,3 +734,13 @@ def test_ttest_is_single_scan_sufficient_stats(spark, sf_dir):
     assert checks.count_nodes(df, "Scan parquet") == 1
     assert "Python" not in plan
     assert "partial_" in plan  # map-side combine carries the corpus
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    # the year-partitioned fact's scan must carry a dynamicpruning
+    # subquery fed by the dim filter — the layout+join contract that
+    # keeps a 100 TB partitioned export from full-scanning on dim joins
+    df = QS["q_join_dpp"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
