@@ -849,10 +849,15 @@ def q_stats_spearman(spark, sf):
     # price-sized one — AQE picks). The oracle keeps the naive
     # one-window census formulation: same ranks, simpler SQL.
     li = T(spark, sf, "lineitem")
+    # persist: three consumers (x census, y census, the rank join-back)
+    # reach t through DIFFERENT projections, so AQE subtree reuse cannot
+    # dedupe them — the measured persist rule (SURVEY §7 retro #map-side;
+    # 2.53s → 2.12s at sf0.1 warm). Cleanup rides the caller's
+    # clearCache, like the other persisting declared queries.
     t = li.select(
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
-    )
+    ).persist()
 
     def rank2(df, col, bucket_div=16384):
         c = (

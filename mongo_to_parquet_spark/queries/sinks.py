@@ -434,3 +434,97 @@ def q_join_dpp(spark, sf):
         )
         .orderBy("yr")
     )
+
+
+# ------------------------------------------------------ export fixity ------
+@q(
+    "q_export_fixity",
+    """
+    WITH t AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       coalesce(CAST(o_orderdate AS VARCHAR), '<null>'),
+                       o_orderstatus,
+                       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       o_orderpriority)), 1, 12)) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum,
+           TRUE AS export_match
+    FROM t GROUP BY yr ORDER BY yr
+    """,
+)
+def q_export_fixity(spark, sf):
+    # fixity audit of a partitioned export — "is the copy byte-complete?"
+    # without sorting or row-aligning 100 TB: every row contributes a
+    # 48-bit md5-prefix integer (Spark conv(hex,16,10) ≡ DuckDB
+    # CAST('0x'||hex)), summed per year partition in exact integer space
+    # (DECIMAL(38,0)/HUGEINT) and reduced mod 2^61-1 — an ORDER-
+    # INSENSITIVE checksum, so source and export can be scanned in any
+    # partition order/parallelism. The engine audits its own export
+    # (write → read back → compare per-partition count + checksum); the
+    # oracle recomputes the SOURCE digest independently with export_match
+    # pinned TRUE — a corrupt or lossy export flips the engine's flag (or
+    # shifts its checksum) and fails the gate.
+    #
+    # A dropped row, duplicated row, or any field edit moves the sum with
+    # collision probability ~2^-48 per partition; counts catch
+    # cancellation-free cardinality drift. Cost: two map-side scans + two
+    # years-sized partial-agg shuffles. No shuffle carries rows.
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_orderdate").cast("string"), F.lit("<null>")),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    v = F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("bigint")
+    prime = F.lit(2305843009213693951)
+
+    def digest(df, yr_col):
+        return (
+            df.groupBy(yr_col.cast("bigint").alias("yr"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.sum(v.cast("decimal(38,0)")) % prime)
+                .cast("bigint")
+                .alias("checksum"),
+            )
+        )
+
+    o = T(spark, sf, "orders")
+    outroot = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "fixity",
+            os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        )
+    )
+    o.withColumn("year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("year").parquet(outroot)
+    src = digest(o, F.year("o_orderdate"))
+    exp = digest(spark.read.parquet(outroot), F.col("year"))
+    e = exp.select(
+        F.col("yr").alias("e_yr"),
+        F.col("n_rows").alias("e_n"),
+        F.col("checksum").alias("e_ck"),
+    )
+    return (
+        src.join(e, src.yr == e.e_yr, "full")
+        .select(
+            F.coalesce("yr", "e_yr").alias("yr"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            "checksum",
+            (
+                F.col("yr").isNotNull()
+                & F.col("e_yr").isNotNull()
+                & (F.col("n_rows") == F.col("e_n"))
+                & (F.col("checksum") == F.col("e_ck"))
+            ).alias("export_match"),
+        )
+        .orderBy("yr")
+    )

@@ -1092,3 +1092,52 @@ def test_welch_ttest_matches_naive_python(spark, sf_dir):
     assert got["n1"] == len(a) and got["n2"] == len(b)
     assert abs(got["t_stat"] - t) <= 1e-3
     assert abs(got["df"] - df) <= 1e-2
+
+
+def test_export_fixity_roundtrip_matches_and_detects_edits(spark, sf_dir):
+    # (1) a clean write->read-back audit must come back all-green;
+    # (2) the checksum must actually be edit-sensitive: recomputing the
+    #     digest with one field perturbed in one row must move exactly
+    #     that year's checksum (the detection property the audit sells)
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = queries()["q_export_fixity"](spark, sf_dir).collect()
+    assert rows and all(r["export_match"] for r in rows)
+    base = {r["yr"]: r["checksum"] for r in rows}
+
+    o = load_table(spark, sf_dir, "orders")
+    first = o.agg(F.min("o_orderkey")).collect()[0][0]
+    tampered = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == first, F.col("o_totalprice") + 0.01)
+        .otherwise(F.col("o_totalprice")),
+    )
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_orderdate").cast("string"), F.lit("<null>")),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    v = F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("bigint")
+    got = {
+        r["yr"]: r["ck"]
+        for r in tampered.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            (F.sum(v.cast("decimal(38,0)")) % F.lit(2305843009213693951))
+            .cast("bigint")
+            .alias("ck")
+        )
+        .collect()
+    }
+    edited_yr = o.filter(F.col("o_orderkey") == first).select(
+        F.year("o_orderdate").cast("bigint")
+    ).collect()[0][0]
+    assert got[edited_yr] != base[edited_yr]
+    for yr in base:
+        if yr != edited_yr:
+            assert got[yr] == base[yr]
