@@ -1153,3 +1153,135 @@ def q_stats_ttest(spark, sf):
             4,
         ).alias("df"),
     )
+
+
+# ---------------------------------------------- feature engineering --------
+@q(
+    "q_feat_hashing",
+    """
+    WITH tok AS (
+        SELECT user_id, unnest([
+            concat('type=', event_type),
+            concat('k=', CAST(json_extract(props, '$.k') AS VARCHAR))
+        ]) AS token
+        FROM events
+    ),
+    h AS (
+        SELECT user_id,
+               CAST(CAST(concat('0x', substr(md5(concat('fh:', token)), 1, 12))
+                    AS BIGINT) % 16 AS INT) AS bucket,
+               CASE WHEN substr(md5(concat('fh:', token)), 13, 1) < '8'
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+    """,
+)
+def q_feat_hashing(spark, sf):
+    # the hashing trick (feature hashing): categorical tokens map to a
+    # FIXED k=16-dim signed feature space through a hash, so the feature
+    # matrix never needs a vocabulary pass or a dictionary broadcast —
+    # the unbounded-cardinality categorical encoder that works on 100 TB
+    # streams. Bucket = md5 48-bit prefix mod 16 (Spark conv(hex,16,10) ≡
+    # DuckDB CAST('0x'||hex) — the q_export_fixity identity), sign = the
+    # 13th hex digit's top bit (the signed variant that makes collisions
+    # cancel in expectation, per Weinberger et al.'s hashing-trick
+    # construction). Output is the sparse (user, bucket, weight) triple
+    # form; zero-weight cells are dropped like any sparse encoder drops
+    # them.
+    #
+    # Scale: explode of a 2-element literal array (map-side), one
+    # partial-agg shuffle keyed (user, bucket) — no vocabulary state
+    # anywhere, which is the entire point of the trick.
+    e = T(spark, sf, "events")
+    toks = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("type="), F.col("event_type")),
+                F.concat(
+                    F.lit("k="),
+                    F.get_json_object("props", "$.k").cast("string"),
+                ),
+            )
+        ).alias("token"),
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("token")))
+    bucket = (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % 16).cast("int")
+    sgn = F.when(F.substring(h, 13, 1) < "8", 1).otherwise(-1)
+    return (
+        toks.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            bucket.alias("bucket"),
+            sgn.alias("sgn"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+@q(
+    "q_feat_target_encode",
+    """
+    WITH l AS (
+        SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cf AS (
+        SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+               CAST(SUM(y) AS BIGINT) AS s_cf
+        FROM l GROUP BY cat, fold
+    ),
+    c AS (
+        SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+               CAST(SUM(s_cf) AS BIGINT) AS s_c
+        FROM cf GROUP BY cat
+    )
+    SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, n_cf, 
+           CAST(((s_c - s_cf) * 10000) // (n_c - n_cf) AS BIGINT) AS enc_x10000
+    FROM cf JOIN c USING (cat)
+    ORDER BY cat, fold
+    """,
+)
+def q_feat_target_encode(spark, sf):
+    # out-of-fold target encoding: replace a categorical with the mean
+    # label of OTHER folds' rows in the same category — the standard
+    # high-cardinality encoder, built leakage-free by construction (a
+    # row's own fold never contributes to its encoding; the repo's
+    # q_split_leakage audit is the sibling check). Encodings are exact
+    # ×10⁴ fixed point (floor div, Spark `div` ≡ DuckDB `//`).
+    #
+    # Scale: ONE partial-agg shuffle over the fact keyed (cat, fold);
+    # the per-category totals re-aggregate the tiny census, and the
+    # encode table (|cats|×|folds| rows) broadcasts back onto any fact
+    # that applies it. No per-row state, no leakage.
+    o = T(spark, sf, "orders")
+    l = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cf = l.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        F.sum("y").cast("bigint").alias("s_cf"),
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+    )
+    return (
+        cf.join(c, "cat")
+        .select(
+            "cat",
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_cf",
+            F.expr("((s_c - s_cf) * 10000) div (n_c - n_cf)")
+            .cast("bigint")
+            .alias("enc_x10000"),
+        )
+        .orderBy("cat", "fold")
+    )

@@ -1141,3 +1141,68 @@ def test_export_fixity_roundtrip_matches_and_detects_edits(spark, sf_dir):
     for yr in base:
         if yr != edited_yr:
             assert got[yr] == base[yr]
+
+
+def test_target_encoding_is_leakage_free(spark, sf_dir):
+    # each (cat, fold) encoding must equal the label mean over the OTHER
+    # folds only — recomputed naively from raw rows
+    from collections import defaultdict
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = {
+        (r["cat"], r["fold"]): r["enc_x10000"]
+        for r in queries()["q_feat_target_encode"](spark, sf_dir).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])  # (cat, fold) -> [n, s]
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS cat",
+            "o_orderkey % 5 AS fold",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+        )
+        .collect()
+    ):
+        a = agg[(r["cat"], r["fold"])]
+        a[0] += 1
+        a[1] += r["y"]
+    cats = {c for c, _ in agg}
+    for c in cats:
+        tot_n = sum(agg[(c, f)][0] for f in range(5) if (c, f) in agg)
+        tot_s = sum(agg[(c, f)][1] for f in range(5) if (c, f) in agg)
+        for f in range(5):
+            if (c, f) not in agg:
+                continue
+            n, s = agg[(c, f)]
+            assert got[(c, f)] == ((tot_s - s) * 10000) // (tot_n - n)
+
+
+def test_feature_hashing_matches_hashlib(spark, sf_dir):
+    # recompute the sparse triples with python hashlib: same buckets,
+    # same signs, same sums (determinism + the signed construction)
+    import hashlib
+    import json
+    from collections import defaultdict
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = {
+        (r["user_id"], r["bucket"]): r["val"]
+        for r in queries()["q_feat_hashing"](spark, sf_dir).collect()
+    }
+    want = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "props")
+        .collect()
+    ):
+        for tok in (f"type={r['event_type']}", f"k={json.loads(r['props'])['k']}"):
+            h = hashlib.md5(f"fh:{tok}".encode()).hexdigest()
+            bucket = int(h[:12], 16) % 16
+            sgn = 1 if h[12] < "8" else -1
+            want[(r["user_id"], bucket)] += sgn
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
