@@ -905,3 +905,104 @@ def q_ts_changepoint(spark, sf):
             F.lit(0).cast("bigint"),
         ).alias("first_alarm_epoch"),
     )
+
+
+# ------------------------------------------------------ dialog assembly ----
+@q(
+    "q_dialog_assemble",
+    """
+    WITH m AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN lag(event_type) OVER w = event_type
+                         AND NOT (lag(ts) OVER w IS NULL
+                                  OR CAST(ts AS TIMESTAMP)
+                                     - CAST(lag(ts) OVER w AS TIMESTAMP)
+                                     >= INTERVAL '30 minutes')
+                    THEN 1 ELSE 0 END AS is_repeat
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM m
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sess AS BIGINT) AS sess,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS started_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS ended_us,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS dialog,
+           CAST(SUM(is_repeat) AS BIGINT) AS n_repeats
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_dialog_assemble(spark, sf):
+    # conversation assembly — the SFT-data shape: burst-sessionize each
+    # user's event stream (30-min gaps), then materialize every session
+    # as ONE ordered dialog record (turn count, span, the turn-type
+    # transcript, and a consecutive-same-role violation count — the
+    # alternation check an instruction-data pipeline runs before
+    # training). Repetition is flagged in the SAME window pass that marks
+    # session starts (lag over one (user, ts, id) ordering; a repeat
+    # across a session boundary doesn't count), so sessionization,
+    # alternation audit and the cumulative session id all share ONE sort.
+    # Transcript order is total — (ts, event_id) tiebreak — and the
+    # Spark side materializes it via sort_array(collect_list(struct)),
+    # whose struct-prefix sort is the same order, so both engines emit
+    # identical strings.
+    #
+    # Scale: one shuffle on user_id (the window), one groupBy on (user,
+    # sess) that AQE coalesces — per-session transcripts are
+    # data-bounded (a user's 30-min burst), never corpus-bounded. The
+    # collect_list is per session, the canonical "assemble training
+    # records" fan-in.
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.unix_micros(F.col("ts").cast("timestamp")) - prev_ts >= gap_us), 1
+    ).otherwise(0)
+    is_rep = F.when(
+        (F.lag("event_type").over(w) == F.col("event_type"))
+        & ~(prev_ts.isNull() | (F.unix_micros(F.col("ts").cast("timestamp")) - prev_ts >= gap_us)),
+        1,
+    ).otherwise(0)
+    m = e.select(
+        "user_id", "event_id", "event_type", "ts",
+        is_new.alias("is_new"), is_rep.alias("is_repeat"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = m.withColumn("sess", F.sum("is_new").over(ws))
+    turns = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("event_type").alias("e"),
+                )
+            )
+        ),
+        lambda x: x["e"],
+    )
+    return (
+        s.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("sess").cast("bigint").alias("sess"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("started_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("ended_us"),
+            F.array_join(turns, "|").alias("dialog"),
+            F.sum("is_repeat").cast("bigint").alias("n_repeats"),
+        )
+    )
