@@ -706,7 +706,7 @@ def q_stats_ks(spark, sf):
         SELECT CAST(SUM(nc) AS BIGINT) AS n1,
                CAST(SUM(nv) AS BIGINT) AS n2,
                CAST(SUM(nc * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r1x2,
-               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+               CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT) AS tie_t
         FROM r
     )
     SELECT n1, n2,
@@ -768,7 +768,13 @@ def q_stats_mannwhitney(spark, sf):
         F.sum(F.col("nc") * (2 * F.col("cum_prev") + F.col("cnt") + 1))
         .cast("bigint")
         .alias("r1x2"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        # cnt promoted to decimal BEFORE cubing: a fully-tied census at
+        # large SF overflows int64 inside the product, where the engines
+        # diverge (DuckDB errors, Spark wraps)
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
         .cast("bigint")
         .alias("tie_t"),
     )
@@ -952,9 +958,9 @@ def _pois_w_duck(expr: str) -> str:
         FROM r GROUP BY b
     ),
     m AS (SELECT b, n_b, sc_b,
-                 CAST((s * 10000) // n_eff AS BIGINT) AS mean10k FROM rep)
+                 CAST((CAST(s AS HUGEINT) * 10000) // n_eff AS BIGINT) AS mean10k FROM rep)
     SELECT MAX(CASE WHEN b = 0 THEN n_b END) AS n_rows,
-           CAST((MAX(CASE WHEN b = 0 THEN sc_b END) * 10000)
+           CAST((CAST(MAX(CASE WHEN b = 0 THEN sc_b END) AS HUGEINT) * 10000)
                 // MAX(CASE WHEN b = 0 THEN n_b END) AS BIGINT) AS mean_x10000,
            list_sort(list(mean10k))[2] AS ci_lo_x10000,
            list_sort(list(mean10k))[{_B - 1}] AS ci_hi_x10000
@@ -1024,7 +1030,7 @@ def q_stats_bootstrap(spark, sf):
         "b",
         "n_b",
         "sc_b",
-        F.expr("(s * 10000) div n_eff").cast("bigint").alias("mean10k"),
+        F.expr("(cast(s as decimal(38,0)) * 10000) div n_eff").cast("bigint").alias("mean10k"),
     )
     # ONE final aggregation over the 32 replicate rows: the point
     # estimate reads replicate 0's pass-through stats, the CI reads order
@@ -1040,7 +1046,7 @@ def q_stats_bootstrap(spark, sf):
         ms.alias("ms"),
     ).select(
         "n_rows",
-        F.expr("(sc * 10000) div n_rows").cast("bigint").alias("mean_x10000"),
+        F.expr("(cast(sc as decimal(38,0)) * 10000) div n_rows").cast("bigint").alias("mean_x10000"),
         F.col("ms").getItem(1).alias("ci_lo_x10000"),
         F.col("ms").getItem(_B - 2).alias("ci_hi_x10000"),
     )
@@ -1162,7 +1168,7 @@ def q_stats_ttest(spark, sf):
     WITH tok AS (
         SELECT user_id, unnest([
             concat('type=', event_type),
-            concat('k=', CAST(json_extract(props, '$.k') AS VARCHAR))
+            concat('k=', coalesce(CAST(json_extract(props, '$.k') AS VARCHAR), '<null>'))
         ]) AS token
         FROM events
     ),
@@ -1201,9 +1207,15 @@ def q_feat_hashing(spark, sf):
         F.explode(
             F.array(
                 F.concat(F.lit("type="), F.col("event_type")),
+                # coalesce BEFORE concat: Spark concat null-propagates
+                # where DuckDB concat skips NULLs — a null props row
+                # would silently diverge (the ADVICE-class null hazard)
                 F.concat(
                     F.lit("k="),
-                    F.get_json_object("props", "$.k").cast("string"),
+                    F.coalesce(
+                        F.get_json_object("props", "$.k").cast("string"),
+                        F.lit("<null>"),
+                    ),
                 ),
             )
         ).alias("token"),
@@ -1241,9 +1253,10 @@ def q_feat_hashing(spark, sf):
                CAST(SUM(s_cf) AS BIGINT) AS s_c
         FROM cf GROUP BY cat
     )
-    SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, n_cf, 
+    SELECT cf.cat, CAST(cf.fold AS BIGINT) AS fold, n_cf,
            CAST(((s_c - s_cf) * 10000) // (n_c - n_cf) AS BIGINT) AS enc_x10000
     FROM cf JOIN c USING (cat)
+    WHERE n_c > n_cf
     ORDER BY cat, fold
     """,
 )
@@ -1275,6 +1288,10 @@ def q_feat_target_encode(spark, sf):
     )
     return (
         cf.join(c, "cat")
+        # a category confined to ONE fold has no out-of-fold rows: drop it
+        # (no-op on the fixture) rather than divide by zero, where DuckDB
+        # errors and Spark returns NULL — divergence, not just a bad value
+        .filter(F.col("n_c") > F.col("n_cf"))
         .select(
             "cat",
             F.col("fold").cast("bigint").alias("fold"),

@@ -55,22 +55,25 @@ def q(key: str, sql: str | None = None):
 
 
 # coordinate synthesis: micro-degrees in [0, 1_000_000) from the key.
-# Distinct odd multipliers per axis (and a supplier offset) so the two
+# Keys are reduced mod 10^8 BEFORE the odd multipliers (raw products
+# overflow int64 near key 3.5e9, where DuckDB errors and non-ANSI Spark
+# wraps — bounding keeps both engines exact at any SF). Distinct
+# multipliers per axis (and a supplier offset) so the two
 # point sets are uncorrelated; all products stay far below 2^63.
 _A, _B = 2654435761, 2246822519
 CELL = 50_000  # micro-degrees per grid cell -> 20x20 grid
 
 _CUST_DUCK = f"""
     SELECT c_custkey AS k,
-           (c_custkey * {_A}) % 1000000 AS lat,
-           (c_custkey * {_B}) % 1000000 AS lon
+           ((c_custkey % 100000000) * {_A}) % 1000000 AS lat,
+           ((c_custkey % 100000000) * {_B}) % 1000000 AS lon
     FROM customer
 """
 
 _SUPP_DUCK = f"""
     SELECT s_suppkey AS sk,
-           (s_suppkey * {_B} + 123456789) % 1000000 AS slat,
-           (s_suppkey * {_A} + 987654321) % 1000000 AS slon
+           ((s_suppkey % 100000000) * {_B} + 123456789) % 1000000 AS slat,
+           ((s_suppkey % 100000000) * {_A} + 987654321) % 1000000 AS slon
     FROM supplier
 """
 
@@ -79,8 +82,8 @@ def _cust_points(spark, sf):
     c = T(spark, sf, "customer")
     return c.select(
         F.col("c_custkey").alias("k"),
-        ((F.col("c_custkey") * _A) % 1000000).alias("lat"),
-        ((F.col("c_custkey") * _B) % 1000000).alias("lon"),
+        (((F.col("c_custkey") % 100000000) * _A) % 1000000).alias("lat"),
+        (((F.col("c_custkey") % 100000000) * _B) % 1000000).alias("lon"),
     )
 
 
@@ -88,8 +91,8 @@ def _supp_points(spark, sf):
     s = T(spark, sf, "supplier")
     return s.select(
         F.col("s_suppkey").alias("sk"),
-        ((F.col("s_suppkey") * _B + 123456789) % 1000000).alias("slat"),
-        ((F.col("s_suppkey") * _A + 987654321) % 1000000).alias("slon"),
+        (((F.col("s_suppkey") % 100000000) * _B + 123456789) % 1000000).alias("slat"),
+        (((F.col("s_suppkey") % 100000000) * _A + 987654321) % 1000000).alias("slon"),
     )
 
 

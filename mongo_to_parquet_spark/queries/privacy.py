@@ -230,8 +230,8 @@ _LUHN16_SPARK = """
     f"""
     WITH b AS (
         SELECT o_orderkey,
-               concat(lpad(CAST(o_orderkey AS VARCHAR), 7, '0'),
-                      lpad(CAST((o_orderkey * 2654435761) % 100000000 AS VARCHAR), 8, '0'))
+               concat(lpad(CAST(o_orderkey % 10000000 AS VARCHAR), 7, '0'),
+                      lpad(CAST(((o_orderkey % 100000000) * 2654435761) % 100000000 AS VARCHAR), 8, '0'))
                    AS base15
         FROM orders
     ),
@@ -263,12 +263,17 @@ def q_pii_luhn(spark, sf):
     # Scale: pure map-side integer folds over 16-element arrays (codegen
     # HigherOrderFunction, no Python, no shuffle).
     o = T(spark, sf, "orders")
+    # key reduced mod 10^7/10^8 BEFORE the multiplicative hash: the raw
+    # product overflows int64 for keys >= ~3.5e9, where DuckDB (errors)
+    # and Spark non-ANSI (wraps) diverge — bound it so both engines stay
+    # in exact range at any SF (self-review lesson: overflow divergence,
+    # not overflow itself, is the cross-engine hazard)
     b = o.select(
         "o_orderkey",
         F.concat(
-            F.lpad(F.col("o_orderkey").cast("string"), 7, "0"),
+            F.lpad((F.col("o_orderkey") % 10000000).cast("string"), 7, "0"),
             F.lpad(
-                ((F.col("o_orderkey") * F.lit(2654435761)) % 100000000).cast("string"),
+                (((F.col("o_orderkey") % 100000000) * F.lit(2654435761)) % 100000000).cast("string"),
                 8,
                 "0",
             ),

@@ -428,7 +428,9 @@ def q_join_dpp(spark, sf):
         .groupBy(F.col("year").cast("bigint").alias("yr"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            # accumulate in decimal so a 100 TB year matches DuckDB's
+            # HUGEINT sum exactly instead of wrapping int64
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)"))
             .cast("bigint")
             .alias("total_cents"),
         )

@@ -962,14 +962,14 @@ def _geo_points(spark, sf_dir):
 
     A, B = 2654435761, 2246822519
     cust = [
-        (r["c_custkey"], (r["c_custkey"] * A) % 1000000, (r["c_custkey"] * B) % 1000000)
+        (r["c_custkey"], (r["c_custkey"] % 10**8 * A) % 1000000, (r["c_custkey"] % 10**8 * B) % 1000000)
         for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
     ]
     supp = [
         (
             r["s_suppkey"],
-            (r["s_suppkey"] * B + 123456789) % 1000000,
-            (r["s_suppkey"] * A + 987654321) % 1000000,
+            (r["s_suppkey"] % 10**8 * B + 123456789) % 1000000,
+            (r["s_suppkey"] % 10**8 * A + 987654321) % 1000000,
         )
         for r in load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
     ]
