@@ -1302,3 +1302,76 @@ def q_feat_target_encode(spark, sf):
         )
         .orderBy("cat", "fold")
     )
+
+
+# ------------------------------------------------ join-key skew diagnostic -
+@q(
+    "q_skew_diag",
+    """
+    WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY l_orderkey),
+    g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY cnt),
+    s AS (SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt * k) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
+          FROM g),
+    cum AS (SELECT cnt, CAST(SUM(k) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS ckeys
+            FROM g)
+    SELECT n_rows, n_keys, max_cnt,
+           (SELECT MIN(cnt) FROM cum, s WHERE ckeys >= (n_keys + 1) // 2)
+               AS p50_cnt,
+           (SELECT MIN(cnt) FROM cum, s WHERE ckeys >= (99 * n_keys + 99) // 100)
+               AS p99_cnt,
+           CAST((max_cnt * 10000) // n_rows AS BIGINT) AS top_share_x10000
+    FROM s
+    """,
+)
+def q_skew_diag(spark, sf):
+    # join-key skew diagnostic — the measurement behind the salting /
+    # AQE-skew decision (q_join_salted and the AQE skew plan test are the
+    # REMEDIES; this is the detector): the exact distribution of per-key
+    # row counts for the dominant join key. Two nested aggregations
+    # shrink the corpus to the COUNT-OF-COUNTS census (|distinct per-key
+    # counts| rows — a handful, since counts repeat heavily), so the
+    # exact p50/p99/max of the per-key distribution come from a tiny
+    # census, never a corpus sort. Percentiles are order statistics over
+    # keys: the smallest cnt whose cumulative key count reaches
+    # ceil(q·n_keys), all in integer floor-div arithmetic.
+    #
+    # Scale: shuffle #1 carries (key, partial count) partials; shuffle #2
+    # the per-cnt census. The final reduce collects the sorted census
+    # into one struct array (the q_stats_bootstrap single-subtree shape —
+    # one scan). This is the cheap pre-flight run BEFORE committing a
+    # join strategy on an unknown 100 TB key.
+    li = T(spark, sf, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    g = c.groupBy("cnt").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("ckeys", F.sum("k").over(w).cast("bigint"))
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("cnt").alias("cnt"), F.col("ckeys").alias("ckeys"))
+        )
+    )
+    s = cum.agg(
+        F.sum(F.col("cnt") * F.col("k")).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        arr.alias("a"),
+    )
+
+    def pick(target):
+        return F.element_at(
+            F.filter(F.col("a"), lambda x: x["ckeys"] >= target), 1
+        )["cnt"]
+
+    return s.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        pick(F.expr("(n_keys + 1) div 2")).alias("p50_cnt"),
+        pick(F.expr("(99 * n_keys + 99) div 100")).alias("p99_cnt"),
+        F.expr("(max_cnt * 10000) div n_rows").cast("bigint").alias("top_share_x10000"),
+    )

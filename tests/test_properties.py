@@ -1206,3 +1206,23 @@ def test_feature_hashing_matches_hashlib(spark, sf_dir):
             want[(r["user_id"], bucket)] += sgn
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
+
+
+def test_skew_diag_matches_naive_python(spark, sf_dir):
+    from collections import Counter
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_skew_diag"](spark, sf_dir).collect()[0]
+    counts = Counter(
+        r["l_orderkey"]
+        for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    )
+    per_key = sorted(counts.values())
+    n_keys = len(per_key)
+    assert got["n_rows"] == sum(per_key)
+    assert got["n_keys"] == n_keys
+    assert got["max_cnt"] == per_key[-1]
+    assert got["p50_cnt"] == per_key[(n_keys + 1) // 2 - 1]
+    assert got["p99_cnt"] == per_key[(99 * n_keys + 99) // 100 - 1]
