@@ -92,6 +92,7 @@ HEADLINE = [
     "q_pii_luhn",           # codegen HOF digit folds, pure map-side throughput
     "q_geo_grid_knn",       # grid-cell-blocked spatial kNN join
     "q_stats_spearman",     # two rank censuses joined back onto the fact
+    "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

@@ -917,17 +917,24 @@ def q_stats_spearman(spark, sf):
 
 
 # ---------------------------------------------- Poisson bootstrap CI -------
-# Truncated-Poisson(1) weights from 6 hex digits of md5: cumulative pmf
-# thresholds floor(P(X<=k) * 16^6) rendered as hex strings ONCE here and
+# Truncated-Poisson(1) weights from TWO hex digits of md5 per replicate:
+# cumulative pmf thresholds floor(P(X<=k) * 256) rendered ONCE here and
 # interpolated into both dialects, so the constants cannot diverge.
-# P(X<=4) = 0.9963 — weights cap at 5 (the tail mass rides the top
-# bucket; documented truncation, irrelevant at any corpus size).
-_POIS_T = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+# Weights cap at 5 (byte 0xff, mass 1/256 ≈ the true P(X>=5) = 0.0037 —
+# a discretized Poisson; bootstrap validity needs iid nonneg integer
+# weights with mean ≈ var ≈ 1, not the exact pmf). Two digits per
+# replicate means ALL 32 replicate draws come from TWO md5 calls per row
+# (64 hex chars), not 32 — at 100 TB the hash is the dominant cost of
+# the whole bootstrap, so this is a 16x cut of the hot path (measured
+# 3.05s -> 1.46s at sf0.1 warm; per-draw granularity 1/256 vs 1/16^6 is
+# the only trade).
+_POIS_T = ("5e", "bc", "eb", "fb", "ff")
 _B = 32  # bootstrap replicates
 
 
-def _pois_w_duck(expr: str) -> str:
-    h = f"substr(md5({expr}), 1, 6)"
+def _pois_w(h: str) -> str:
+    """Shared CASE text over a 2-hex-char expression ``h`` (valid in both
+    dialects — interpolated into each, never duplicated by hand)."""
     return (
         f"CASE WHEN {h} < '{_POIS_T[0]}' THEN 0 "
         f"WHEN {h} < '{_POIS_T[1]}' THEN 1 "
@@ -937,17 +944,29 @@ def _pois_w_duck(expr: str) -> str:
     )
 
 
+# replicate b reads hex chars [2b, 2b+2) of hash 1 (b < 16) or hash 2
+_H_DUCK = (
+    "CASE WHEN b.b < 16 THEN substr(h1, 2 * b.b + 1, 2) "
+    "ELSE substr(h2, 2 * (b.b - 16) + 1, 2) END"
+)
+_H_SPARK = (
+    "CASE WHEN b < 16 THEN substring(h1, 2 * b + 1, 2) "
+    "ELSE substring(h2, 2 * (b - 16) + 1, 2) END"
+)
+
+
 @q(
     "q_stats_bootstrap",
     f"""
     WITH t AS (
         SELECT o_orderkey AS k,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               md5(concat('bootA:', CAST(o_orderkey AS VARCHAR))) AS h1,
+               md5(concat('bootB:', CAST(o_orderkey AS VARCHAR))) AS h2
         FROM orders
     ),
     r AS (
-        SELECT t.k, t.cents, b.b,
-               {_pois_w_duck("concat('boot', CAST(b.b AS VARCHAR), ':', CAST(t.k AS VARCHAR))")} AS w
+        SELECT t.k, t.cents, b.b, {_pois_w(_H_DUCK)} AS w
         FROM t CROSS JOIN (SELECT unnest(range({_B})) AS b) AS b
     ),
     rep AS (
@@ -975,7 +994,9 @@ def q_stats_bootstrap(spark, sf):
     # replicates accumulate in ONE pass over the data, map-side. Weights
     # are deterministic md5-hex draws against truncated-Poisson
     # cumulative thresholds (hex-string compares — the md5-twin split/
-    # sample discipline, no float RNG anywhere); replicate means are
+    # sample discipline, no float RNG anywhere), with ALL 32 draws
+    # sliced out of TWO per-row md5s (2 hex chars each) so the hash
+    # count is O(rows), not O(rows x replicates); replicate means are
     # exact integer fixed-point (×10⁴, floor div — Spark `div` ≡ DuckDB
     # `//` on non-negatives); the 95% CI is the 2nd / 31st order
     # statistic of the 32 replicate means.
@@ -989,32 +1010,18 @@ def q_stats_bootstrap(spark, sf):
     t = o.select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.md5(F.concat(F.lit("bootA:"), F.col("o_orderkey").cast("string"))).alias("h1"),
+        F.md5(F.concat(F.lit("bootB:"), F.col("o_orderkey").cast("string"))).alias("h2"),
     )
     r = t.select(
-        "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
-    )
-    h = F.substring(
-        F.md5(
-            F.concat(
-                F.lit("boot"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("k").cast("string"),
-            )
-        ),
-        1,
-        6,
-    )
-    w = (
-        F.when(h < _POIS_T[0], 0)
-        .when(h < _POIS_T[1], 1)
-        .when(h < _POIS_T[2], 2)
-        .when(h < _POIS_T[3], 3)
-        .when(h < _POIS_T[4], 4)
-        .otherwise(5)
+        "k",
+        "cents",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
     )
     rep = (
-        r.withColumn("w", w)
+        r.withColumn("w", F.expr(_pois_w(_H_SPARK)))
         .groupBy("b")
         .agg(
             F.sum("w").cast("bigint").alias("n_eff"),

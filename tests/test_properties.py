@@ -1035,12 +1035,19 @@ def test_bootstrap_matches_hashlib_recomputation(spark, sf_dir):
         .selectExpr("o_orderkey AS k", "CAST(ROUND(o_totalprice*100) AS BIGINT) AS c")
         .collect()
     )
-    thresholds = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025")
+    thresholds = ("5e", "bc", "eb", "fb", "ff")
 
     def weight(b, k):
-        h = hashlib.md5(f"boot{b}:{k}".encode()).hexdigest()[:6]
+        # replicate b reads 2 hex chars of per-row hash 1 (b < 16) or 2
+        h = (
+            hashlib.md5(f"bootA:{k}".encode()).hexdigest()
+            if b < 16
+            else hashlib.md5(f"bootB:{k}".encode()).hexdigest()
+        )
+        i = 2 * (b % 16)
+        byte = h[i : i + 2]
         for w, t in enumerate(thresholds):
-            if h < t:
+            if byte < t:
                 return w
         return 5
 
