@@ -846,14 +846,12 @@ def q_stats_spearman(spark, sf):
     #
     # Scale: the price census is NEARLY THE CORPUS (583k distinct of 600k
     # rows at sf0.1), so ranking must not funnel it through one global
-    # window. Midranks are built with the standard TWO-LEVEL distributed
-    # rank instead: per-value counts bucket by `value div 2^14`, only the
-    # ~hundreds-row BUCKET census crosses a global (offset) window, and
-    # the per-value cumulative runs in a window PARTITIONED BY bucket —
-    # fully parallel. The rank joins back onto the fact by value
-    # (broadcast for the 50-value quantity census, shuffle for the
-    # price-sized one — AQE picks). The oracle keeps the naive
-    # one-window census formulation: same ranks, simpler SQL.
+    # window — midranks come from operators/ranks.doubled_midranks (the
+    # two-level bucketed rank; plan rationale in that module docstring)
+    # and join back onto the fact by value (broadcast for the 50-value
+    # quantity census, shuffle for the price-sized one — AQE picks). The
+    # oracle keeps the naive one-window census formulation: same ranks,
+    # simpler SQL.
     li = T(spark, sf, "lineitem")
     # persist: three consumers (x census, y census, the rank join-back)
     # reach t through DIFFERENT projections, so AQE subtree reuse cannot
@@ -865,41 +863,9 @@ def q_stats_spearman(spark, sf):
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
     ).persist()
 
-    def rank2(df, col, bucket_div=16384):
-        c = (
-            df.groupBy(col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-            .withColumn("bkt", F.expr(f"{col} div {bucket_div}"))
-        )
-        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-        bo = (
-            c.groupBy("bkt")
-            .agg(F.sum("cnt").cast("bigint").alias("bn"))
-            .withColumn(
-                "boff",
-                F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint"),
-            )
-            .drop("bn")
-        )
-        wv = Window.partitionBy("bkt").orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return (
-            c.join(bo, "bkt")
-            .withColumn(
-                "cum_in", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("bigint")
-            )
-            .select(
-                col,
-                (
-                    2 * (F.col("boff") + F.col("cum_in"))
-                    + F.col("cnt")
-                    + 1
-                ).alias(f"r{col}2"),
-            )
-        )
+    from mongo_to_parquet_spark.operators.ranks import doubled_midranks
 
-    j = t.join(rank2(t, "x"), "x").join(rank2(t, "y"), "y")
+    j = t.join(doubled_midranks(t, "x"), "x").join(doubled_midranks(t, "y"), "y")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = j.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -1433,3 +1433,105 @@ def q_eval_kmv_error(spark, sf):
         .cast("bigint")
         .alias("abs_err_bp"),
     )
+
+
+# --------------------------------------------------- PR curve (deciles) ----
+@q(
+    "q_eval_pr_curve",
+    """
+    WITH e AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    c AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM e GROUP BY s),
+    r AS (SELECT *, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              + cnt + 1 AS rs2
+          FROM c),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS total_pos FROM c),
+    d AS (SELECT CAST(((rs2 - 1) * 5) // n AS BIGINT) AS decile,
+                 pos, cnt - pos AS neg
+          FROM r CROSS JOIN n),
+    g AS (SELECT decile, CAST(SUM(pos) AS BIGINT) AS pos,
+                 CAST(SUM(neg) AS BIGINT) AS neg
+          FROM d GROUP BY decile),
+    cum AS (SELECT decile,
+                   CAST(SUM(pos) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(neg) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS fp
+            FROM g)
+    SELECT decile, tp, fp, (total_pos - tp) AS fn,
+           CAST((tp * 10000) // (tp + fp) AS BIGINT) AS precision_x10000,
+           CAST((tp * 10000) // total_pos AS BIGINT) AS recall_x10000
+    FROM cum CROSS JOIN n ORDER BY decile
+    """,
+)
+def q_eval_pr_curve(spark, sf):
+    # precision/recall curve for a score (value) against a binary label
+    # (click vs view), thresholded at the score's own DECILES — the
+    # model-eval table (threshold sweep → confusion counts → P/R) that
+    # complements q_eval_ranking's AP and the Mann-Whitney U (which IS
+    # the AUC numerator on this same contrast). Deciles come from exact
+    # doubled midranks (operators/ranks.doubled_midranks — the two-level
+    # distributed rank, no corpus sort), so tied scores always land in
+    # ONE decile on both engines; confusion counts are cumulative sums
+    # over the 10-row decile census, and P/R are exact ×10⁴ floor-div.
+    #
+    # Scale: two aggregations over the scored stream (the score census
+    # with label sums + the rank census inside the operator), everything
+    # after is ≤10-row census math. No per-threshold rescans — one pass
+    # yields the whole curve.
+    from mongo_to_parquet_spark.operators.ranks import doubled_midranks
+
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    c = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    ranked = c.join(doubled_midranks(e, "s"), "s")
+    n = c.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("total_pos"),
+    )
+    d = ranked.crossJoin(n).select(
+        F.expr("((rs2 - 1) * 5) div n").cast("bigint").alias("decile"),
+        "pos",
+        (F.col("cnt") - F.col("pos")).alias("neg"),
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("pos").cast("bigint").alias("pos"),
+        F.sum("neg").cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "decile",
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        F.sum("neg").over(w).cast("bigint").alias("fp"),
+    )
+    return (
+        cum.crossJoin(n)
+        .select(
+            "decile",
+            "tp",
+            "fp",
+            (F.col("total_pos") - F.col("tp")).cast("bigint").alias("fn"),
+            F.expr("(tp * 10000) div (tp + fp)").cast("bigint").alias("precision_x10000"),
+            F.expr("(tp * 10000) div total_pos").cast("bigint").alias("recall_x10000"),
+        )
+        .orderBy("decile")
+    )

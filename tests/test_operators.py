@@ -1275,3 +1275,34 @@ def test_ivf_append_equals_rebuild_with_same_centroids(spark, sf_dir, tmp_path):
     # contains delta rows
     probed_ids = {r["vec_id"] for r in got.collect()}
     assert any(i % 4 == 0 for i in probed_ids) or len(probed_ids) == 10
+
+
+# ------------------------------------------------ operators/ranks.py -------
+
+
+def test_doubled_midranks_exact_and_partition_invariant(spark):
+    # the two-level bucketed rank must equal naive midranks exactly, for
+    # heavy ties and across partitioning/bucket sizes (the invariant that
+    # lets q_stats_spearman / q_eval_pr_curve avoid a corpus sort)
+    import random
+
+    from mongo_to_parquet_spark.operators.ranks import doubled_midranks
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 50_000) for _ in range(2000)] + [123] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    naive = {}
+    svals = sorted(vals)
+    i = 0
+    while i < len(svals):
+        j = i
+        while j + 1 < len(svals) and svals[j + 1] == svals[i]:
+            j += 1
+        naive[svals[i]] = (i + 1) + (j + 1)  # 2*avg of ranks i+1..j+1
+        i = j + 1
+    for parts, bdiv in ((1, 16384), (7, 16384), (7, 1024), (7, 10**9)):
+        got = {
+            r["v"]: r["rv2"]
+            for r in doubled_midranks(df.repartition(parts), "v", bdiv).collect()
+        }
+        assert got == naive, (parts, bdiv)

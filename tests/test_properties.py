@@ -1233,3 +1233,40 @@ def test_skew_diag_matches_naive_python(spark, sf_dir):
     assert got["max_cnt"] == per_key[-1]
     assert got["p50_cnt"] == per_key[(n_keys + 1) // 2 - 1]
     assert got["p99_cnt"] == per_key[(99 * n_keys + 99) // 100 - 1]
+
+
+def test_pr_curve_matches_naive_python(spark, sf_dir):
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = queries()["q_eval_pr_curve"](spark, sf_dir).collect()
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('click','view') AND value IS NOT NULL")
+        .selectExpr(
+            "CAST(ROUND(value*100) AS BIGINT) AS s",
+            "CASE WHEN event_type='click' THEN 1 ELSE 0 END AS y",
+        )
+        .collect()
+    )
+    ranks = _avg_ranks([r["s"] for r in raw])
+    n = len(raw)
+    total_pos = sum(r["y"] for r in raw)
+    from collections import Counter
+
+    pos, neg = Counter(), Counter()
+    for rk, r in zip(ranks, raw):
+        decile = int((2 * rk - 1) * 5) // n
+        (pos if r["y"] else neg)[decile] += 1
+    got = {r["decile"]: r for r in rows}
+    tp = fp = 0
+    for k in sorted(got, reverse=True):
+        tp += pos.get(k, 0)
+        fp += neg.get(k, 0)
+        g = got[k]
+        assert (g["tp"], g["fp"], g["fn"]) == (tp, fp, total_pos - tp), k
+        assert g["precision_x10000"] == (tp * 10000) // (tp + fp)
+        assert g["recall_x10000"] == (tp * 10000) // total_pos
+    # curve sanity: recall is monotone non-increasing in the threshold
+    recalls = [got[k]["recall_x10000"] for k in sorted(got)]
+    assert recalls == sorted(recalls, reverse=True)
