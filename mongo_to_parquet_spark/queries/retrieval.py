@@ -1535,3 +1535,76 @@ def q_eval_pr_curve(spark, sf):
         )
         .orderBy("decile")
     )
+
+
+# ----------------------------------------------------------- exact AUC -----
+@q(
+    "q_eval_auc",
+    """
+    WITH e AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    c AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY s),
+    r AS (SELECT *, CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS cum_prev
+          FROM c),
+    a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+                 CAST(SUM(neg) AS BIGINT) AS n2,
+                 CAST(SUM(pos * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r1x2
+          FROM r)
+    SELECT n1, n2,
+           (r1x2 - n1 * (n1 + 1)) AS u_x2,
+           CAST(((r1x2 - n1 * (n1 + 1)) * 10000) // (2 * n1 * n2) AS BIGINT)
+               AS auc_x10000
+    FROM a
+    """,
+)
+def q_eval_auc(spark, sf):
+    # exact ROC-AUC of the score for the click-vs-view label via the
+    # rank identity AUC = U / (n1*n2) — the Mann-Whitney U statistic IS
+    # the AUC numerator (ties counted half, which the doubled-midrank
+    # formulation gets exactly). No threshold sweep, no curve
+    # integration error: one census ranking gives the scalar that
+    # q_eval_pr_curve's 10-point table approximates by trapezoids.
+    # All-integer until the final ×10⁴ floor division.
+    #
+    # Scale: identical shape to q_stats_mannwhitney — one partial-agg
+    # shuffle, a value-census window, a 1-row reduce.
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    c = e.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = c.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    )
+    a = r.agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum("neg").cast("bigint").alias("n2"),
+        F.sum(F.col("pos") * (2 * F.col("cum_prev") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    ux2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return a.select(
+        "n1",
+        "n2",
+        ux2.alias("u_x2"),
+        F.expr(
+            "((r1x2 - n1 * (n1 + 1)) * 10000) div (2 * n1 * n2)"
+        ).cast("bigint").alias("auc_x10000"),
+    )

@@ -1270,3 +1270,36 @@ def test_pr_curve_matches_naive_python(spark, sf_dir):
     # curve sanity: recall is monotone non-increasing in the threshold
     recalls = [got[k]["recall_x10000"] for k in sorted(got)]
     assert recalls == sorted(recalls, reverse=True)
+
+
+def test_auc_matches_sklearn_free_naive(spark, sf_dir):
+    # AUC recomputed by the probability definition: P(score_pos > score_neg)
+    # + 0.5 P(tie), counted directly over all (pos, neg) pairs via sorted
+    # merge — proves the rank identity implementation, not just parity
+    from collections import Counter
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    got = queries()["q_eval_auc"](spark, sf_dir).collect()[0]
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('click','view') AND value IS NOT NULL")
+        .selectExpr(
+            "CAST(ROUND(value*100) AS BIGINT) AS s",
+            "CASE WHEN event_type='click' THEN 1 ELSE 0 END AS y",
+        )
+        .collect()
+    )
+    pos = Counter(r["s"] for r in raw if r["y"])
+    neg = Counter(r["s"] for r in raw if not r["y"])
+    n1, n2 = sum(pos.values()), sum(neg.values())
+    # u_x2 = 2*#{pos>neg} + #{ties}, accumulated over score censuses
+    wins_x2 = 0
+    cum_neg = 0
+    for s in sorted(set(pos) | set(neg)):
+        wins_x2 += pos[s] * (2 * cum_neg + neg[s])
+        cum_neg += neg[s]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u_x2"] == wins_x2
+    assert got["auc_x10000"] == (wins_x2 * 10000) // (2 * n1 * n2)
