@@ -393,3 +393,106 @@ def read_multi_sketch(spark: SparkSession, state_dir: str) -> dict[str, DataFram
         name: spark.read.parquet(os.path.join(cur, name))
         for name in ("kmv", "cms", "hist", "batches")
     }
+
+
+# ------------------------------------------------------- fixity digests ----
+_FIXITY_PRIME = 2305843009213693951  # 2^61 - 1
+
+
+def fixity_batch(df: DataFrame, part_col, payload_col) -> DataFrame:
+    """Per-partition (n_rows, raw digest sum) of ``df`` — the batch half
+    of the q_export_fixity audit (queries/sinks.py), factored so a
+    stream can fold the SAME algebra: every row contributes a 48-bit
+    md5-prefix integer of its payload; counts and sums are additive and
+    order-insensitive, so digests merge across micro-batches, partitions
+    and replicas by plain addition. Sums stay UNREDUCED (DECIMAL(38,0));
+    the mod-prime checksum is applied at read time so merging remains
+    linear."""
+    v = F.conv(F.substring(F.md5(payload_col), 1, 12), 16, 10).cast("bigint")
+    return df.groupBy(part_col.alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(v.cast("decimal(38,0)")).cast("decimal(38,0)").alias("vsum"),
+    )
+
+
+def stream_fixity(
+    stream_df: DataFrame,
+    part_col,
+    payload_col,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain per-partition fixity digests over a stream — continuous
+    export verification: as batches ship, the folded state always equals
+    :func:`fixity_batch` over everything shipped so far, so an auditor
+    can compare the destination copy's digest against the stream's at
+    any moment without re-scanning history.
+
+    The digest sum is ADDITIVE (not idempotent like the KMV union), so
+    replay would double-count: the batch-id ledger commits in the SAME
+    rename as the digests (the stream_heavy_hitters exactly-once
+    pattern). Per-batch shuffle: the batch's partition census; state:
+    one row per partition ever seen.
+    """
+    spark = stream_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(state_dir)
+        cur = _state_path(state_dir)
+        have_state = os.path.exists(cur)
+        if have_state:
+            seen = (
+                spark.read.parquet(os.path.join(cur, "batches"))
+                .filter(F.col("batch_id") == batch_id)
+                .count()
+            )
+            if seen:
+                return
+        merged = fixity_batch(batch_df, part_col, payload_col)
+        ledger = spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        if have_state:
+            merged = (
+                merged.unionByName(spark.read.parquet(os.path.join(cur, "digests")))
+                .groupBy("part")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.sum("vsum").cast("decimal(38,0)").alias("vsum"),
+                )
+            )
+            ledger = ledger.unionByName(
+                spark.read.parquet(os.path.join(cur, "batches"))
+            )
+        tmp = os.path.join(state_dir, "_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.parquet(os.path.join(tmp, "digests"))
+        ledger.write.parquet(os.path.join(tmp, "batches"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        old = os.path.join(state_dir, "_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if have_state:
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_fixity(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Committed digests, reduced to the wire format: (part, n_rows,
+    checksum = vsum mod 2^61-1) — directly comparable to
+    ``fixity_batch(...).select(part, n_rows, vsum % prime)`` over the
+    same rows, and to q_export_fixity's per-year checksum column."""
+    _recover(state_dir)
+    cur = _state_path(state_dir)
+    return spark.read.parquet(os.path.join(cur, "digests")).select(
+        "part",
+        "n_rows",
+        (F.col("vsum") % _FIXITY_PRIME).cast("bigint").alias("checksum"),
+    )

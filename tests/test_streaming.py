@@ -830,3 +830,81 @@ def test_stream_heavy_hitters_containment_and_bounds(spark, tmp_path):
             assert item in got, f"phi-heavy {item} evicted"
     for item, (lb, _) in got.items():
         assert lb <= truth[item] <= lb + slack
+
+
+def test_stream_fixity_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streaming fixity digests: (1) after folding all micro-batches the
+    state equals fixity_batch over the union (order-insensitive additive
+    algebra), (2) a full replay under a FRESH checkpoint changes nothing
+    (batch-id ledger absorbs the double-fold), (3) digests detect a
+    tampered copy (one payload edit moves exactly one partition)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.streaming import sketches as sk
+
+    batches = [
+        [(1, 1995, "a"), (2, 1995, "b"), (3, 1996, "c")],
+        [(4, 1996, "d"), (5, 1997, "e")],
+        [(6, 1995, "f"), (7, 1997, "g"), (8, 1997, "h")],
+    ]
+    d = str(tmp_path / "fx_in")
+    for rows in batches:
+        spark.createDataFrame(rows, "k long, yr long, s string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    part = F.col("yr")
+    payload = F.concat_ws("|", F.col("k").cast("string"), F.col("s"))
+
+    stream = (
+        spark.readStream.schema("k long, yr long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    state = str(tmp_path / "fx_state")
+    sk.stream_fixity(stream, part, payload, state, str(tmp_path / "fx_ck1")
+                     ).awaitTermination(300)
+
+    whole = spark.createDataFrame(
+        [r for b in batches for r in b], "k long, yr long, s string"
+    )
+    want = {
+        r["part"]: (r["n_rows"], r["checksum"])
+        for r in sk.fixity_batch(whole, part, payload)
+        .select("part", "n_rows", (F.col("vsum") % sk._FIXITY_PRIME).cast("bigint").alias("checksum"))
+        .collect()
+    }
+    got = {
+        r["part"]: (r["n_rows"], r["checksum"])
+        for r in sk.read_fixity(spark, state).collect()
+    }
+    assert got == want and len(got) == 3
+
+    # (2) replay everything under a fresh checkpoint: ledger makes it a no-op
+    stream2 = (
+        spark.readStream.schema("k long, yr long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sk.stream_fixity(stream2, part, payload, state, str(tmp_path / "fx_ck2")
+                     ).awaitTermination(300)
+    again = {
+        r["part"]: (r["n_rows"], r["checksum"])
+        for r in sk.read_fixity(spark, state).collect()
+    }
+    assert again == got
+
+    # (3) tamper detection: flip one payload byte in one 1996 row
+    tampered = whole.withColumn(
+        "s", F.when(F.col("k") == 4, F.lit("X")).otherwise(F.col("s"))
+    )
+    tdig = {
+        r["part"]: (r["n_rows"], r["checksum"])
+        for r in sk.fixity_batch(tampered, part, payload)
+        .select("part", "n_rows", (F.col("vsum") % sk._FIXITY_PRIME).cast("bigint").alias("checksum"))
+        .collect()
+    }
+    assert tdig[1996] != got[1996]
+    assert tdig[1995] == got[1995] and tdig[1997] == got[1997]
