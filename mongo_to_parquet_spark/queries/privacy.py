@@ -184,45 +184,38 @@ def q_pii_redact(spark, sf):
 # o_orderkey (lpad'd key || multiplicative-hash tail), check digit
 # computed by the standard mod-10 double-every-other fold, then ~1/7 of
 # the PANs are corrupted one digit so the validator has both classes to
-# find. Doubling applies at ODD 1-based-from-left positions of the final
-# even-length string (= every second digit from the right, excluding the
-# check digit).
+# find. In the final even-length PAN, doubling applies at EVEN 1-based
+# positions from the RIGHT (the check digit, rightmost, is undoubled);
+# for the 15-digit base that is ODD positions from the right.
+#
+# The digit folds are STATIC ARITHMETIC SUMS over CAST(digits AS BIGINT)
+# — (p div 10^i) % 10 terms expanded at build time — not lambda folds:
+# Spark's `aggregate`/`transform` HigherOrderFunctions are interpreted
+# (codegen fallback, one closure eval per element), and replacing them
+# with the expanded expression measured 1.65s -> 0.76s at sf0.1 warm.
+# A 16-digit string fits int64 (10^16 < 2^63), so the validator casts
+# the pan it is GIVEN — semantics unchanged, still validates arbitrary
+# digit strings. One expression builder emits both dialects (only the
+# floor-div token differs), so the trees cannot diverge.
 
-_LUHN15_DUCK = """
-  CAST(list_sum(list_transform(range(1, 16), i ->
-    CASE WHEN i % 2 = 1
-         THEN CASE WHEN 2 * CAST(substr(base15, i, 1) AS INT) > 9
-                   THEN 2 * CAST(substr(base15, i, 1) AS INT) - 9
-                   ELSE 2 * CAST(substr(base15, i, 1) AS INT) END
-         ELSE CAST(substr(base15, i, 1) AS INT) END)) AS INT)
-"""
 
-_LUHN16_DUCK = """
-  CAST(list_sum(list_transform(range(1, 17), i ->
-    CASE WHEN i % 2 = 1
-         THEN CASE WHEN 2 * CAST(substr(pan, i, 1) AS INT) > 9
-                   THEN 2 * CAST(substr(pan, i, 1) AS INT) - 9
-                   ELSE 2 * CAST(substr(pan, i, 1) AS INT) END
-         ELSE CAST(substr(pan, i, 1) AS INT) END)) AS INT)
-"""
+def _luhn_sum(var: str, n_digits: int, double_odd_from_right: bool, divop: str) -> str:
+    terms = []
+    for r in range(1, n_digits + 1):  # r = 1-based position from the right
+        d = f"(({var} {divop} {10 ** (r - 1)}) % 10)"
+        if (r % 2 == 1) == double_odd_from_right:
+            terms.append(f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
 
-_LUHN15_SPARK = """
-  aggregate(sequence(1, 15), 0, (acc, i) -> acc +
-    CASE WHEN i % 2 = 1
-         THEN IF(2 * CAST(substring(base15, i, 1) AS INT) > 9,
-                 2 * CAST(substring(base15, i, 1) AS INT) - 9,
-                 2 * CAST(substring(base15, i, 1) AS INT))
-         ELSE CAST(substring(base15, i, 1) AS INT) END)
-"""
 
-_LUHN16_SPARK = """
-  aggregate(sequence(1, 16), 0, (acc, i) -> acc +
-    CASE WHEN i % 2 = 1
-         THEN IF(2 * CAST(substring(pan, i, 1) AS INT) > 9,
-                 2 * CAST(substring(pan, i, 1) AS INT) - 9,
-                 2 * CAST(substring(pan, i, 1) AS INT))
-         ELSE CAST(substring(pan, i, 1) AS INT) END)
-"""
+# base15: doubling at odd-from-right (base digit at base-right position
+# rb sits at final right position rb+1, doubled when rb+1 is even)
+_LUHN15_DUCK = _luhn_sum("CAST(base15 AS BIGINT)", 15, True, "//")
+_LUHN16_DUCK = _luhn_sum("CAST(pan AS BIGINT)", 16, False, "//")
+_LUHN15_SPARK = _luhn_sum("CAST(base15 AS BIGINT)", 15, True, "div")
+_LUHN16_SPARK = _luhn_sum("CAST(pan AS BIGINT)", 16, False, "div")
 
 
 @q(
@@ -260,8 +253,8 @@ def q_pii_luhn(spark, sf):
     # (single mid-digit bump, undoubled position, so the sum moves by
     # +1 or -9 — never 0 mod 10) must all come back is_valid = false.
     #
-    # Scale: pure map-side integer folds over 16-element arrays (codegen
-    # HigherOrderFunction, no Python, no shuffle).
+    # Scale: pure map-side integer arithmetic, fully inside whole-stage
+    # codegen (static expanded sums, no interpreted lambda), no shuffle.
     o = T(spark, sf, "orders")
     # key reduced mod 10^7/10^8 BEFORE the multiplicative hash: the raw
     # product overflows int64 for keys >= ~3.5e9, where DuckDB (errors)

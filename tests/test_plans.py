@@ -683,8 +683,9 @@ def test_pii_redact_is_pure_map_side(spark, sf_dir):
 
 
 def test_pii_luhn_folds_stay_in_codegen(spark, sf_dir):
-    # the Luhn digit folds are HigherOrderFunction expressions in the
-    # projection — one scan, no Python, no shuffle
+    # the Luhn digit folds are statically expanded integer sums in the
+    # projection (whole-stage codegen, no interpreted HOF lambda) —
+    # one scan, no Python, no shuffle
     plan = checks.formatted_plan(QS["q_pii_luhn"](spark, sf_dir))
     assert "Python" not in plan
     assert "Exchange" not in plan
