@@ -26,10 +26,10 @@ expression tree on both engines — the md5-twin discipline from SURVEY
 redaction / checksum machinery on them. What is under test is the
 machinery; the synthesis is just a portable fixture.
 
-Cross-engine notes: DuckDB's list_sum returns DOUBLE — every fold is
-CAST back to INT (values are tiny, exact). Regexes stay in the
-RE2-and-Java-common subset (character classes, bounded repeats; no
-lookaround, no \\d shorthands since RE2/Java agree but DuckDB string
+Cross-engine notes: digit folds are statically expanded integer sums
+(one builder emits both dialects — see the Luhn section). Regexes stay
+in the RE2-and-Java-common subset (character classes, bounded repeats;
+no lookaround, no \\d shorthands since RE2/Java agree but DuckDB string
 literals keep backslashes literal — spelled [0-9] instead).
 
 Scale: every query here is a single scan with map-side-only work
