@@ -1737,3 +1737,61 @@ BENCH_ONLY = {
     "q_agg_hll_sketch_native": q_agg_hll_sketch_native,
     "q_profile_approx_native": q_profile_approx_native,
 }
+
+
+# ------------------------------------------------- quarantine routing ------
+@q(
+    "q_quality_quarantine",
+    """
+    WITH checked AS (
+        SELECT o_orderkey,
+               list_filter([
+                   CASE WHEN NOT (o_totalprice <= 450000) THEN 'price_cap' END,
+                   CASE WHEN NOT (o_totalprice >= 5000) THEN 'price_floor' END,
+                   CASE WHEN NOT (o_orderpriority <> '1-URGENT'
+                                  OR year(o_orderdate) >= 1994)
+                        THEN 'stale_urgent' END
+               ], x -> x IS NOT NULL) AS reasons
+        FROM orders
+    )
+    SELECT o_orderkey,
+           array_to_string(reasons, ',') AS reasons,
+           CAST(len(reasons) AS INT) AS n_violations
+    FROM checked WHERE len(reasons) > 0
+    """,
+)
+def q_quality_quarantine(spark, sf):
+    # dead-letter routing — the ingest-side twin of q_quality_checks'
+    # report: every row is evaluated against the rule set in ONE pass and
+    # failing rows land in the quarantine table WITH the list of rules
+    # they violated (the reasons column is what lets an operator triage a
+    # 100 TB load's rejects without re-running checks). The clean side is
+    # the complement filter over the same expression — route both from
+    # one scan; the declared result is the quarantine relation, whose
+    # rule names are built in a FIXED order so both engines emit
+    # identical reason strings.
+    #
+    # Scale: map-side only (per-row CASE array + filter, codegen), no
+    # shuffle, no per-rule rescans — cost is one scan regardless of rule
+    # count.
+    o = T(spark, sf, "orders")
+    reasons = F.filter(
+        F.array(
+            F.when(~(F.col("o_totalprice") <= 450000), F.lit("price_cap")),
+            F.when(~(F.col("o_totalprice") >= 5000), F.lit("price_floor")),
+            F.when(
+                ~(
+                    (F.col("o_orderpriority") != "1-URGENT")
+                    | (F.year("o_orderdate") >= 1994)
+                ),
+                F.lit("stale_urgent"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    checked = o.select("o_orderkey", reasons.alias("r"))
+    return checked.filter(F.size("r") > 0).select(
+        "o_orderkey",
+        F.array_join(F.col("r"), ",").alias("reasons"),
+        F.size("r").cast("int").alias("n_violations"),
+    )
