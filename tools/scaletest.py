@@ -32,7 +32,10 @@ volume), and unlike wall time they are deterministic per run and
 immune to CPU contention. `shuffle_ratio` = bytes(×m)/bytes(×1); a
 banded/blocked algorithm must keep it ≈ m.
 
-Usage: python tools/scaletest.py [out_json]
+Usage: python tools/scaletest.py [out_json] [probe1,probe2,...]
+(the optional probe list restricts the run — e.g. to measure newly
+added operators against already-materialized scale dirs — and skips
+the export-throughput section)
 """
 
 from __future__ import annotations
@@ -70,6 +73,12 @@ PROBES = {
     "q_text_entropy": ["documents"],
     "q_ts_interpolate": ["events"],
     "q_win_running": ["orders"],
+    # round-4 late additions (rank census growth / one-pass bootstrap /
+    # session assembly / count-of-counts census)
+    "q_stats_spearman": ["lineitem"],
+    "q_stats_bootstrap": ["orders"],
+    "q_dialog_assemble": ["events"],
+    "q_skew_diag": ["lineitem"],
 }
 
 #: per-table key columns to offset per replica
@@ -159,14 +168,19 @@ def main() -> None:
     spark = get_spark("scaletest")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    probes = {k: v for k, v in PROBES.items() if only is None or k in only}
+    if only:
+        missing = only - probes.keys()
+        assert not missing, f"unknown probes: {missing}"
     mults = [1, 2, 5, 10]  # sf0.1, 0.2, 0.5, 1.0
     dirs = {m: materialize(spark, m) if m > 1 else BASE for m in mults}
 
-    for key in PROBES:
+    for key in probes:
         qs[key](spark, WARM).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for key in PROBES:
+    for key in probes:
         row = {}
         for m in mults:
             best = float("inf")
@@ -202,6 +216,13 @@ def main() -> None:
     # one probe where the WRITE path is the product; rows/sec per scale
     # shows whether export throughput holds as the table grows.
     from mongo_to_parquet_spark.sources.export import export_partitioned
+
+    if only is not None:
+        out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaletest.json"
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", out, "(probe subset — export section skipped)")
+        return
 
     exp_root = os.path.join(SCRATCH, "_export")
     export_partitioned(
