@@ -93,6 +93,7 @@ HEADLINE = [
     "q_geo_grid_knn",       # grid-cell-blocked spatial kNN join
     "q_stats_spearman",     # two rank censuses joined back onto the fact
     "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
+    "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct
@@ -104,6 +105,11 @@ HEADLINE = [
 #: the round-1 headline set — reported as a subtotal so totals stay
 #: comparable across rounds as HEADLINE grows
 ROUND1_SET = HEADLINE[:20]
+
+#: fixed reference for contention normalization: the calibrate() time on
+#: an idle build/driver box (rounds 4-5 measured 0.33-0.39 across four
+#: idle runs). NEVER retune this per round — it is the unit definition.
+CALIB_REF_SEC = 0.35
 
 
 def main() -> None:
@@ -202,6 +208,22 @@ def main() -> None:
                 # is environment, not regression.
                 "calib_before_sec": calib_before,
                 "calib_after_sec": calib_after,
+                # contention-normalized totals: divide by the mean
+                # calibration time over a fixed reference (0.35s — the
+                # round-4/5 driver sentinel on an idle box), so a round
+                # whose box ran uniformly 1.6× slow reads ~1.0× here.
+                # Compare normalized_* across rounds FIRST; adjudicate
+                # raw seconds only when the calibrations already agree.
+                "calib_ref_sec": CALIB_REF_SEC,
+                "normalized_total": round(
+                    total / max((calib_before + calib_after) / 2 / CALIB_REF_SEC, 1e-9),
+                    3,
+                ),
+                "normalized_round1_set": round(
+                    sum(timings[k] for k in ROUND1_SET if k in timings)
+                    / max((calib_before + calib_after) / 2 / CALIB_REF_SEC, 1e-9),
+                    3,
+                ),
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
             }

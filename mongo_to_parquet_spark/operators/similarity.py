@@ -361,6 +361,165 @@ def ivf_topk_from_layout(
     )
 
 
+def pq_codes(
+    emb: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """PQ encode (the q_embed_pq dataflow, reusable): returns
+    ``(codes, codebook, rng)`` —
+
+    - codes:    (id, sub, cid) — each vector's nearest codebook centroid
+                per subspace (2 subspaces), integer-exact argmin over SQ8
+                components with cid tiebreak.
+    - codebook: (cid, pos, cqv, sub) — the first ``n_codes`` vectors by
+                id as deterministic centroids (a real system k-means
+                trains these; the ENCODE/SERVE dataflow is identical).
+    - rng:      (pos, mn, mx) — the per-dimension SQ8 ranges, needed to
+                quantize future probe vectors IDENTICALLY at serve time.
+
+    Scale: codebook is n_codes×DIM rows → broadcast; the distance agg is
+    keyed (vector, sub, cid) and partial-combines map-side; argmin is a
+    min(struct) aggregate — no window over corpus-sized data.
+    """
+    dims = emb.select(
+        id_col, F.posexplode(vec_col).alias("pos", "val")
+    ).select(id_col, "pos", F.col("val").cast("double").alias("val"))
+    rng = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    qv = dims.join(F.broadcast(rng), "pos").select(
+        id_col, "pos", _sq8(F.col("val")).alias("qv")
+    )
+    half = emb.select(
+        F.floor(F.size(vec_col) / 2).cast("int").alias("h")
+    ).first()["h"]
+    qs = qv.withColumn("sub", (F.col("pos") >= half).cast("int"))
+    codebook = qs.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("cid"), "pos", F.col("qv").alias("cqv"), "sub"
+    )
+    diff = F.col("qv") - F.col("cqv")
+    dist = (
+        qs.join(F.broadcast(codebook.drop("sub")), "pos")
+        .groupBy(id_col, "sub", "cid")
+        .agg(F.sum((diff * diff).cast("bigint")).alias("dist"))
+    )
+    codes = (
+        dist.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select(id_col, "sub", F.col("b.cid").alias("cid"))
+    )
+    return codes, codebook, rng
+
+
+def _sq8(val):
+    """The engine-stable SQ8 bucket function (floor, clamp-high) given a
+    double component and in-scope ``mn``/``mx`` columns — one definition
+    so encode (pq_codes) and probe quantization (ivfpq serve) can never
+    drift apart."""
+    return (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor(
+                    (val - F.col("mn")) * F.lit(256.0) / (F.col("mx") - F.col("mn"))
+                ),
+            )
+        )
+        .cast("int")
+    )
+
+
+def build_ivfpq_layout(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF × PQ composed into ONE serving layout: the coarse IVF cell
+    becomes the parquet partition key and the payload inside each
+    partition is the PQ CODE TABLE, not the fp32 vectors.
+
+    Directory contents:
+      codes/cell=N/…   (id, sub, cid) — 2 small ints per vector
+      centroids/        (cell, cvec)  — coarse quantizer, broadcast-sized
+      codebook/         (cid, pos, cqv, sub) + rng/ (pos, mn, mx)
+
+    Why this is THE 100 TB ANN serving shape (IVF-PQ, Jégou et al. 2011):
+    a probe prunes to n_probe/n_cells of the corpus via PARTITION pruning
+    (no index service — the directory layout is the index), then scores
+    only integer codes via a broadcast ADC lookup table — the fp32 corpus
+    (the 100 TB part) is never read at serve time at all. A 768-dim fp32
+    corpus serves from codes ~1500× smaller.
+    """
+    cents = _centroids(emb, n_cells, id_col, vec_col)
+    assigned = _assign_cells(emb, F.broadcast(cents), id_col, vec_col)
+    codes, codebook, rng = pq_codes(emb, n_codes, id_col, vec_col)
+    codes.join(assigned.select(id_col, "cell"), id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{out_dir}/codes")
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{out_dir}/codebook")
+    rng.write.mode("overwrite").parquet(f"{out_dir}/rng")
+
+
+def ivfpq_topk_from_layout(
+    spark,
+    layout_dir: str,
+    probe_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve a :func:`build_ivfpq_layout` directory: n_probe cells by
+    centroid dot product (driver-side over the tiny centroid table, like
+    ivf_topk_from_layout) → `cell IN (…)` PARTITION-pruned scan of the
+    code table → integer ADC: the probe is SQ8-quantized with the
+    layout's persisted ranges, its squared distance to every codebook
+    centroid per subspace is a (sub, cid)-keyed lookup table (n_codes×2
+    rows, broadcast), and each candidate's distance is the 2-term sum of
+    lookups — asymmetric distance computation, no fp32 vector is read.
+
+    Returns (id, pq_dist) ascending — integer-exact, so the ranking is
+    engine-reproducible and oracle-checkable end to end."""
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    cent_rows = (
+        spark.read.parquet(f"{layout_dir}/centroids")
+        .select("cell", dot(F.col("cvec"), pv).alias("pscore"))
+        .orderBy(F.col("pscore").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [str(r["cell"]) for r in cent_rows]  # partition values are strings
+    rng = spark.read.parquet(f"{layout_dir}/rng")
+    codebook = spark.read.parquet(f"{layout_dir}/codebook")
+    probe_dims = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(probe_vec)], "pos int, val double"
+    )
+    pqv = probe_dims.join(rng, "pos").select("pos", _sq8(F.col("val")).alias("pqv"))
+    pdiff = F.col("pqv") - F.col("cqv")
+    adc = (
+        codebook.join(pqv, "pos")
+        .groupBy("sub", "cid")
+        .agg(F.sum((pdiff * pdiff).cast("bigint")).alias("pd"))
+    )
+    scan = spark.read.parquet(f"{layout_dir}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    return (
+        scan.join(F.broadcast(adc), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("pd").alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pairwise_cosine(
     emb: DataFrame,
     block_col: str,

@@ -69,7 +69,6 @@ def profile_columns_kmv(
     reprs: dict[str, "Column | None"],
     hash_inputs: dict[str, Column] | None = None,
     k: int = 64,
-    n_buckets: int = 64,
 ) -> DataFrame:
     """:func:`profile_columns` with KMV-estimated distinct counts —
     hash-checkable by a DuckDB oracle (functions/sketch.py), unlike the
@@ -83,20 +82,21 @@ def profile_columns_kmv(
 
     - base: nulls/min/max for every column in ONE 1-row aggregate pass.
     - sketches: ONE stacked scan builds all columns' ``(col_name, h)``
-      hash pairs (a single Generate — not a scan per column), then one
-      ``groupBy(col_name, h % n_buckets)`` whose ``collect_set`` →
-      ``sort_array`` → ``slice k`` keeps each bucket's k smallest
-      DISTINCT hashes. Partial aggregation dedups map-side, so the only
-      full-data shuffle carries per-task-distinct hashes (the same rows
-      a plain ``distinct`` would move). Because the bucket is derived
-      from ``h`` itself, buckets partition the distinct-hash space: the
-      global k smallest are always inside the union of per-bucket
-      k-smallest, so the final per-column window ranks at most
-      ``cols × n_buckets × k`` candidate rows — driver-trivial.
-    - 100 TB knob: per-group state is that bucket's distinct hashes
-      (≈ n_distinct / n_buckets); raise ``n_buckets`` so it fits the
-      aggregation buffer. The earlier per-column TakeOrdered form (6
-      pruned scans) measured 1.55s at sf0.1 vs 0.66s for this one.
+      hash pairs (a single Generate — not a scan per column), then
+      ``distinct`` (HashAggregate, dedups map-side so the only
+      full-data shuffle carries per-task-distinct hashes) feeding
+      ``row_number() ≤ k`` per column. Catalyst rewrites that filter
+      into ``WindowGroupLimit``: each map task keeps only the k
+      smallest rows per column BEFORE the window's shuffle, so the
+      per-task state is a fixed k-slot heap per column and the final
+      per-column sort sees at most ``k × shuffle_partitions`` rows.
+      (History, all best-of-3 under the bench.py protocol at sf0.1 on
+      one box: a ``collect_set``-per-bucket form buffered a bucket's
+      ENTIRE distinct-hash set — unbounded per-group state at high
+      cardinality — and measured 2.34s; this form without the
+      parallelism guard below, 1.85s; with it, 1.63s. The round-4
+      per-column TakeOrdered form was bounded but paid len(reprs)
+      pruned scans.)
 
     n_distinct is a BIGINT estimate: exact below k, else ⌊(k−1)·2³²/θ⌋.
     """
@@ -138,16 +138,32 @@ def profile_columns_kmv(
         f"stack({len(names)}, {stack_args}) "
         "as (col_name, n_nulls, min_repr, max_repr)"
     )
+    # Parallelism guard for the hash stage: the stacked Generate computes
+    # len(names) md5s per row INSIDE the scan stage, so its parallelism is
+    # the scan's. A small-but-hash-heavy input (one parquet file → ONE
+    # partition under maxPartitionBytes) serializes every hash on a single
+    # core — measured 0.94s of a 1.6s sketch at sf0.1. Repartition the
+    # PRUNED projection only when the scan is narrower than the cluster;
+    # at 100 TB the scan already has thousands of partitions and this is
+    # a no-op (no shuffle is added to the plan).
+    pruned = df.select(*dict.fromkeys(names))  # raw columns only; project AFTER
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if pruned.rdd.getNumPartitions() < ncores:
+        pruned = pruned.repartition(ncores)
+    hash_cols = pruned.select(
+        *[hash_inputs.get(c, F.col(c).cast("string")).alias(f"v_{i}")
+          for i, c in enumerate(names)]
+    )
     pairs = (
-        df.select(
+        hash_cols.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(c).alias("col_name"),
-                            _sk.kmv_hash(hash_inputs.get(c, F.col(c))).alias("h"),
+                            _sk.kmv_hash(F.col(f"v_{i}")).alias("h"),
                         )
-                        for c in names
+                        for i, c in enumerate(names)
                     ]
                 )
             ).alias("p")
@@ -155,13 +171,10 @@ def profile_columns_kmv(
         .select("p.col_name", "p.h")
         .filter(F.col("h").isNotNull())
     )
-    per_bucket = pairs.groupBy(
-        "col_name", (F.col("h") % n_buckets).alias("b")
-    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("ks"))
-    cand = per_bucket.select("col_name", F.explode("ks").alias("h"))
     rn = F.row_number().over(_W.partitionBy("col_name").orderBy("h"))
     sk = (
-        cand.withColumn("rn", rn)
+        pairs.distinct()
+        .withColumn("rn", rn)
         .filter(F.col("rn") <= k)
         .groupBy("col_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"), F.max("h").alias("theta"))
@@ -170,12 +183,12 @@ def profile_columns_kmv(
         "col_name",
         _sk.kmv_estimate_long(F.col("m"), F.col("theta"), k).alias("n_distinct"),
     )
-    # LEFT join + coalesce is belt-and-braces only: est_one's global
-    # agg always yields one row per column (an all-NULL column gets
-    # m=0 → n_distinct=0 — the columns a data-quality profile exists to
-    # flag stay visible), so an inner join would behave identically
-    # today; the defensive form survives future est implementations
-    # that might drop empty groups, and mirrors the oracle's LEFT JOIN
+    # LEFT join + coalesce(n_distinct, 0) is LOAD-BEARING: an all-NULL
+    # column contributes zero rows to `pairs` (every hash filtered by
+    # isNotNull), so its group never forms in `est` — an inner join
+    # would silently drop exactly the columns a data-quality profile
+    # exists to flag. tests/test_operators.py pins this with an
+    # all-NULL column; the oracle mirrors it with LEFT JOIN + COALESCE.
     return stacked.join(F.broadcast(est), "col_name", "left").select(
         "col_name",
         "n_nulls",

@@ -1480,9 +1480,10 @@ def q_profile_approx(spark, sf):
     # distinct counts (operators/validate.profile_columns_kmv) instead of
     # engine-specific HLL — the nulls/min/max base is ONE 1-row aggregate
     # pass and ALL columns' hash pairs come from ONE stacked Generate
-    # scan feeding a single salt-bucketed bounded top-k (2 scans / 1
-    # full-data shuffle total; the prior per-column TakeOrdered form
-    # cost 6 pruned scans and measured 1.55s vs 0.66s at sf0.1).
+    # scan feeding distinct + WindowGroupLimit-bounded row_number<=k
+    # (2 scans total; bench-protocol best-of-3 at sf0.1 measured 1.63s
+    # vs 2.34s for the round-5 collect_set form on the same box —
+    # see validate.profile_columns_kmv for the full history).
     # The single-pass HLL formulation (profile_columns exact=False —
     # the true one-scan 100 TB mode) stays as the bench-only
     # q_profile_approx_native so the exact-vs-approx cost split is still

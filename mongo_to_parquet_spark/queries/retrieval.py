@@ -507,6 +507,204 @@ def q_sim_topk_pq(spark, sf):
     )
 
 
+#: IVF CTEs shared by the ivfpq key and its recall twin — identical to the
+#: q_sim_topk_ivf oracle's coarse quantizer (first 16 vectors by id,
+#: argmax-dot assignment, probe = vec_id 0, n_probe = 4)
+_IVF_CTES = """
+    , cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rk = 1
+    ),
+    pvec AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cells AS (
+        SELECT cell FROM cents, pvec
+        ORDER BY list_dot_product(CAST(cvec AS DOUBLE[]), CAST(pv AS DOUBLE[])) DESC,
+                 cell ASC
+        LIMIT 4
+    ),
+    codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+    adc AS (SELECT sub, cid, dist AS pd FROM dist WHERE vec_id = 0),
+    pq_scored AS (
+        SELECT c.vec_id, CAST(SUM(a.pd) AS BIGINT) AS pq_dist
+        FROM codes c
+        JOIN assigned s USING (vec_id)
+        JOIN cells USING (cell)
+        JOIN adc a ON a.sub = c.sub AND a.cid = c.cid
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+    )
+"""
+
+
+@q(
+    "q_sim_topk_ivfpq",
+    _PQ_CTES
+    + _IVF_CTES
+    + """
+    SELECT vec_id, pq_dist FROM pq_scored
+    ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk_ivfpq(spark, sf):
+    # IVF × PQ composed into ONE serving layout (operators/similarity.
+    # build_ivfpq_layout): cell-partitioned parquet of PQ CODES, probed by
+    # partition-pruned cells × integer ADC — the standard IVF-PQ serving
+    # shape (Jégou et al. 2011). The query actually WRITES the layout and
+    # serves from it (like q_sim_topk_ivf_incremental), so the oracle
+    # hash-check covers the full build→write→prune→ADC path: the persisted
+    # rng quantizes the probe identically to the corpus encode, cells
+    # prune via PartitionFilters (asserted in tests/test_plans.py), and
+    # every distance is an integer so ranks are engine-exact. At 100 TB
+    # the serve-time read is n_probe/n_cells of a code table ~1500×
+    # smaller than the fp32 corpus — the vectors are never read at all.
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_from_layout,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "_scratch", "ivfpq", tag)
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    build_ivfpq_layout(emb, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return ivfpq_topk_from_layout(spark, layout, pv, k=10, n_probe=4, exclude_id=0)
+
+
+@q(
+    "q_eval_ann_recall_pq",
+    _PQ_CTES
+    + _IVF_CTES
+    + """
+    , approx AS (
+        SELECT vec_id, row_number() OVER (ORDER BY pq_dist ASC, vec_id ASC) AS rk
+        FROM pq_scored QUALIFY rk <= 10
+    ),
+    exact AS (
+        SELECT vec_id, rk FROM (
+            SELECT e.vec_id,
+                   row_number() OVER (ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN pvec
+            WHERE e.vec_id <> 0)
+        WHERE rk <= 10
+    )
+    SELECT CAST(0 AS BIGINT) AS probe_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(a.vec_id) * 10 AS BIGINT) AS recall_pct,
+           CAST(COALESCE(MAX(CASE WHEN e.rk = 1 THEN a.rk END), 0) AS BIGINT)
+               AS top1_rank
+    FROM exact e LEFT JOIN approx a ON a.vec_id = e.vec_id
+    """,
+)
+def q_eval_ann_recall_pq(spark, sf):
+    # recall@10 gate for the LOSSY tier: IVF×PQ ranks by quantized
+    # integer distance, so unlike IVF-flat (q_eval_ann_recall, exact
+    # scoring inside pruned cells) it can miss neighbors through
+    # quantization error too — this row measures both losses together
+    # against the exact brute-force top-10, same integer output shape as
+    # q_eval_ann_recall (hits, recall%, where the true top-1 landed).
+    # The approx side recomputes the composed pipeline in-memory — the
+    # layout write is pure materialization of the identical dataflow
+    # (covered by q_sim_topk_ivfpq's hash check), so this stays a pure
+    # query the oracle replays end to end.
+    from mongo_to_parquet_spark.operators.similarity import (
+        _assign_cells,
+        _centroids,
+        brute_force_topk,
+        pq_codes,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    cents = _centroids(emb, 16, "vec_id", "embedding")
+    assigned = _assign_cells(emb, F.broadcast(cents), "vec_id", "embedding")
+    codes, codebook, rng = pq_codes(emb)
+    pvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__probe"))
+    )
+    from mongo_to_parquet_spark.functions.vector import dot as _dot
+
+    cells = (
+        cents.crossJoin(pvec)
+        .select("cell", _dot(F.col("cvec"), F.col("__probe")).alias("ps"))
+        .orderBy(F.col("ps").desc(), F.col("cell").asc())
+        .limit(4)
+        .select("cell")
+    )
+    # ADC table = the probe's own (sub, cid) SQ8 distances — recompute via
+    # pq_codes' dist path by quantizing vec_id 0 like any corpus vector
+    qdims = emb.filter(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select("pos", F.col("val").cast("double").alias("val"))
+    from mongo_to_parquet_spark.operators.similarity import _sq8
+
+    pqv = qdims.join(F.broadcast(rng), "pos").select(
+        "pos", _sq8(F.col("val")).alias("pqv")
+    )
+    pdiff = F.col("pqv") - F.col("cqv")
+    adc = (
+        codebook.join(F.broadcast(pqv), "pos")
+        .groupBy("sub", "cid")
+        .agg(F.sum((pdiff * pdiff).cast("bigint")).alias("pd"))
+    )
+    approx = (
+        codes.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cells), "cell")
+        .join(F.broadcast(adc), ["sub", "cid"])
+        .filter(F.col("vec_id") != 0)
+        .groupBy("vec_id")
+        .agg(F.sum("pd").alias("pq_dist"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(F.col("vec_id").alias("a_vid"), F.col("rk").alias("a_rk"))
+    )
+    exact = brute_force_topk(emb, probe_id=0, k=10).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        ),
+    ).select("vec_id", "rk")
+    return (
+        exact.join(F.broadcast(approx), exact.vec_id == approx.a_vid, "left")
+        .agg(
+            F.lit(0).cast("bigint").alias("probe_id"),
+            F.count("a_vid").cast("bigint").alias("hits"),
+            (F.count("a_vid") * 10).cast("bigint").alias("recall_pct"),
+            F.coalesce(
+                F.max(F.when(F.col("rk") == 1, F.col("a_rk"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("top1_rank"),
+        )
+    )
+
+
 # --------------------------------------------------------- hybrid fusion ---
 _RRF_K = 60          # standard RRF dampening constant
 _RRF_LIST = 50       # depth of each retriever's candidate list

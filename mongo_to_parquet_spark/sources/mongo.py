@@ -41,8 +41,11 @@ def read_collection(
     except Exception as e:  # connector jar absent in this container
         raise NotImplementedError(
             "MongoDB Spark connector not on the classpath; add "
-            "org.mongodb.spark:mongo-spark-connector to spark.jars.packages. "
-            "All other sources (parquet fixtures) work without it."
+            "org.mongodb.spark:mongo-spark-connector to spark.jars.packages "
+            "(full recipe: docs/mongo_live.md). Without the jar, use the "
+            "tested mongoexport extended-JSON route instead — "
+            "sources/extjson.read_mongoexport, oracle-checked by "
+            "q_mongo_export. All parquet sources work without it."
         ) from e
 
 

@@ -361,6 +361,39 @@ def test_ivf_layout_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     ]
 
 
+def test_ivfpq_layout_prunes_cells_and_recalls_top1(spark, sf_dir, tmp_path):
+    """The composed IVF×PQ layout: the probe's cell filter reaches the
+    CODE table scan as a PARTITION filter (the fp32 vectors are never
+    read at serve time — the scan's schema has no embedding column), the
+    ADC lookup table joins as a broadcast, and the quantized ranking
+    still finds the exact top-1 neighbor inside its pruned cells (the
+    fixtures' near-dup pairs are far closer than quantization error)."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_layout,
+        ivfpq_topk_from_layout,
+    )
+    from mongo_to_parquet_spark.plans.checks import formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "ivfpq")
+    build_ivfpq_layout(emb, layout, n_cells=8)
+    probe_vec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    got = ivfpq_topk_from_layout(
+        spark, layout, probe_vec, k=10, n_probe=3, exclude_id=0
+    )
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "BroadcastHashJoin" in plan
+    # serve path must read codes only — no fp32 embedding column anywhere
+    assert "embedding" not in plan.split("== Physical Plan ==")[-1]
+    rows = got.collect()
+    assert len(rows) == 10
+    exact_top1 = brute_force_topk(emb, probe_id=0, k=1).collect()[0]["vec_id"]
+    assert exact_top1 in {r["vec_id"] for r in rows}
+
+
 def test_python_udtf_matches_explode(spark, sf_dir):
     """The @udtf escape hatch returns exactly what the JVM explode path
     returns (which is why the declared query uses explode — same result,
@@ -1136,6 +1169,30 @@ def test_cusum_window_telescoping_matches_recursion(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_profile_kmv_keeps_all_null_column(spark):
+    """The LEFT join + coalesce in profile_columns_kmv is LOAD-BEARING:
+    an all-NULL column contributes zero hash pairs, so its group never
+    forms in the sketch relation — an inner join would silently drop
+    exactly the column a data-quality profile exists to flag. Pin the
+    row's survival and its n_distinct = 0."""
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators.validate import profile_columns_kmv
+
+    df = spark.createDataFrame(
+        [Row(a=i, dead=None) for i in range(10)], "a: bigint, dead: string"
+    )
+    rep = {
+        r["col_name"]: r
+        for r in profile_columns_kmv(df, {"a": None, "dead": None}).collect()
+    }
+    assert set(rep) == {"a", "dead"}
+    assert rep["dead"]["n_nulls"] == 10
+    assert rep["dead"]["n_distinct"] == 0
+    assert rep["dead"]["min_repr"] is None and rep["dead"]["max_repr"] is None
+    assert rep["a"]["n_distinct"] == 10  # m < k ⇒ exact
 
 
 def test_exact_kth_smallest_matches_sort(spark):

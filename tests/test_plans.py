@@ -449,6 +449,20 @@ def test_bpe_apply_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_profile_kmv_window_group_limited_no_unbounded_state(spark, sf_dir):
+    # q_profile_approx's sketch stage: the row_number<=k filter must be
+    # rewritten to WindowGroupLimit (bounded per-task k-heap BEFORE the
+    # window's shuffle), and no collection aggregate (collect_set /
+    # ObjectHashAggregate) may appear — the round-5 collect_set form
+    # buffered a bucket's entire distinct-hash set (unbounded per-group
+    # state) and regressed the bench 1.59s -> 1.91s
+    plan = checks.formatted_plan(QS["q_profile_approx"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_set" not in plan
+    assert _n_nodes(plan, "Scan parquet") == 2  # base + stacked sketch
+
+
 def test_kmv_sketches_are_takeordered(spark, sf_dir):
     # each k-smallest sketch is per-partition top-k + merge, no global sort
     plan = checks.formatted_plan(QS["q_sketch_kmv"](spark, sf_dir))
@@ -745,3 +759,54 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_plans_md_fingerprints_current_for_headline_set(spark):
+    """Plan-fingerprint regression gate: PLANS.md must match the ACTUAL
+    plan of every bench HEADLINE query (round 5 changed q_profile_approx's
+    plan and shipped with PLANS.md row 177 still describing the old one —
+    nothing noticed). Recomputes each fingerprint at the same sf PLANS.md
+    is generated from and diffs the rendered row; on failure, regenerate
+    with `python tools/plan_survey.py /root/testdata/sf0.01`, review the
+    diff, and commit it WITH the operator change."""
+    import importlib.util
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "plan_survey", root / "tools" / "plan_survey.py"
+    )
+    ps = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ps)
+
+    import bench
+
+    committed = {}
+    for line in (root / "PLANS.md").read_text().splitlines():
+        m = re.match(r"\| `(\w+)` \| (.*) \| (.*) \| (.*) \|$", line)
+        if m:
+            committed[m.group(1)] = (m.group(2), m.group(3), m.group(4))
+
+    sf_dir = "/root/testdata/sf0.01"
+    stale = []
+    for key in bench.HEADLINE:
+        # PLANS.md covers declared queries only — bench-only keys
+        # (xxhash fast paths, *_native sketches) have no committed row
+        if key not in QS or key not in committed or committed[key][0].startswith(
+            "(not planable"
+        ):
+            continue
+        fp = ps.fingerprint(checks.formatted_plan(QS[key](spark, sf_dir)))
+        nodes = ", ".join(
+            f"{k}×{v}" if v > 1 else k for k, v in fp["nodes"].items()
+        ) or "(scan only)"
+        got = (nodes, str(fp["pushed_filters"]), str(fp["scan_cols"]))
+        if got != committed[key]:
+            stale.append(f"{key}:\n  PLANS.md: {committed[key]}\n  actual:   {got}")
+    assert not stale, (
+        "PLANS.md is stale for "
+        f"{len(stale)} headline quer{'y' if len(stale) == 1 else 'ies'} — "
+        "regenerate with `python tools/plan_survey.py /root/testdata/sf0.01` "
+        "and commit the diff with the operator change:\n" + "\n".join(stale)
+    )

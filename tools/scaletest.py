@@ -167,7 +167,9 @@ def materialize(spark, mult: int) -> str:
 def main() -> None:
     spark = get_spark("scaletest")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    from mongo_to_parquet_spark.queries import bench_only
+
+    qs = {**queries(), **bench_only()}  # probes include xxhash fast paths
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     probes = {k: v for k, v in PROBES.items() if only is None or k in only}
     if only:
