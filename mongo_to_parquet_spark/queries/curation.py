@@ -2614,3 +2614,119 @@ def q_agg_quantile_histogram(spark, sf):
         [(n, k50, k90, med, p90)],
         "n bigint, k50 bigint, k90 bigint, median_cents bigint, p90_cents bigint",
     )
+
+
+# -------------------------------------------------- DSIR data selection ----
+from mongo_to_parquet_spark.functions.sketch import kmv_hash_sql  # noqa: E402
+
+_DSIR_B = 256       # hashed-feature buckets (2-gram space folded to B)
+_DSIR_TOP = 50      # selected subset size
+
+
+@q(
+    "q_select_dsir",
+    f"""
+    WITH base AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    bg AS (
+        SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS bg
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+        UNION ALL
+        SELECT doc_id, lang, text FROM base WHERE len(toks) < 2
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               {kmv_hash_sql('bg', salt='dsir:')} % {_DSIR_B} AS f
+        FROM bg
+    ),
+    doc_feat AS (
+        SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS n
+        FROM feat GROUP BY doc_id, lang, f
+    ),
+    tgt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS ct FROM doc_feat
+            WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, CAST(SUM(n) AS BIGINT) AS cr FROM doc_feat GROUP BY f),
+    tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+                    (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr),
+    w AS (
+        SELECT raw.f,
+               LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + {_DSIR_B}))
+             - LN(CAST(cr + 1 AS DOUBLE) / (tr + {_DSIR_B})) AS wf
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tots
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(n * wf AS DECIMAL(38,18))) AS DOUBLE), 4)
+               AS dsir_weight
+    FROM doc_feat JOIN w USING (f)
+    GROUP BY doc_id
+    ORDER BY dsir_weight DESC, doc_id ASC
+    LIMIT {_DSIR_TOP}
+    """,
+)
+def q_select_dsir(spark, sf):
+    # DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    # Language Models via Importance Resampling"): rank every document by
+    # its importance weight under hashed n-gram feature distributions —
+    # w(doc) = Σ_f n_f(doc)·[ln p_target(f) − ln p_raw(f)] with Laplace
+    # smoothing — here target = the 'en' slice, raw = the whole corpus,
+    # bigram features folded into B=256 md5 buckets. The top-m selection
+    # is the "what to train on" cut a 100 TB pretraining pipeline makes
+    # against a small high-quality target domain.
+    #
+    # Scale: ONE corpus scan builds (doc, lang, feature, n) with map-side
+    # partial counts; the target and raw feature distributions are ≤ B-row
+    # aggregates OF THAT RELATION (no second scan), broadcast back as the
+    # weight table; scoring is a map-side join + one partial-combined sum
+    # per doc; selection is TakeOrdered(m). Nothing corpus-sized ever
+    # sits in one place. Cross-engine exactness: integer counts → the
+    # same double ratios → LN (bm25 precedent) → per-term DECIMAL(38,18)
+    # accumulation → ROUND 4dp, ties broken by doc_id.
+    from mongo_to_parquet_spark.functions.sketch import kmv_hash
+    from mongo_to_parquet_spark.functions.textfns import shingles
+
+    d = T(spark, sf, "documents")
+    feats = d.select(
+        "doc_id", "lang", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    ).select(
+        "doc_id", "lang", (kmv_hash(F.col("bg"), salt="dsir:") % _DSIR_B).alias("f")
+    )
+    doc_feat = feats.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tgt = (
+        doc_feat.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.sum("n").cast("bigint").alias("ct"))
+    )
+    raw = doc_feat.groupBy("f").agg(F.sum("n").cast("bigint").alias("cr"))
+    tots = tgt.agg(F.sum("ct").cast("bigint").alias("tt")).crossJoin(
+        raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    )
+    w = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + _DSIR_B)
+                )
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B))
+            ).alias("wf"),
+        )
+    )
+    return (
+        doc_feat.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("n") * F.col("wf")).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("dsir_weight")
+        )
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_TOP)
+    )

@@ -175,7 +175,13 @@ def main() -> None:
     if only:
         missing = only - probes.keys()
         assert not missing, f"unknown probes: {missing}"
-    mults = [1, 2, 5, 10]  # sf0.1, 0.2, 0.5, 1.0
+    # sf0.1, 0.2, 0.5, 1.0 by default; SCALETEST_MULTS=1,2,5,10,20 extends
+    # the sweep (×20 = sf2.0 — used in round 6 to close the question of
+    # whether the ×10 shuffle ratios of triangles/minhash keep drifting)
+    mults = [
+        int(x)
+        for x in os.environ.get("SCALETEST_MULTS", "1,2,5,10").split(",")
+    ]
     dirs = {m: materialize(spark, m) if m > 1 else BASE for m in mults}
 
     for key in probes:
