@@ -94,6 +94,8 @@ HEADLINE = [
     "q_stats_spearman",     # two rank censuses joined back onto the fact
     "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
     "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
+    "q_select_dsir",        # DSIR importance selection over hashed bigrams
+    "q_link_fs",            # Fellegi-Sunter blocked probabilistic linkage
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct

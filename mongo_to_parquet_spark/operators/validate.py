@@ -142,14 +142,14 @@ def profile_columns_kmv(
     # len(names) md5s per row INSIDE the scan stage, so its parallelism is
     # the scan's. A small-but-hash-heavy input (one parquet file → ONE
     # partition under maxPartitionBytes) serializes every hash on a single
-    # core — measured 0.94s of a 1.6s sketch at sf0.1. Repartition the
-    # PRUNED projection only when the scan is narrower than the cluster;
-    # at 100 TB the scan already has thousands of partitions and this is
-    # a no-op (no shuffle is added to the plan).
-    pruned = df.select(*dict.fromkeys(names))  # raw columns only; project AFTER
-    ncores = df.sparkSession.sparkContext.defaultParallelism
-    if pruned.rdd.getNumPartitions() < ncores:
-        pruned = pruned.repartition(ncores)
+    # core — measured 0.94s of a 1.6s sketch at sf0.1. fan_out repartitions
+    # the PRUNED raw projection only when the scan is narrower than the
+    # cluster; at 100 TB the scan already has thousands of partitions and
+    # this is a no-op (operators/parallel.py — project AFTER so the
+    # date_format/decimal renderings run parallel too).
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    pruned = fan_out(df.select(*dict.fromkeys(names)))
     hash_cols = pruned.select(
         *[hash_inputs.get(c, F.col(c).cast("string")).alias(f"v_{i}")
           for i, c in enumerate(names)]

@@ -2643,16 +2643,19 @@ _DSIR_TOP = 50      # selected subset size
         SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS n
         FROM feat GROUP BY doc_id, lang, f
     ),
-    tgt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS ct FROM doc_feat
-            WHERE lang = 'en' GROUP BY f),
-    raw AS (SELECT f, CAST(SUM(n) AS BIGINT) AS cr FROM doc_feat GROUP BY f),
-    tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
-                    (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr),
+    fstats AS (
+        SELECT f,
+               CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(n) AS BIGINT) AS cr
+        FROM doc_feat GROUP BY f
+    ),
+    tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                    CAST(SUM(cr) AS BIGINT) AS tr FROM fstats),
     w AS (
-        SELECT raw.f,
-               LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + {_DSIR_B}))
+        SELECT f,
+               LN(CAST(ct + 1 AS DOUBLE) / (tt + {_DSIR_B}))
              - LN(CAST(cr + 1 AS DOUBLE) / (tr + {_DSIR_B})) AS wf
-        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tots
+        FROM fstats CROSS JOIN tots
     )
     SELECT doc_id,
            ROUND(CAST(SUM(CAST(n * wf AS DECIMAL(38,18))) AS DOUBLE), 4)
@@ -2674,47 +2677,54 @@ def q_select_dsir(spark, sf):
     # against a small high-quality target domain.
     #
     # Scale: ONE corpus scan builds (doc, lang, feature, n) with map-side
-    # partial counts; the target and raw feature distributions are ≤ B-row
-    # aggregates OF THAT RELATION (no second scan), broadcast back as the
-    # weight table; scoring is a map-side join + one partial-combined sum
-    # per doc; selection is TakeOrdered(m). Nothing corpus-sized ever
-    # sits in one place. Cross-engine exactness: integer counts → the
-    # same double ratios → LN (bm25 precedent) → per-term DECIMAL(38,18)
+    # partial counts; target AND raw feature distributions come from a
+    # SINGLE ≤B-row conditional aggregate of that relation — both
+    # consumers (the f-level stats and the final scoring join) read the
+    # SAME doc_feat exchange, so AQE's ReuseExchange materializes it once
+    # (splitting target into its own filtered branch let Catalyst push
+    # the lang filter below the aggregate and cost an extra corpus scan —
+    # caught in PLANS.md review); weights broadcast back; selection is
+    # TakeOrdered(m). Cross-engine exactness: integer counts → the same
+    # double ratios → LN (bm25 precedent) → per-term DECIMAL(38,18)
     # accumulation → ROUND 4dp, ties broken by doc_id.
     from mongo_to_parquet_spark.functions.sketch import kmv_hash
     from mongo_to_parquet_spark.functions.textfns import shingles
+    from mongo_to_parquet_spark.operators.parallel import fan_out
 
-    d = T(spark, sf, "documents")
+    d = fan_out(T(spark, sf, "documents").select("doc_id", "lang", "text"))
     feats = d.select(
         "doc_id", "lang", F.explode(shingles(F.col("text"), 2)).alias("bg")
     ).select(
         "doc_id", "lang", (kmv_hash(F.col("bg"), salt="dsir:") % _DSIR_B).alias("f")
     )
-    doc_feat = feats.groupBy("doc_id", "lang", "f").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # persisted: two consumers (f-level stats; the scoring join) prune
+    # doc_feat to DIFFERENT columns, so their exchange subtrees are not
+    # canonically equal and ReuseExchange cannot dedupe them — the
+    # q_graph_linkpred case (perf-lessons), where persist() is the
+    # measured win. Bounded: ≤ min(doc_tokens, B)=256 rows per doc.
+    # Caller (bench.py / parity) clearCache()s afterwards, like
+    # q_stats_spearman.
+    doc_feat = (
+        feats.groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
     )
-    tgt = (
-        doc_feat.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.sum("n").cast("bigint").alias("ct"))
+    fstats = doc_feat.groupBy("f").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum("n").cast("bigint").alias("cr"),
     )
-    raw = doc_feat.groupBy("f").agg(F.sum("n").cast("bigint").alias("cr"))
-    tots = tgt.agg(F.sum("ct").cast("bigint").alias("tt")).crossJoin(
-        raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    tots = fstats.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
     )
-    w = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "f",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tt") + _DSIR_B)
-                )
-                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B))
-            ).alias("wf"),
-        )
+    w = fstats.crossJoin(F.broadcast(tots)).select(
+        "f",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B))
+        ).alias("wf"),
     )
     return (
         doc_feat.join(F.broadcast(w), "f")
@@ -2729,4 +2739,120 @@ def q_select_dsir(spark, sf):
         )
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
         .limit(_DSIR_TOP)
+    )
+
+
+# ------------------------------------- Fellegi-Sunter record linkage -------
+_FS_M = "0.95"      # assumed per-field m-probability (agreement | match)
+_FS_TOP = 20
+
+
+@q(
+    "q_link_fs",
+    f"""
+    WITH feats AS (
+        SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS f1,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS f2
+        FROM customer
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1) / 2
+                     AS den
+          FROM feats),
+    u1 AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS num FROM
+           (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY f1)),
+    u2 AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS num FROM
+           (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY f2)),
+    -- m literals forced to DOUBLE: DuckDB parses bare 0.95 as DECIMAL and
+    -- decimal division rounds differently from Spark's double arithmetic
+    w AS (
+        SELECT LN(CAST({_FS_M} AS DOUBLE) * den / u1.num) AS wa1,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * den / (den - u1.num)) AS wd1,
+               LN(CAST({_FS_M} AS DOUBLE) * den / u2.num) AS wa2,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * den / (den - u2.num)) AS wd2
+        FROM n, u1, u2
+    ),
+    pairs AS (
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(a.f1 = b.f1 AS BIGINT) AS agree_seg,
+               CAST(a.f2 = b.f2 AS BIGINT) AS agree_bal,
+               ROUND(CASE WHEN a.f1 = b.f1 THEN wa1 ELSE wd1 END
+                   + CASE WHEN a.f2 = b.f2 THEN wa2 ELSE wd2 END, 4) AS fs_score
+        FROM feats a JOIN feats b ON a.blk = b.blk AND a.id < b.id
+        CROSS JOIN w
+    )
+    SELECT id1, id2, agree_seg, agree_bal, fs_score FROM pairs
+    ORDER BY fs_score DESC, id1 ASC, id2 ASC
+    LIMIT {_FS_TOP}
+    """,
+)
+def q_link_fs(spark, sf):
+    # Fellegi-Sunter probabilistic record linkage (the 1969 model every
+    # production entity-resolution system still scores with): candidate
+    # pairs BLOCKED on nation, each field comparison contributing
+    # ln(m/u) when it agrees and ln((1−m)/(1−u)) when it disagrees.
+    # u-probabilities (chance agreement between NON-matches) are estimated
+    # from the data itself as Σ_v C(n_v,2)/C(n,2) — exact integer
+    # numerator/denominator, so both engines take LN of identical doubles
+    # (bm25 precedent); m is the conventional 0.95 prior. Fields: market
+    # segment and account-balance band.
+    #
+    # Scale: the u-estimation is two value-frequency aggregates (map-side
+    # combined, ≤|domain| rows); weights are a 1-row broadcast; scoring is
+    # the blocked equi-join (never a cross join — per-block fan-out is the
+    # standard linkage knob) with a codegen'd per-pair expression;
+    # selection is TakeOrdered. Rounded score + (id1, id2) tiebreak keeps
+    # the cut engine-exact.
+    c = T(spark, sf, "customer")
+    feats = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("f1"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("f2"),
+    )
+    n = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "n", (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("den")
+    )
+    u1 = (
+        feats.groupBy("f1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("num1"))
+    )
+    u2 = (
+        feats.groupBy("f2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("num2"))
+    )
+    m = F.lit(float(_FS_M))
+    w = (
+        n.crossJoin(u1)
+        .crossJoin(u2)
+        .select(
+            F.log(m * F.col("den") / F.col("num1")).alias("wa1"),
+            F.log((1 - m) * F.col("den") / (F.col("den") - F.col("num1"))).alias("wd1"),
+            F.log(m * F.col("den") / F.col("num2")).alias("wa2"),
+            F.log((1 - m) * F.col("den") / (F.col("den") - F.col("num2"))).alias("wd2"),
+        )
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .crossJoin(F.broadcast(w))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            (F.col("a.f1") == F.col("b.f1")).cast("bigint").alias("agree_seg"),
+            (F.col("a.f2") == F.col("b.f2")).cast("bigint").alias("agree_bal"),
+            F.round(
+                F.when(F.col("a.f1") == F.col("b.f1"), F.col("wa1")).otherwise(
+                    F.col("wd1")
+                )
+                + F.when(F.col("a.f2") == F.col("b.f2"), F.col("wa2")).otherwise(
+                    F.col("wd2")
+                ),
+                4,
+            ).alias("fs_score"),
+        )
+        .orderBy(F.col("fs_score").desc(), F.col("id1").asc(), F.col("id2").asc())
+        .limit(_FS_TOP)
     )

@@ -956,6 +956,128 @@ def q_rag_context(spark, sf):
     ).select("doc_id", "rk", "sim", "n_tokens", "cum_tokens")
 
 
+# ------------------------------------------------------ MMR diversification
+_MMR_CAND = 12   # relevance candidate pool
+_MMR_K = 5       # diversified picks
+#: greedy step t: score(c) = 0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s),
+#: all in DECIMAL so the sequential argmax is engine-exact
+
+
+def _mmr_oracle() -> str:
+    """The MMR greedy unrolled as chained CTEs (k−1 argmax steps after the
+    rank-1 seed) — recursion-free SQL DuckDB replays exactly."""
+    steps, unions = [], [
+        "SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(rel AS DOUBLE) AS mmr_score FROM s1"
+    ]
+    for t in range(2, _MMR_K + 1):
+        p = t - 1
+        steps.append(f"""
+    s{t} AS (
+        SELECT c.vec_id, c.rel, m.mx
+        FROM cand c JOIN (
+            SELECT p.i, MAX(p.s) AS mx FROM pair p
+            WHERE p.j IN (SELECT vec_id FROM c{p}) GROUP BY p.i) m
+          ON m.i = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM c{p})
+        ORDER BY CAST(0.7 AS DECIMAL(2,1)) * c.rel
+               - CAST(0.3 AS DECIMAL(2,1)) * m.mx DESC, c.vec_id ASC
+        LIMIT 1
+    ),
+    c{t} AS (SELECT vec_id FROM c{p} UNION ALL SELECT vec_id FROM s{t})""")
+        unions.append(
+            f"SELECT CAST({t} AS BIGINT), vec_id, CAST(CAST(0.7 AS DECIMAL(2,1)) * rel"
+            f" - CAST(0.3 AS DECIMAL(2,1)) * mx AS DOUBLE) FROM s{t}"
+        )
+    return f"""
+    WITH pvec AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id,
+               CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                 CAST(pv AS DOUBLE[])), 4)
+                    AS DECIMAL(9,4)) AS rel
+        FROM embeddings CROSS JOIN pvec WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_CAND}
+    ),
+    pair AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               CAST(ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                 CAST(eb.embedding AS DOUBLE[])), 4)
+                    AS DECIMAL(9,4)) AS s
+        FROM cand a JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN cand b ON b.vec_id <> a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    c1 AS (SELECT vec_id FROM s1),{",".join(steps).lstrip(",")}
+    {" UNION ALL ".join(unions)}
+    """
+
+
+@q("q_rag_mmr", _mmr_oracle())
+def q_rag_mmr(spark, sf):
+    # MMR (maximal marginal relevance, Carbonell & Goldstein 1998): the
+    # diversified re-rank every RAG pipeline wants when the plain top-k
+    # returns five near-copies of the same passage — greedily pick the
+    # candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    # selected. Inherently SEQUENTIAL in k, so the engine shape is:
+    # corpus-sized work (top-N relevance candidates, one TakeOrdered scan;
+    # N×N candidate sims, broadcast joins over N=12 rows) runs in Spark,
+    # and the k-step greedy runs over the collected N×N matrix driver-side
+    # — the kmeans/census exception (k·N is constant, never corpus-sized).
+    # Everything is DECIMAL(9,4)/(2,1) fixed-point, so the argmax sequence
+    # — and therefore the whole selection — is engine-exact; the oracle
+    # replays the identical greedy as unrolled chained-CTE SQL.
+    from decimal import Decimal
+
+    from mongo_to_parquet_spark.functions.vector import cosine
+    from mongo_to_parquet_spark.operators.similarity import brute_force_topk
+
+    emb = T(spark, sf, "embeddings")
+    cand = brute_force_topk(emb, probe_id=0, k=_MMR_CAND).select(
+        "vec_id", F.round(F.col("sim"), 4).cast("decimal(9,4)").alias("rel")
+    )
+    rows = cand.collect()
+    rel = {r["vec_id"]: r["rel"] for r in rows}
+    ids = sorted(rel)
+    ce = F.broadcast(
+        emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    sim_rows = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            .cast("decimal(9,4)")
+            .alias("s"),
+        )
+        .collect()
+    )
+    sim: dict[tuple[int, int], Decimal] = {}
+    for r in sim_rows:
+        sim[(r["i"], r["j"])] = sim[(r["j"], r["i"])] = r["s"]
+    lam, lam1 = Decimal("0.7"), Decimal("0.3")
+    first = max(rel, key=lambda v: (rel[v], -v))
+    picked = [(1, first, float(rel[first]))]
+    chosen = [first]
+    while len(chosen) < _MMR_K:
+        best = None
+        for c in ids:
+            if c in chosen:
+                continue
+            mx = max(sim[(c, s)] for s in chosen)
+            score = lam * rel[c] - lam1 * mx
+            if best is None or (score, -c) > (best[1], -best[0]):
+                best = (c, score)
+        picked.append((len(chosen) + 1, best[0], float(best[1])))
+        chosen.append(best[0])
+    return spark.createDataFrame(
+        picked, "rk bigint, vec_id bigint, mmr_score double"
+    )
+
+
 # ------------------------------------------------------------ KMV sketch ---
 # one definition of the cross-engine KMV hash contract lives in
 # functions/sketch.py (shared with the q_agg_approx_* twins and the
