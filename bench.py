@@ -102,6 +102,7 @@ HEADLINE = [
     "q_agg_approx_percentile_native",  # GK sketch per group
     "q_agg_hll_sketch_native",         # DataSketches HLL + union merge
     "q_profile_approx_native",         # single-HashAggregate HLL profile
+    "q_sim_topk_ivfpq_serve",          # ANN serve latency off a built layout
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay

@@ -1928,3 +1928,45 @@ def q_eval_auc(spark, sf):
             "((r1x2 - n1 * (n1 + 1)) * 10000) div (2 * n1 * n2)"
         ).cast("bigint").alias("auc_x10000"),
     )
+
+
+def q_sim_topk_ivfpq_serve(spark, sf):
+    # bench-only (BENCH_ONLY below): the SERVE path of the IVF×PQ layout
+    # in isolation — build once (first call materializes the layout, the
+    # declared q_sim_topk_ivfpq rebuilds every run for oracle safety),
+    # then each timed rep is what production pays per query: centroid
+    # read → partition-pruned code scan → broadcast integer ADC. This is
+    # the latency number an ANN serving layer is judged on; the declared
+    # key's time is build+write+serve.
+    import os
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_from_layout,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "ivfpq_serve", tag
+        )
+    )
+    # the session writes no _SUCCESS markers; "layout exists" = the last
+    # artifact build_ivfpq_layout writes (rng/) has parquet files in it
+    rng_dir = os.path.join(layout, "rng")
+    if not (
+        os.path.isdir(rng_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(rng_dir))
+    ):
+        build_ivfpq_layout(emb, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return ivfpq_topk_from_layout(spark, layout, pv, k=10, n_probe=4, exclude_id=0)
+
+
+BENCH_ONLY = {
+    "q_sim_topk_ivfpq_serve": q_sim_topk_ivfpq_serve,
+}

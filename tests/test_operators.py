@@ -1363,3 +1363,166 @@ def test_doubled_midranks_exact_and_partition_invariant(spark):
             for r in doubled_midranks(df.repartition(parts), "v", bdiv).collect()
         }
         assert got == naive, (parts, bdiv)
+
+
+def test_mmr_matches_naive_greedy(spark, sf_dir):
+    """q_rag_mmr's distributed-candidates + driver-greedy pipeline must
+    equal a from-scratch numpy recomputation of MMR over raw embeddings
+    (λ=0.7, 12 candidates, 5 picks, 4dp-rounded sims, id tiebreaks)."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from mongo_to_parquet_spark.queries.retrieval import QUERIES as RQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos4(a, b):
+        # mirror functions/vector.cosine: sequential fold == np dot here
+        return Decimal(str(round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4)))
+
+    probe = emb[0]
+    rel = {v: cos4(e, probe) for v, e in emb.items() if v != 0}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:12]
+    lam, lam1 = Decimal("0.7"), Decimal("0.3")
+    chosen = [max(cand, key=lambda v: (rel[v], -v))]
+    expect = [(1, chosen[0], float(rel[chosen[0]]))]
+    while len(chosen) < 5:
+        best = None
+        for c in cand:
+            if c in chosen:
+                continue
+            mx = max(cos4(emb[c], emb[s]) for s in chosen)
+            score = lam * rel[c] - lam1 * mx
+            if best is None or (score, -c) > (best[1], -best[0]):
+                best = (c, score)
+        expect.append((len(chosen) + 1, best[0], float(best[1])))
+        chosen.append(best[0])
+    got = [
+        (r["rk"], r["vec_id"], r["mmr_score"])
+        for r in RQ["q_rag_mmr"](spark, sf_dir).orderBy("rk").collect()
+    ]
+    assert got == expect
+    # structural MMR facts: distinct picks, rank-1 is the global argmax
+    assert len({v for _, v, _ in got}) == 5
+    assert got[0][1] == min(
+        [v for v in rel if rel[v] == max(rel.values())]
+    )
+
+
+def test_link_fs_matches_naive_scoring(spark, sf_dir):
+    """q_link_fs == a pure-python Fellegi-Sunter recomputation: same
+    blocked pairs, same data-estimated u-probabilities, same log weights,
+    same rounded scores and top-20 cut."""
+    import math
+    from collections import Counter
+
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "customer").collect()
+    feats = [
+        (r["c_custkey"], r["c_nationkey"], r["c_mktsegment"],
+         math.floor(r["c_acctbal"] / 1000))
+        for r in rows
+    ]
+    n = len(feats)
+    den = n * (n - 1) // 2
+    u1n = sum(c * (c - 1) // 2 for c in Counter(f[2] for f in feats).values())
+    u2n = sum(c * (c - 1) // 2 for c in Counter(f[3] for f in feats).values())
+    wa1, wd1 = math.log(0.95 * den / u1n), math.log(0.05 * den / (den - u1n))
+    wa2, wd2 = math.log(0.95 * den / u2n), math.log(0.05 * den / (den - u2n))
+    scored = []
+    by_blk: dict[int, list] = {}
+    for f in feats:
+        by_blk.setdefault(f[1], []).append(f)
+    for blk in by_blk.values():
+        blk.sort()
+        for i in range(len(blk)):
+            for j in range(i + 1, len(blk)):
+                a, b = blk[i], blk[j]
+                s = (wa1 if a[2] == b[2] else wd1) + (wa2 if a[3] == b[3] else wd2)
+                scored.append(
+                    (a[0], b[0], int(a[2] == b[2]), int(a[3] == b[3]), round(s, 4))
+                )
+    scored.sort(key=lambda t: (-t[4], t[0], t[1]))
+    got = [
+        (r["id1"], r["id2"], r["agree_seg"], r["agree_bal"], r["fs_score"])
+        for r in CQ["q_link_fs"](spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[4], t[0], t[1])) == scored[:20]
+
+
+def test_dsir_weights_match_hashlib_recompute(spark, sf_dir):
+    """q_select_dsir == a hashlib/python recomputation of the hashed-
+    bigram importance weights (Laplace-smoothed target/raw log-ratios),
+    including the md5 feature-hash contract and the DECIMAL accumulation
+    order-insensitivity (python sums exact Fractions, Spark sums
+    DECIMAL(38,18) — both round to the same 4dp)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ, _DSIR_B
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def feat(bg: str) -> int:
+        return int(hashlib.md5(f"dsir:{bg}".encode()).hexdigest()[:8], 16) % _DSIR_B
+
+    doc_feat: dict[int, Counter] = {}
+    lang = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        bgs = (
+            [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [r["text"]]
+        )
+        doc_feat[r["doc_id"]] = Counter(feat(b) for b in bgs)
+        lang[r["doc_id"]] = r["lang"]
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for d, fc in doc_feat.items():
+        cr.update(fc)
+        if lang[d] == "en":
+            ct.update(fc)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    w = {
+        f: math.log((ct.get(f, 0) + 1) / (tt + _DSIR_B))
+        - math.log((cr[f] + 1) / (tr + _DSIR_B))
+        for f in cr
+    }
+    weights = {
+        d: round(sum(nf * w[f] for f, nf in fc.items()), 4)
+        for d, fc in doc_feat.items()
+    }
+    expect = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["doc_id"], r["dsir_weight"])
+        for r in CQ["q_select_dsir"](spark, sf_dir).collect()
+    ]
+    spark.catalog.clearCache()  # q_select_dsir persists doc_feat
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_ivfpq_serve_variant_matches_declared(spark, sf_dir):
+    """The bench-only serve path (layout built once, reused) must return
+    exactly the declared q_sim_topk_ivfpq's build+serve results — the
+    layout is pure materialization, so reuse cannot change the answer."""
+    from mongo_to_parquet_spark.queries import bench_only, queries
+
+    declared = queries()["q_sim_topk_ivfpq"](spark, sf_dir).collect()
+    serve = bench_only()["q_sim_topk_ivfpq_serve"](spark, sf_dir).collect()
+    key = lambda r: (r["pq_dist"], r["vec_id"])  # noqa: E731
+    assert sorted(map(tuple, declared)) == sorted(map(tuple, serve))
+    assert len(declared) == 10 and sorted(declared, key=key) == sorted(
+        serve, key=key
+    )
