@@ -2755,22 +2755,33 @@ _FS_TOP = 20
                CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS f2
         FROM customer
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1) / 2
-                     AS den
-          FROM feats),
-    u1 AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS num FROM
-           (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY f1)),
-    u2 AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS num FROM
-           (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY f2)),
+    -- ONE stacked value-frequency pass estimates BOTH fields' chance-
+    -- agreement numerators (and the pair denominator) — no per-field
+    -- aggregation jobs chained through nested 1-row cross joins
+    vf AS (
+        SELECT fld, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(['1:' || f1, '2:' || CAST(f2 AS VARCHAR)]) AS fld
+              FROM feats)
+        GROUP BY fld
+    ),
+    stats AS (
+        SELECT CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c * (c - 1) / 2 END)
+                    AS BIGINT) AS num1,
+               CAST(SUM(CASE WHEN fld LIKE '2:%' THEN c * (c - 1) / 2 END)
+                    AS BIGINT) AS num2,
+               CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c END) AS BIGINT) AS n
+        FROM vf
+    ),
     -- m literals forced to DOUBLE: DuckDB parses bare 0.95 as DECIMAL and
     -- decimal division rounds differently from Spark's double arithmetic
     w AS (
-        SELECT LN(CAST({_FS_M} AS DOUBLE) * den / u1.num) AS wa1,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * den / (den - u1.num)) AS wd1,
-               LN(CAST({_FS_M} AS DOUBLE) * den / u2.num) AS wa2,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * den / (den - u2.num)) AS wd2
-        FROM n, u1, u2
+        SELECT LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num1) AS wa1,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2 - num1)) AS wd1,
+               LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num2) AS wa2,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2 - num2)) AS wd2
+        FROM stats
     ),
     pairs AS (
         SELECT a.id AS id1, b.id AS id2,
@@ -2810,31 +2821,43 @@ def q_link_fs(spark, sf):
         F.col("c_mktsegment").alias("f1"),
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("f2"),
     )
-    n = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
-        "n", (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("den")
-    )
-    u1 = (
-        feats.groupBy("f1")
+    # one stacked value-frequency pass for BOTH fields' u-numerators and
+    # the row count — replaces three aggregate jobs chained through nested
+    # 1-row cross joins (their sequential stage latency dominated locally;
+    # at scale it's also simply fewer passes)
+    vf = (
+        feats.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("1:"), F.col("f1")),
+                    F.concat(F.lit("2:"), F.col("f2").cast("string")),
+                )
+            ).alias("fld")
+        )
+        .groupBy("fld")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("num1"))
     )
-    u2 = (
-        feats.groupBy("f2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("num2"))
+    pairs_of = F.col("c") * (F.col("c") - 1) / 2
+    is1 = F.col("fld").startswith("1:")
+    stats = vf.agg(
+        F.sum(F.when(is1, pairs_of)).cast("bigint").alias("num1"),
+        F.sum(F.when(~is1, pairs_of)).cast("bigint").alias("num2"),
+        F.sum(F.when(is1, F.col("c"))).cast("bigint").alias("n"),
     )
     m = F.lit(float(_FS_M))
-    w = (
-        n.crossJoin(u1)
-        .crossJoin(u2)
-        .select(
-            F.log(m * F.col("den") / F.col("num1")).alias("wa1"),
-            F.log((1 - m) * F.col("den") / (F.col("den") - F.col("num1"))).alias("wd1"),
-            F.log(m * F.col("den") / F.col("num2")).alias("wa2"),
-            F.log((1 - m) * F.col("den") / (F.col("den") - F.col("num2"))).alias("wd2"),
-        )
+    den = F.col("n") * (F.col("n") - 1) / 2
+    w = stats.select(
+        F.log(m * den / F.col("num1")).alias("wa1"),
+        F.log((1 - m) * den / (den - F.col("num1"))).alias("wd1"),
+        F.log(m * den / F.col("num2")).alias("wa2"),
+        F.log((1 - m) * den / (den - F.col("num2"))).alias("wd2"),
     )
-    a, b = feats.alias("a"), feats.alias("b")
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    # stream side fanned out (pairwise_cosine precedent): the blocked
+    # self-join's quadratic per-block pair loop otherwise runs at the
+    # single-file scan's parallelism
+    a, b = fan_out(feats).alias("a"), feats.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .crossJoin(F.broadcast(w))
