@@ -2879,3 +2879,96 @@ def q_link_fs(spark, sf):
         .orderBy(F.col("fs_score").desc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(_FS_TOP)
     )
+
+
+# ---------------------------------------------- greedy coverage selection --
+_COVER_K = 5
+
+
+def _cover_oracle() -> str:
+    """Greedy max-coverage unrolled as chained argmax CTEs (the MMR
+    pattern, SURVEY §7 lesson 27): step t picks the doc adding the most
+    not-yet-covered bigrams, doc_id tiebreak."""
+    steps, unions = [], [
+        "SELECT CAST(1 AS BIGINT) AS rk, doc_id, gain FROM s1"
+    ]
+    for t in range(2, _COVER_K + 1):
+        p = t - 1
+        steps.append(f"""
+    s{t} AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM u
+        WHERE doc_id NOT IN (SELECT doc_id FROM d{p})
+          AND u NOT IN (SELECT u FROM c{p})
+        GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1
+    ),
+    c{t} AS (SELECT u FROM c{p} UNION SELECT u.u FROM u JOIN s{t} USING (doc_id)),
+    d{t} AS (SELECT doc_id FROM d{p} UNION ALL SELECT doc_id FROM s{t})""")
+        unions.append(f"SELECT CAST({t} AS BIGINT), doc_id, gain FROM s{t}")
+    return f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    u AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS u
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 2
+    ),
+    s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM u
+           GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1),
+    c1 AS (SELECT u.u FROM u JOIN s1 USING (doc_id)),
+    d1 AS (SELECT doc_id FROM s1),{",".join(steps)}
+    {" UNION ALL ".join(unions)}
+    """
+
+
+@q("q_select_cover", _cover_oracle())
+def q_select_cover(spark, sf):
+    # Greedy maximum-coverage data selection (the submodular
+    # facility-location family — Nemhauser et al.'s (1−1/e) greedy, the
+    # standard "pick a maximally diverse subset" primitive in training-
+    # data curation): step t selects the document adding the most
+    # not-yet-covered word bigrams. Inherently sequential in k, so the
+    # engine shape is k distributed marginal-gain passes — each ONE
+    # anti-join + aggregate over the persisted (doc, unit) relation with
+    # the covered set broadcast — and a 1-row argmax collect per step
+    # (the kmeans/census exception). The covered set stays a DataFrame
+    # (never a driver set), so its size is bounded by broadcast limits,
+    # not driver memory; at 100 TB one would swap the broadcast anti-join
+    # for a shuffle anti-join past ~100M covered units — same plan
+    # skeleton. Oracle replays the greedy as unrolled chained CTEs.
+    from mongo_to_parquet_spark.functions.textfns import shingles
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = fan_out(T(spark, sf, "documents").select("doc_id", "text"))
+    units = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("u"))
+        .distinct()
+        .persist()  # k marginal-gain passes; caller clearCache()s after
+    )
+    covered = None
+    selected: list[int] = []
+    picked: list[tuple[int, int, int]] = []
+    for t in range(1, _COVER_K + 1):
+        cand = units
+        if selected:
+            cand = cand.filter(~F.col("doc_id").isin(selected))
+        if covered is not None:
+            cand = cand.join(F.broadcast(covered), "u", "left_anti")
+        row = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break  # every remaining doc adds zero coverage
+        doc, gain = row[0]["doc_id"], row[0]["gain"]
+        picked.append((t, doc, gain))
+        selected.append(doc)
+        new_cov = units.filter(F.col("doc_id") == doc).select("u")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+    return spark.createDataFrame(picked, "rk bigint, doc_id bigint, gain bigint")

@@ -1526,3 +1526,41 @@ def test_ivfpq_serve_variant_matches_declared(spark, sf_dir):
     assert len(declared) == 10 and sorted(declared, key=key) == sorted(
         serve, key=key
     )
+
+
+def test_select_cover_matches_naive_greedy(spark, sf_dir):
+    """q_select_cover == a pure-python greedy max-coverage over bigram
+    sets, including tie (doc_id) and early-stop (zero-gain) semantics."""
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ, _COVER_K
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    units = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        units[r["doc_id"]] = (
+            {f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)}
+            if len(toks) >= 2
+            else {r["text"]}
+        )
+    covered: set = set()
+    expect = []
+    for t in range(1, _COVER_K + 1):
+        gains = {
+            d: len(u - covered)
+            for d, u in units.items()
+            if d not in {e[1] for e in expect}
+        }
+        doc = min(gains, key=lambda d: (-gains[d], d))
+        if gains[doc] == 0:
+            break
+        expect.append((t, doc, gains[doc]))
+        covered |= units[doc]
+    got = [
+        (r["rk"], r["doc_id"], r["gain"])
+        for r in CQ["q_select_cover"](spark, sf_dir).orderBy("rk").collect()
+    ]
+    spark.catalog.clearCache()
+    # marginal gains are non-increasing (submodularity of coverage)
+    assert all(got[i][2] >= got[i + 1][2] for i in range(len(got) - 1))
+    assert got == expect
