@@ -869,6 +869,98 @@ def q_dedup_clusters(spark, sf):
 
 
 @q(
+    "q_dedup_keep_best",
+    """
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 3
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT x.doc AS doc1, y.doc AS doc2, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+        GROUP BY x.doc, y.doc
+    ), pairs AS (
+        SELECT doc1, doc2 FROM inter
+        JOIN sizes s1 ON s1.doc = doc1
+        JOIN sizes s2 ON s2.doc = doc2
+        WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ), reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), cl AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(LEAST(d.doc_id, m.minr), d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT node, MIN(r) AS minr FROM reach GROUP BY node) m
+          ON m.node = d.doc_id
+    ), ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM cl
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_members,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def q_dedup_keep_best(spark, sf):
+    # the OTHER half of the dedup end-product: q_dedup_clusters keeps the
+    # min-id member; production pipelines keep the BEST member (longest /
+    # highest-quality — here n_chars with doc_id tiebreak, the usual
+    # "prefer the most complete copy" rule). Same cluster assignment
+    # (min-label propagation over exact trigram-Jaccard pairs), then one
+    # window rank per cluster; the rn=1 filter compiles to
+    # WindowGroupLimit so each task holds a 1-slot heap per cluster, and
+    # only multi-member clusters are reported (the singleton flood is
+    # q_dedup_clusters' output). Scale = the cluster machinery's
+    # (bucketed pair mining + iterative min-label) plus ONE
+    # cluster-partitioned window over the assignment.
+    d = T(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.5, ngram=3).select("doc1", "doc2")
+    cc = dedup.connected_components(pairs)
+    cl = (
+        d.select("doc_id", "n_chars")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("cluster_id")
+    ranked = cl.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        "n_members",
+        F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+    )
+
+
+@q(
     "q_text_chunk",
     """
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -2574,3 +2666,85 @@ BENCH_ONLY = {
     "q_sim_topk_lsh": q_sim_topk_lsh,
     "q_text_fingerprint": q_text_fingerprint,
 }
+
+
+@q(
+    "q_pack_curriculum",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+    scored AS (
+        SELECT doc_id, ROUND(-AVG(LN(c / n)), 4) AS nll,
+               CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    si AS (SELECT doc_id, nll, n_toks,
+                  CAST(ROUND(nll * 10000) AS BIGINT) AS nll_i
+           FROM scored),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM si),
+    ranked AS (SELECT nll_i, row_number() OVER (ORDER BY nll_i) AS rn FROM si),
+    c1 AS (SELECT nll_i AS v FROM ranked WHERE rn = (SELECT (n + 3) // 4 FROM nn)),
+    c2 AS (SELECT nll_i AS v FROM ranked WHERE rn = (SELECT (2 * n + 3) // 4 FROM nn)),
+    c3 AS (SELECT nll_i AS v FROM ranked WHERE rn = (SELECT (3 * n + 3) // 4 FROM nn)),
+    b AS (
+        SELECT si.*,
+               1 + CAST(nll_i > (SELECT v FROM c1) AS INT)
+                 + CAST(nll_i > (SELECT v FROM c2) AS INT)
+                 + CAST(nll_i > (SELECT v FROM c3) AS INT) AS bucket
+        FROM si
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_nll,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def q_pack_curriculum(spark, sf):
+    # curriculum bucketing: order the corpus easy→hard by the unigram-NLL
+    # difficulty proxy and report the four difficulty quartiles (docs,
+    # mean difficulty, token budget per phase) — the sizing pass before a
+    # curriculum-ordered training run. The interesting engine problem is
+    # the EXACT quartile cuts WITHOUT a global sort: ntile() would funnel
+    # the corpus through one window task, so the three cut ranks come from
+    # operators/validate.exact_kth_smallest (iterative histogram
+    # refinement over the ×10⁴ fixed-point NLL: ≤3 map-combined census
+    # passes per cut, driver state = a bucket histogram) and bucket
+    # assignment is a stateless comparison against 3 broadcast scalars.
+    # Mean NLL per bucket is DECIMAL-exact (sum of 4dp fixed-point, one
+    # double division) so cross-engine summation order cannot move it.
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    d = T(spark, sf, "documents")
+    scored = (
+        text.unigram_logprob(d)
+        .withColumn("nll_i", F.round(F.col("nll") * 10000).cast("bigint"))
+        .persist()  # 3 rank probes + the final bucket pass; caller clears
+    )
+    n = scored.count()
+    cuts = [
+        exact_kth_smallest(scored, "nll_i", (i * n + 3) // 4) for i in (1, 2, 3)
+    ]
+    bucket = (
+        F.lit(1)
+        + (F.col("nll_i") > cuts[0]).cast("int")
+        + (F.col("nll_i") > cuts[1]).cast("int")
+        + (F.col("nll_i") > cuts[2]).cast("int")
+    )
+    return (
+        scored.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nll"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
