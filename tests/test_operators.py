@@ -1564,3 +1564,55 @@ def test_select_cover_matches_naive_greedy(spark, sf_dir):
     # marginal gains are non-increasing (submodularity of coverage)
     assert all(got[i][2] >= got[i + 1][2] for i in range(len(got) - 1))
     assert got == expect
+
+
+def test_keep_best_picks_longest_member_per_cluster(spark, sf_dir):
+    """q_dedup_keep_best: every reported representative must belong to its
+    cluster, be its (n_chars desc, doc_id asc) maximum, and n_members must
+    equal the cluster's size in q_dedup_clusters' assignment."""
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    clusters = {}
+    for r in LQ["q_dedup_clusters"](spark, sf_dir).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        ).collect()
+    }
+    got = LQ["q_dedup_keep_best"](spark, sf_dir).collect()
+    reported = {r["cluster_id"] for r in got}
+    multi = {c for c, m in clusters.items() if len(m) > 1}
+    assert reported == multi
+    for r in got:
+        members = clusters[r["cluster_id"]]
+        assert r["n_members"] == len(members)
+        best = min(members, key=lambda d: (-chars[d], d))
+        assert r["keep_doc_id"] == best
+        assert r["kept_n_chars"] == chars[best]
+
+
+def test_curriculum_buckets_partition_corpus_by_difficulty(spark, sf_dir):
+    """q_pack_curriculum: the four buckets partition the corpus (doc and
+    token totals match the per-doc scoring), bucket mean difficulty is
+    strictly ordered, and each cut leaves ≤ the exact quartile rank of
+    docs at-or-below it (value-based cuts, ties collapse downward)."""
+    from mongo_to_parquet_spark.operators.text import unigram_logprob
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    scored = unigram_logprob(load_table(spark, sf_dir, "documents")).collect()
+    got = sorted(
+        LQ["q_pack_curriculum"](spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    spark.catalog.clearCache()
+    assert sum(r["n_docs"] for r in got) == len(scored)
+    assert sum(r["total_tokens"] for r in got) == sum(r["n_tokens"] for r in scored)
+    means = [r["avg_nll"] for r in got]
+    assert means == sorted(means)
+    # value-cut property: bucket 1 holds every doc with nll <= its max,
+    # i.e. at least ceil(n/4) docs (ties can only grow it)
+    n = len(scored)
+    assert got[0]["n_docs"] >= (n + 3) // 4 - 1
