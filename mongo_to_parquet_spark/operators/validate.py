@@ -106,6 +106,13 @@ def profile_columns_kmv(
 
     names = list(reprs)
     hash_inputs = hash_inputs or {}
+    # (Sharing one fan_out exchange between this base aggregate and the
+    # hash pipeline does NOT dedupe: Catalyst pushes each consumer's
+    # projection below the round-robin exchange, so the two subtrees
+    # canonicalize differently and ReuseExchange never fires — lesson 24;
+    # a persist isn't worth a 1-row aggregate's input. Two scans stands.)
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
     base = df.agg(
         *[
             a
@@ -139,16 +146,10 @@ def profile_columns_kmv(
         "as (col_name, n_nulls, min_repr, max_repr)"
     )
     # Parallelism guard for the hash stage: the stacked Generate computes
-    # len(names) md5s per row INSIDE the scan stage, so its parallelism is
-    # the scan's. A small-but-hash-heavy input (one parquet file → ONE
-    # partition under maxPartitionBytes) serializes every hash on a single
-    # core — measured 0.94s of a 1.6s sketch at sf0.1. fan_out repartitions
-    # the PRUNED raw projection only when the scan is narrower than the
-    # cluster; at 100 TB the scan already has thousands of partitions and
-    # this is a no-op (operators/parallel.py — project AFTER so the
-    # date_format/decimal renderings run parallel too).
-    from mongo_to_parquet_spark.operators.parallel import fan_out
-
+    # len(names) md5s per row inside its stage, so without fan_out a
+    # one-file scan serializes every hash on one core — measured 0.94s of
+    # a 1.6s sketch at sf0.1. Projection AFTER the fan_out so the
+    # date_format/decimal renderings run parallel too; no-op at 100 TB.
     pruned = fan_out(df.select(*dict.fromkeys(names)))
     hash_cols = pruned.select(
         *[hash_inputs.get(c, F.col(c).cast("string")).alias(f"v_{i}")
