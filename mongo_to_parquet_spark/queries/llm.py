@@ -904,9 +904,13 @@ def q_dedup_clusters(spark, sf):
         LEFT JOIN (SELECT node, MIN(r) AS minr FROM reach GROUP BY node) m
           ON m.node = d.doc_id
     ), ranked AS (
+        -- NULLS LAST made explicit: Spark's DESC defaults to nulls-last,
+        -- DuckDB's dialect default differs — a NULL n_chars must never
+        -- win the representative slot in either engine
         SELECT cluster_id, doc_id, n_chars,
                row_number() OVER (PARTITION BY cluster_id
-                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                                  ORDER BY n_chars DESC NULLS LAST,
+                                           doc_id ASC) AS rn,
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS n_members
         FROM cl
@@ -948,7 +952,7 @@ def q_dedup_keep_best(spark, sf):
         "doc_id",
         "n_chars",
         F.row_number()
-        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .over(w.orderBy(F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()))
         .alias("rn"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
     )
