@@ -530,6 +530,76 @@ def ivfpq_topk_from_layout(
     )
 
 
+def ivfpq_topk_batch_from_layout(
+    spark,
+    layout_dir: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve MANY probes against a :func:`build_ivfpq_layout` directory in
+    one pass — the micro-batch/serving-tier shape of
+    :func:`ivfpq_topk_from_layout`.
+
+    All probe-side relations (cells-per-probe, quantized probe components,
+    the per-probe ADC tables) are batch-sized and broadcast; the ONE
+    corpus-sized relation read is the code table, partition-pruned to the
+    UNION of every probe's n_probe cells, and each code row fans out only
+    to the probes that probed its cell (join on cell). Returns
+    (probe_id, id, pq_dist, rk ≤ k), ranked (pq_dist asc, id asc) —
+    integer-exact, so per-probe results are identical to the single-probe
+    path (pinned in tests/test_streaming.py)."""
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
+    )
+    cents = spark.read.parquet(f"{layout_dir}/centroids")
+    cw = Window.partitionBy("probe_id").orderBy(
+        F.col("ps").desc(), F.col("cell").asc()
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(pr))
+        .select("probe_id", "cell", dot(F.col("cvec"), F.col("__pv")).alias("ps"))
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= n_probe)
+        .select("probe_id", "cell")
+    )
+    cell_list = [str(r["cell"]) for r in cells.select("cell").distinct().collect()]
+    rng = spark.read.parquet(f"{layout_dir}/rng")
+    codebook = spark.read.parquet(f"{layout_dir}/codebook")
+    pqv = (
+        pr.select("probe_id", F.posexplode("__pv").alias("pos", "val"))
+        .select("probe_id", "pos", F.col("val").cast("double").alias("val"))
+        .join(F.broadcast(rng), "pos")
+        .select("probe_id", "pos", _sq8(F.col("val")).alias("pqv"))
+    )
+    pdiff = F.col("pqv") - F.col("cqv")
+    adc = (
+        codebook.join(F.broadcast(pqv), "pos")
+        .groupBy("probe_id", "sub", "cid")
+        .agg(F.sum((pdiff * pdiff).cast("bigint")).alias("pd"))
+    )
+    scan = spark.read.parquet(f"{layout_dir}/codes").filter(
+        F.col("cell").isin(cell_list)
+    )
+    scored = scan.join(F.broadcast(cells), "cell").join(
+        F.broadcast(adc), ["probe_id", "sub", "cid"]
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("probe_id"))
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.groupBy("probe_id", id_col)
+        .agg(F.sum("pd").alias("pq_dist"))
+        .withColumn("rk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pairwise_cosine(
     emb: DataFrame,
     block_col: str,

@@ -908,3 +908,72 @@ def test_stream_fixity_equals_batch_and_replay_safe(spark, tmp_path):
     }
     assert tdig[1996] != got[1996]
     assert tdig[1995] == got[1995] and tdig[1997] == got[1997]
+
+
+def test_stream_ann_probe_matches_batch_serving(spark, sf_dir, tmp_path):
+    """Streaming ANN serving: every probe answered through the
+    micro-batched fold equals the single-probe batch serving path on the
+    same static IVF×PQ layout; a full replay against a fresh checkpoint
+    is a no-op (ledger markers), and a torn batch leaves the committed
+    view and is recommitted identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_from_layout,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import retrieval as sr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "layout")
+    build_ivfpq_layout(emb, layout)
+
+    probes = emb.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    src = str(tmp_path / "probes_src")
+    probes.repartition(3).write.parquet(src)
+
+    state = str(tmp_path / "state")
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sr.stream_ann_probe(stream, layout, state, ck, k=10, n_probe=4)
+        q.awaitTermination(300)
+
+    run(str(tmp_path / "ck1"))
+
+    got = {
+        (r["probe_id"], r["vec_id"], r["pq_dist"], r["rk"])
+        for r in sr.read_probe_results(spark, state).collect()
+    }
+    want = set()
+    for p in probes.collect():
+        single = ivfpq_topk_from_layout(
+            spark, layout, [float(x) for x in p["embedding"]],
+            k=10, n_probe=4, exclude_id=p["vec_id"],
+        )
+        for i, r in enumerate(
+            sorted(single.collect(), key=lambda r: (r["pq_dist"], r["vec_id"]))
+        ):
+            want.add((p["vec_id"], r["vec_id"], r["pq_dist"], i + 1))
+    assert len(want) == 60  # 6 probes × k=10
+    assert got == want
+
+    run(str(tmp_path / "ck2"))  # replay: markers skip every batch
+    assert {
+        tuple(r) for r in sr.read_probe_results(spark, state).collect()
+    } == want
+
+    last = max(sr._committed(state))
+    os.remove(os.path.join(state, "ledger", str(last)))
+    assert sr.read_probe_results(spark, state).count() < len(want)
+    run(str(tmp_path / "ck3"))
+    assert {
+        tuple(r) for r in sr.read_probe_results(spark, state).collect()
+    } == want
