@@ -2972,3 +2972,149 @@ def q_select_cover(spark, sf):
             else covered.unionByName(new_cov).distinct()
         )
     return spark.createDataFrame(picked, "rk bigint, doc_id bigint, gain bigint")
+
+
+_SNM_W = 10   # sorted-neighborhood window width
+
+
+@q(
+    "q_link_fs_snm",
+    f"""
+    WITH feats AS (
+        SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS f1,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS f2, c_acctbal
+        FROM customer
+    ),
+    vf AS (
+        SELECT fld, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(['1:' || f1, '2:' || CAST(f2 AS VARCHAR)]) AS fld
+              FROM feats)
+        GROUP BY fld
+    ),
+    stats AS (
+        SELECT CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c * (c - 1) / 2 END)
+                    AS BIGINT) AS num1,
+               CAST(SUM(CASE WHEN fld LIKE '2:%' THEN c * (c - 1) / 2 END)
+                    AS BIGINT) AS num2,
+               CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c END) AS BIGINT) AS n
+        FROM vf
+    ),
+    w AS (
+        SELECT LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num1) AS wa1,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2 - num1)) AS wd1,
+               LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num2) AS wa2,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2 - num2)) AS wd2
+        FROM stats
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY blk
+                                     ORDER BY c_acctbal ASC, id ASC) AS rn
+        FROM feats
+    ),
+    pairs AS (
+        SELECT a.id AS ida, b.id AS idb,
+               CAST(a.f1 = b.f1 AS BIGINT) AS agree_seg,
+               CAST(a.f2 = b.f2 AS BIGINT) AS agree_bal,
+               ROUND(CASE WHEN a.f1 = b.f1 THEN wa1 ELSE wd1 END
+                   + CASE WHEN a.f2 = b.f2 THEN wa2 ELSE wd2 END, 4) AS fs_score
+        FROM ranked a
+        JOIN UNNEST(generate_series(1, {_SNM_W})) AS t(j) ON true
+        JOIN ranked b ON b.blk = a.blk AND b.rn = a.rn + j
+        CROSS JOIN w
+    )
+    SELECT LEAST(ida, idb) AS id1, GREATEST(ida, idb) AS id2,
+           agree_seg, agree_bal, fs_score
+    FROM pairs
+    ORDER BY fs_score DESC, id1 ASC, id2 ASC
+    LIMIT {_FS_TOP}
+    """,
+)
+def q_link_fs_snm(spark, sf):
+    # the BOUNDED-candidates linkage route: q_link_fs scores every pair
+    # inside a nation block, and the round-6 scaling run measured exactly
+    # what that means — block cardinality is FIXED (25 nations), so
+    # per-block density grows linearly with the corpus and pair counts
+    # QUADRATICALLY (×100 pairs, wall ×19 at ×10 growth;
+    # tools/scaletest_results_r6_newops.json). Sorted-neighborhood (SNM,
+    # Hernández & Stolfo 1995) is the standard fix: order each block by a
+    # proximity key (acctbal — near-duplicates have similar balances),
+    # compare each record only to its next w=10 neighbors → candidates
+    # are EXACTLY n·w, linear forever. The window offsets become an
+    # EQUI-join — explode j∈[1,w], join on (blk, rn+j) — so no range
+    # join, no skew beyond the block key itself; same FS weights as
+    # q_link_fs (one stacked u-estimation pass).
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    c = T(spark, sf, "customer")
+    feats = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("f1"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("f2"),
+        "c_acctbal",
+    )
+    vf = (
+        feats.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("1:"), F.col("f1")),
+                    F.concat(F.lit("2:"), F.col("f2").cast("string")),
+                )
+            ).alias("fld")
+        )
+        .groupBy("fld")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs_of = F.col("c") * (F.col("c") - 1) / 2
+    is1 = F.col("fld").startswith("1:")
+    stats = vf.agg(
+        F.sum(F.when(is1, pairs_of)).cast("bigint").alias("num1"),
+        F.sum(F.when(~is1, pairs_of)).cast("bigint").alias("num2"),
+        F.sum(F.when(is1, F.col("c"))).cast("bigint").alias("n"),
+    )
+    m = F.lit(float(_FS_M))
+    den = F.col("n") * (F.col("n") - 1) / 2
+    w = stats.select(
+        F.log(m * den / F.col("num1")).alias("wa1"),
+        F.log((1 - m) * den / (den - F.col("num1"))).alias("wd1"),
+        F.log(m * den / F.col("num2")).alias("wa2"),
+        F.log((1 - m) * den / (den - F.col("num2"))).alias("wd2"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("blk").orderBy(F.col("c_acctbal").asc(), F.col("id").asc())
+    )
+    ranked = fan_out(feats).withColumn("rn", rn)
+    a = ranked.select(
+        F.col("blk"), F.col("rn"),
+        F.col("id").alias("ida"), F.col("f1").alias("af1"), F.col("f2").alias("af2"),
+    ).withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(_SNM_W)))).select(
+        "blk", (F.col("rn") + F.col("j")).alias("rn"), "ida", "af1", "af2"
+    )
+    b = ranked.select(
+        "blk", "rn",
+        F.col("id").alias("idb"), F.col("f1").alias("bf1"), F.col("f2").alias("bf2"),
+    )
+    scored = (
+        a.join(b, ["blk", "rn"])
+        .crossJoin(F.broadcast(w))
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            (F.col("af1") == F.col("bf1")).cast("bigint").alias("agree_seg"),
+            (F.col("af2") == F.col("bf2")).cast("bigint").alias("agree_bal"),
+            F.round(
+                F.when(F.col("af1") == F.col("bf1"), F.col("wa1")).otherwise(
+                    F.col("wd1")
+                )
+                + F.when(F.col("af2") == F.col("bf2"), F.col("wa2")).otherwise(
+                    F.col("wd2")
+                ),
+                4,
+            ).alias("fs_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("fs_score").desc(), F.col("id1").asc(), F.col("id2").asc()
+    ).limit(_FS_TOP)

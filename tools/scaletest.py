@@ -79,6 +79,14 @@ PROBES = {
     "q_stats_bootstrap": ["orders"],
     "q_dialog_assemble": ["events"],
     "q_skew_diag": ["lineitem"],
+    # round-6 additions (IVF×PQ build+serve, DSIR selection, FS linkage,
+    # greedy coverage): embeddings replicas keep vectors identical with
+    # offset ids — cell populations and code tables grow exactly linearly
+    "q_sim_topk_ivfpq": ["embeddings"],
+    "q_select_dsir": ["documents"],
+    "q_link_fs": ["customer"],
+    "q_link_fs_snm": ["customer"],
+    "q_select_cover": ["documents"],
 }
 
 #: per-table key columns to offset per replica
@@ -89,6 +97,7 @@ OFFSETS = {
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
     "events": ["user_id", "event_id"],
+    "embeddings": ["vec_id"],
 }
 
 #: dimension tables copied unmodified into every scale dir (facts grow,
