@@ -2752,3 +2752,126 @@ def q_pack_curriculum(spark, sf):
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ------------------------------------------------- cross-source overlap ----
+from mongo_to_parquet_spark.functions.sketch import (  # noqa: E402
+    DEFAULT_K as _OVL_K,
+    kmv_estimate_long_sql as _kel_sql,
+    kmv_hash_sql as _kh_sql,
+)
+
+_OVL_UNION_EST = _kel_sql("m_u", "theta", _OVL_K)
+
+
+@q(
+    "q_overlap_sources",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT source, {_kh_sql('text', salt='ovl:')} AS h
+        FROM documents
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h)
+        WHERE rn <= {_OVL_K}
+    ),
+    p AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    pa AS (SELECT p.s1, p.s2, sk.h, 1 AS ina FROM p JOIN sk ON sk.source = p.s1),
+    pb AS (SELECT p.s1, p.s2, sk.h, 1 AS inb FROM p JOIN sk ON sk.source = p.s2),
+    pool AS (
+        SELECT s1, s2, h,
+               COALESCE(ina, 0) AS ina, COALESCE(inb, 0) AS inb
+        FROM pa FULL JOIN pb USING (s1, s2, h)
+    ),
+    u AS (
+        SELECT s1, s2, h, ina, inb FROM (
+            SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+            FROM pool)
+        WHERE rn <= {_OVL_K}
+    ),
+    agg AS (
+        SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS m_u, MAX(h) AS theta,
+               CAST(SUM(ina * inb) AS BIGINT) AS n_common
+        FROM u GROUP BY s1, s2
+    )
+    SELECT s1, s2,
+           {_OVL_UNION_EST} AS union_est,
+           CAST((n_common * {_OVL_UNION_EST}) // m_u AS BIGINT) AS inter_est,
+           CAST((n_common * 10000) // m_u AS BIGINT) AS jaccard_x10000
+    FROM agg
+    """,
+)
+def q_overlap_sources(spark, sf):
+    # cross-source overlap estimation — the theta-sketch workload ("what
+    # fraction of source A's distinct documents also appear in B?") that
+    # sizes cross-source dedup BEFORE running it, for all source pairs
+    # from ONE corpus scan. Per-source KMV sketches (k smallest distinct
+    # text hashes, WindowGroupLimit-bounded), then pure sketch SET
+    # ALGEBRA on the k×|sources| rows: a pair's union sketch is the k
+    # smallest of A∪B, ρ = |union sketch ∩ A ∩ B| / |union sketch| is the
+    # Jaccard estimator, intersection ≈ ρ × union-estimate — all
+    # integer/md5-exact under the KMV contract (functions/sketch.py), so
+    # the oracle replays the estimates bit-for-bit (integer floor-div, no
+    # float ratios). Mergeability is the 100 TB story: per-source
+    # sketches are tiny persisted artifacts; any pair/rollup combination
+    # is sketch-side arithmetic, never a corpus re-scan.
+    from mongo_to_parquet_spark.functions.sketch import (
+        kmv_estimate_long,
+        kmv_hash,
+    )
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = T(spark, sf, "documents")
+    h = (
+        fan_out(d.select("source", "text"))
+        .select("source", kmv_hash(F.col("text"), salt="ovl:").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(_W.partitionBy("source").orderBy("h"))
+    sk = h.withColumn("rn", rn).filter(F.col("rn") <= _OVL_K).select("source", "h")
+    srcs = d.select("source").distinct()
+    p = (
+        srcs.select(F.col("source").alias("s1"))
+        .crossJoin(srcs.select(F.col("source").alias("s2")))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    pa = p.join(sk.withColumnRenamed("source", "s1"), "s1").select(
+        "s1", "s2", "h", F.lit(1).alias("ina")
+    )
+    pb = p.join(sk.withColumnRenamed("source", "s2"), "s2").select(
+        "s1", "s2", "h", F.lit(1).alias("inb")
+    )
+    pool = pa.join(pb, ["s1", "s2", "h"], "full").select(
+        "s1", "s2", "h",
+        F.coalesce("ina", F.lit(0)).alias("ina"),
+        F.coalesce("inb", F.lit(0)).alias("inb"),
+    )
+    urn = F.row_number().over(_W.partitionBy("s1", "s2").orderBy("h"))
+    u = pool.withColumn("rn", urn).filter(F.col("rn") <= _OVL_K)
+    agg = u.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_u"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_common"),
+    )
+    return (
+        agg.withColumn(
+            "union_est", kmv_estimate_long(F.col("m_u"), F.col("theta"), _OVL_K)
+        )
+        .withColumn(
+            "inter_est", F.expr("div(n_common * union_est, m_u)").cast("bigint")
+        )
+        .withColumn(
+            "jaccard_x10000", F.expr("div(n_common * 10000, m_u)").cast("bigint")
+        )
+        .drop("m_u", "theta", "n_common")
+    )
