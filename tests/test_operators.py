@@ -1616,3 +1616,28 @@ def test_curriculum_buckets_partition_corpus_by_difficulty(spark, sf_dir):
     # i.e. at least ceil(n/4) docs (ties can only grow it)
     n = len(scored)
     assert got[0]["n_docs"] >= (n + 3) // 4 - 1
+
+
+def test_overlap_sources_estimates_track_exact_intersections(spark, sf_dir):
+    """q_overlap_sources: for every source pair, the KMV union and
+    intersection estimates must sit within the sketch's sampling error of
+    the EXACT distinct-text set sizes (3σ with σ ≈ est/√(k−2), plus the
+    ρ-quantization floor of union/k for the intersection)."""
+    from mongo_to_parquet_spark.functions.sketch import DEFAULT_K
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    texts: dict[str, set] = {}
+    for r in rows:
+        texts.setdefault(r["source"], set()).add(r["text"])
+    got = LQ["q_overlap_sources"](spark, sf_dir).collect()
+    assert len(got) == len(texts) * (len(texts) - 1) // 2
+    k = DEFAULT_K
+    for r in got:
+        a, b = texts[r["s1"]], texts[r["s2"]]
+        exact_u, exact_i = len(a | b), len(a & b)
+        tol_u = max(3 * exact_u / (k - 2) ** 0.5, 2)
+        assert abs(r["union_est"] - exact_u) <= tol_u, (r, exact_u)
+        tol_i = max(3 * exact_u / (k - 2) ** 0.5, exact_u / k + 2)
+        assert abs(r["inter_est"] - exact_i) <= tol_i, (r, exact_i)
