@@ -211,20 +211,23 @@ def main() -> None:
                 # is environment, not regression.
                 "calib_before_sec": calib_before,
                 "calib_after_sec": calib_after,
-                # contention-normalized totals: divide by the mean
+                # contention-normalized totals: divide by the MIN
                 # calibration time over a fixed reference (0.35s — the
                 # round-4/5 driver sentinel on an idle box), so a round
                 # whose box ran uniformly 1.6× slow reads ~1.0× here.
+                # Min, not mean: a single contended calibration (one
+                # run measured 1.21s before / 0.31s after) would poison
+                # a mean the same way a cold first rep poisons best-of-3.
                 # Compare normalized_* across rounds FIRST; adjudicate
                 # raw seconds only when the calibrations already agree.
                 "calib_ref_sec": CALIB_REF_SEC,
                 "normalized_total": round(
-                    total / max((calib_before + calib_after) / 2 / CALIB_REF_SEC, 1e-9),
+                    total / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
                     3,
                 ),
                 "normalized_round1_set": round(
                     sum(timings[k] for k in ROUND1_SET if k in timings)
-                    / max((calib_before + calib_after) / 2 / CALIB_REF_SEC, 1e-9),
+                    / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
                     3,
                 ),
                 "loadavg_start": [round(x, 2) for x in load_start],
