@@ -1641,3 +1641,30 @@ def test_overlap_sources_estimates_track_exact_intersections(spark, sf_dir):
         assert abs(r["union_est"] - exact_u) <= tol_u, (r, exact_u)
         tol_i = max(3 * exact_u / (k - 2) ** 0.5, exact_u / k + 2)
         assert abs(r["inter_est"] - exact_i) <= tol_i, (r, exact_i)
+
+
+def test_snm_linkage_agrees_with_allpairs_route(spark, sf_dir):
+    """q_link_fs_snm scores with the SAME weights as q_link_fs, so any
+    pair appearing in both top-20s must carry identical agreement flags
+    and fs_score; and SNM candidates are structurally bounded — every
+    emitted pair shares a block by construction (same nation)."""
+    from mongo_to_parquet_spark.queries.curation import QUERIES as CQ
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    full = {
+        (r["id1"], r["id2"]): (r["agree_seg"], r["agree_bal"], r["fs_score"])
+        for r in CQ["q_link_fs"](spark, sf_dir).collect()
+    }
+    snm = {
+        (r["id1"], r["id2"]): (r["agree_seg"], r["agree_bal"], r["fs_score"])
+        for r in CQ["q_link_fs_snm"](spark, sf_dir).collect()
+    }
+    shared = set(full) & set(snm)
+    for k in shared:
+        assert full[k] == snm[k], (k, full[k], snm[k])
+    nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    for a, b in snm:
+        assert nation[a] == nation[b]
