@@ -2875,3 +2875,84 @@ def q_overlap_sources(spark, sf):
         )
         .drop("m_u", "theta", "n_common")
     )
+
+
+@q(
+    "q_quality_len_adaptive",
+    """
+    WITH census AS (
+        SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cc,
+               SUM(cnt) OVER (PARTITION BY lang) AS tot
+        FROM census
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN cc >= (tot + 19) // 20 THEN n_chars END) AS lo_cut,
+               MIN(CASE WHEN cc >= (19 * tot + 19) // 20 THEN n_chars END) AS hi_cut
+        FROM cum GROUP BY lang
+    )
+    SELECT d.lang, CAST(lo_cut AS BIGINT) AS lo_cut,
+           CAST(hi_cut AS BIGINT) AS hi_cut,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars BETWEEN lo_cut AND hi_cut
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN cuts USING (lang)
+    GROUP BY d.lang, lo_cut, hi_cut
+    """,
+)
+def q_quality_len_adaptive(spark, sf):
+    # ADAPTIVE length filtering: Gopher's absolute length rules assume one
+    # language's norms; multi-lingual corpora cut per-language instead —
+    # keep each language's [p05, p95] length band (script density differs:
+    # 100 chars of Chinese ≠ 100 chars of German). The exact per-group
+    # percentile CUTS come from a VALUE CENSUS, not a corpus sort: one
+    # map-combined groupBy(lang, n_chars) collapses the corpus to its
+    # distinct-value histogram, the cumulative window runs over that
+    # census (≤ |langs|×|distinct lengths| rows — never corpus-sized),
+    # and the cut = first value whose cumulative count reaches ⌈q·n⌉ —
+    # type-1 (value-at-rank) quantiles, all integer, engine-exact. The
+    # report joins the broadcast cuts back for per-language keep/drop
+    # accounting; a pipeline applies the same BETWEEN as its filter.
+    d = T(spark, sf, "documents")
+    from pyspark.sql import Window as _W
+
+    census = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = _W.partitionBy("lang").orderBy("n_chars")
+    cum = census.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(wc).alias("cc"),
+        F.sum("cnt").over(_W.partitionBy("lang")).alias("tot"),
+    )
+    k_lo = F.expr("div(tot + 19, 20)")
+    k_hi = F.expr("div(19 * tot + 19, 20)")
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cc") >= k_lo, F.col("n_chars")))
+        .cast("bigint")
+        .alias("lo_cut"),
+        F.min(F.when(F.col("cc") >= k_hi, F.col("n_chars")))
+        .cast("bigint")
+        .alias("hi_cut"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "lo_cut", "hi_cut")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("lo_cut"), F.col("hi_cut")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("lang", "lo_cut", "hi_cut", "n_docs", "n_kept")
+    )
