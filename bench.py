@@ -1,8 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line LAST:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+     "sf": <float>, "detail_file": "bench_detail.json", ...}
+
+and writes the FULL per-query timing map (plus the same summary fields)
+to bench_detail.json next to this script. The driver captures only the
+TAIL of stdout; round 6's single giant line (62 per-query timings)
+outgrew that window and BENCH_r06.json recorded `parsed: null`, so the
+per-query map now lives in the detail file and the stdout line stays
+small forever regardless of how many headline queries are added.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect overhead), timed wall-clock after a warmup scan.
@@ -95,7 +102,12 @@ HEADLINE = [
     "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
     "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
     "q_select_dsir",        # DSIR importance selection over hashed bigrams
-    "q_link_fs",            # Fellegi-Sunter blocked probabilistic linkage
+    # linkage: SNM is the headline/scale route (candidates exactly n*w,
+    # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
+    # declared key as the small-N exact baseline but is NOT benched — its
+    # candidate volume was measured quadratic in corpus growth
+    # (scaletest_results_r6_newops.json: pairs x100, wall x19 at x10)
+    "q_link_fs_snm",        # Fellegi-Sunter linkage, sorted-neighborhood candidates
     # engine-native sketch formulations (bench-only, not driver-declared:
     # estimates are engine-specific; the declared keys are KMV twins)
     "q_agg_approx_distinct_native",    # one-pass HLL++ count-distinct
@@ -186,55 +198,62 @@ def main() -> None:
     load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(HEADLINE),
-                # same-set subtotal for cross-round comparison (the
-                # headline set grows each round; compare THIS number to
-                # earlier rounds' value, not the growing total)
-                "round1_set_total_sec": round(
-                    sum(timings[k] for k in ROUND1_SET if k in timings), 3
-                ),
-                "sf": sf,
-                "export_rows": export_rows,
-                "export_sec": export_sec,
-                "export_rows_per_sec": round(export_rows / export_sec),
-                # contention sentinel (see calibrate()): fixed in-JVM work
-                # timed before/after the suite + 1/5/15-min loadavg.
-                # Identical code ⇒ identical calib time on an idle box;
-                # a uniformly inflated round with inflated calib numbers
-                # is environment, not regression.
-                "calib_before_sec": calib_before,
-                "calib_after_sec": calib_after,
-                # contention-normalized totals: divide by the MIN
-                # calibration time over a fixed reference (0.35s — the
-                # round-4/5 driver sentinel on an idle box), so a round
-                # whose box ran uniformly 1.6× slow reads ~1.0× here.
-                # Min, not mean: a single contended calibration (one
-                # run measured 1.21s before / 0.31s after) would poison
-                # a mean the same way a cold first rep poisons best-of-3.
-                # Compare normalized_* across rounds FIRST; adjudicate
-                # raw seconds only when the calibrations already agree.
-                "calib_ref_sec": CALIB_REF_SEC,
-                "normalized_total": round(
-                    total / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
-                    3,
-                ),
-                "normalized_round1_set": round(
-                    sum(timings[k] for k in ROUND1_SET if k in timings)
-                    / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
-                    3,
-                ),
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        # same-set subtotal for cross-round comparison (the
+        # headline set grows each round; compare THIS number to
+        # earlier rounds' value, not the growing total)
+        "round1_set_total_sec": round(
+            sum(timings[k] for k in ROUND1_SET if k in timings), 3
+        ),
+        "sf": sf,
+        "export_rows": export_rows,
+        "export_sec": export_sec,
+        "export_rows_per_sec": round(export_rows / export_sec),
+        # contention sentinel (see calibrate()): fixed in-JVM work
+        # timed before/after the suite + 1/5/15-min loadavg.
+        # Identical code ⇒ identical calib time on an idle box;
+        # a uniformly inflated round with inflated calib numbers
+        # is environment, not regression.
+        "calib_before_sec": calib_before,
+        "calib_after_sec": calib_after,
+        # contention-normalized totals: divide by the MIN
+        # calibration time over a fixed reference (0.35s — the
+        # round-4/5 driver sentinel on an idle box), so a round
+        # whose box ran uniformly 1.6× slow reads ~1.0× here.
+        # Min, not mean: a single contended calibration (one
+        # run measured 1.21s before / 0.31s after) would poison
+        # a mean the same way a cold first rep poisons best-of-3.
+        # Compare normalized_* across rounds FIRST; adjudicate
+        # raw seconds only when the calibrations already agree.
+        "calib_ref_sec": CALIB_REF_SEC,
+        "normalized_total": round(
+            total / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
+            3,
+        ),
+        "normalized_round1_set": round(
+            sum(timings[k] for k in ROUND1_SET if k in timings)
+            / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
+            3,
+        ),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "detail_file": "bench_detail.json",
+    }
+    # full per-query map goes to a FILE, not stdout: the driver captures
+    # only the tail of stdout, and a queries-map line already overflowed
+    # it once (BENCH_r06.json parsed:null)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    # the compact summary is the LAST stdout line (driver-parsed)
+    print(json.dumps(summary))
     spark.stop()
 
 
