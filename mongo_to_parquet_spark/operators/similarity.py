@@ -530,6 +530,59 @@ def ivfpq_topk_from_layout(
     )
 
 
+def ivfpq_topk_refined_from_layout(
+    spark,
+    layout_dir: str,
+    emb: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Two-stage serving: lossy IVF×PQ ADC shortlist (k′ = ``shortlist``)
+    → EXACT fp32 re-rank of only those k′ ids — the standard
+    lossy-then-exact ANN pattern (Jégou et al. 2011 §V: re-ranking with
+    source coding refines ADC's quantization error at the cost of reading
+    k′ true vectors).
+
+    The shortlist ids are collected driver-side (k′ rows — a bounded
+    driver pick, same discipline as the n_probe cell pick) and pushed into
+    the embedding scan as an ``IN`` filter, so the re-rank reads ONLY the
+    k′ fp32 vectors (PushedFilters, asserted in tests/test_plans.py) —
+    never the full embedding corpus. At 100 TB the stage-2 read is k′
+    point lookups into the vector store; stage 1 still reads only
+    n_probe/n_cells of the ~1500×-smaller code table.
+
+    Returns (id, sim) by exact 4dp cosine desc, id asc — engine-exact."""
+    ids = [
+        r[id_col]
+        for r in ivfpq_topk_from_layout(
+            spark,
+            layout_dir,
+            probe_vec,
+            k=shortlist,
+            n_probe=n_probe,
+            id_col=id_col,
+            exclude_id=exclude_id,
+        )
+        .select(id_col)
+        .collect()
+    ]
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    return (
+        emb.filter(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), pv), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivfpq_topk_batch_from_layout(
     spark,
     layout_dir: str,

@@ -705,6 +705,193 @@ def q_eval_ann_recall_pq(spark, sf):
     )
 
 
+@q(
+    "q_sim_topk_ivfpq_refine",
+    _PQ_CTES
+    + _IVF_CTES
+    + """
+    , shortlist AS (
+        SELECT vec_id FROM pq_scored
+        ORDER BY pq_dist ASC, vec_id ASC LIMIT 50
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(pv AS DOUBLE[])), 4) AS sim
+    FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN pvec
+    ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk_ivfpq_refine(spark, sf):
+    # two-stage ANN serving (operators/similarity.
+    # ivfpq_topk_refined_from_layout): stage 1 = the IVF×PQ layout's
+    # integer-ADC shortlist (k′=50, partition-pruned code scan, fp32 never
+    # read); stage 2 = EXACT cosine re-rank of ONLY those 50 ids, pushed
+    # into the embedding scan as an IN filter (PushedFilters — asserted in
+    # tests/test_plans.py, no full fp32 scan anywhere). The standard
+    # lossy-then-exact pattern (Jégou et al. 2011 §V): quantization error
+    # is confined to shortlist MEMBERSHIP, the final ranking is exact —
+    # recall strictly dominates the raw-PQ row (q_eval_ann_recall_pq vs
+    # q_eval_ann_recall_pq_refine measure it). At 100 TB stage 2 is 50
+    # point lookups; the extra read cost over raw ADC is ~50 vectors.
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_refined_from_layout,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "ivfpq_refine", tag
+        )
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    build_ivfpq_layout(emb, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return ivfpq_topk_refined_from_layout(
+        spark, layout, emb, pv, k=10, shortlist=50, n_probe=4, exclude_id=0
+    )
+
+
+@q(
+    "q_eval_ann_recall_pq_refine",
+    _PQ_CTES
+    + _IVF_CTES
+    + """
+    , shortlist AS (
+        SELECT vec_id FROM pq_scored
+        ORDER BY pq_dist ASC, vec_id ASC LIMIT 50
+    ),
+    refined AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rk
+        FROM (
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(pv AS DOUBLE[])), 4) AS sim
+            FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN pvec)
+        QUALIFY rk <= 10
+    ),
+    exact AS (
+        SELECT vec_id, rk FROM (
+            SELECT e.vec_id,
+                   row_number() OVER (ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN pvec
+            WHERE e.vec_id <> 0)
+        WHERE rk <= 10
+    )
+    SELECT CAST(0 AS BIGINT) AS probe_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(a.vec_id) * 10 AS BIGINT) AS recall_pct,
+           CAST(COALESCE(MAX(CASE WHEN e.rk = 1 THEN a.rk END), 0) AS BIGINT)
+               AS top1_rank
+    FROM exact e LEFT JOIN refined a ON a.vec_id = e.vec_id
+    """,
+)
+def q_eval_ann_recall_pq_refine(spark, sf):
+    # recall@10 of the TWO-STAGE route (ADC shortlist-50 → exact re-rank)
+    # vs exact brute force — the row that quantifies what stage 2 buys
+    # over q_eval_ann_recall_pq's raw-PQ ranking: quantization error can
+    # now only cost recall through shortlist membership, never through
+    # rank inversion inside the shortlist, so hits(refine) ≥ hits(raw)
+    # row-for-row (pinned in tests/test_operators.py). Recomputes the
+    # composed pipeline in-memory like q_eval_ann_recall_pq so this stays
+    # a pure query the oracle replays end to end; the shortlist join is a
+    # 50-row broadcast (the serving key's IN-pushdown shape is covered by
+    # q_sim_topk_ivfpq_refine's own plan test).
+    from mongo_to_parquet_spark.functions.vector import cosine as _cos
+    from mongo_to_parquet_spark.functions.vector import dot as _dot
+    from mongo_to_parquet_spark.operators.similarity import (
+        _assign_cells,
+        _centroids,
+        _sq8,
+        brute_force_topk,
+        pq_codes,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    cents = _centroids(emb, 16, "vec_id", "embedding")
+    assigned = _assign_cells(emb, F.broadcast(cents), "vec_id", "embedding")
+    codes, codebook, rng = pq_codes(emb)
+    pvec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__probe"))
+    )
+    cells = (
+        cents.crossJoin(pvec)
+        .select("cell", _dot(F.col("cvec"), F.col("__probe")).alias("ps"))
+        .orderBy(F.col("ps").desc(), F.col("cell").asc())
+        .limit(4)
+        .select("cell")
+    )
+    qdims = emb.filter(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select("pos", F.col("val").cast("double").alias("val"))
+    pqv = qdims.join(F.broadcast(rng), "pos").select(
+        "pos", _sq8(F.col("val")).alias("pqv")
+    )
+    pdiff = F.col("pqv") - F.col("cqv")
+    adc = (
+        codebook.join(F.broadcast(pqv), "pos")
+        .groupBy("sub", "cid")
+        .agg(F.sum((pdiff * pdiff).cast("bigint")).alias("pd"))
+    )
+    shortlist = (
+        codes.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cells), "cell")
+        .join(F.broadcast(adc), ["sub", "cid"])
+        .filter(F.col("vec_id") != 0)
+        .groupBy("vec_id")
+        .agg(F.sum("pd").alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+        .limit(50)
+        .select("vec_id")
+    )
+    refined = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(pvec)
+        .select(
+            "vec_id",
+            F.round(_cos(F.col("embedding"), F.col("__probe")), 4).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(F.col("vec_id").alias("a_vid"), F.col("rk").alias("a_rk"))
+    )
+    exact = brute_force_topk(emb, probe_id=0, k=10).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        ),
+    ).select("vec_id", "rk")
+    return (
+        exact.join(F.broadcast(refined), exact.vec_id == refined.a_vid, "left")
+        .agg(
+            F.lit(0).cast("bigint").alias("probe_id"),
+            F.count("a_vid").cast("bigint").alias("hits"),
+            (F.count("a_vid") * 10).cast("bigint").alias("recall_pct"),
+            F.coalesce(
+                F.max(F.when(F.col("rk") == 1, F.col("a_rk"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("top1_rank"),
+        )
+    )
+
+
 # --------------------------------------------------------- hybrid fusion ---
 _RRF_K = 60          # standard RRF dampening constant
 _RRF_LIST = 50       # depth of each retriever's candidate list

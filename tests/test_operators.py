@@ -394,6 +394,80 @@ def test_ivfpq_layout_prunes_cells_and_recalls_top1(spark, sf_dir, tmp_path):
     assert exact_top1 in {r["vec_id"] for r in rows}
 
 
+def test_ivfpq_refine_reads_only_shortlist_vectors(spark, sf_dir, tmp_path):
+    """Two-stage refine: the exact re-rank stage must read ONLY the k′
+    shortlist vectors — the collected ids reach the embedding scan as a
+    pushed-down IN filter (never a full fp32 scan), and the returned
+    ranking is bit-identical to a driver-side numpy recompute of cosine
+    over exactly those ids."""
+    import math
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_from_layout,
+        ivfpq_topk_refined_from_layout,
+    )
+    from mongo_to_parquet_spark.plans.checks import count_nodes, formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "ivfpq")
+    build_ivfpq_layout(emb, layout, n_cells=8)
+    probe_vec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    got = ivfpq_topk_refined_from_layout(
+        spark, layout, emb, probe_vec, k=10, shortlist=25, n_probe=3, exclude_id=0
+    )
+    plan = formatted_plan(got)
+    physical = plan.split("== Physical Plan ==")[-1]
+    # stage-2 plan: ONE embedding scan with the shortlist ids pushed down
+    assert "In(vec_id" in physical
+    assert count_nodes(got, "Scan parquet") == 1
+    # naive recompute: cosine over exactly the shortlist ids, 4dp, id ties
+    ids = [
+        r["vec_id"]
+        for r in ivfpq_topk_from_layout(
+            spark, layout, probe_vec, k=25, n_probe=3, exclude_id=0
+        ).collect()
+    ]
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    pn = math.sqrt(sum(x * x for x in probe_vec))
+    naive = sorted(
+        (
+            (
+                round(
+                    sum(a * b for a, b in zip(v, probe_vec))
+                    / (math.sqrt(sum(x * x for x in v)) * pn),
+                    4,
+                ),
+                i,
+            )
+            for i, v in vecs.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (i, s) for s, i in naive
+    ]
+
+
+def test_refine_recall_dominates_raw_pq(spark, sf_dir):
+    """The point of stage 2: exact re-ranking can only IMPROVE recall
+    over raw ADC ranking (quantization error is confined to shortlist
+    membership — every true neighbor that survives the shortlist is
+    ranked exactly). Pinned against the raw-PQ recall row."""
+    from mongo_to_parquet_spark.queries import queries
+
+    qs = queries()
+    raw = qs["q_eval_ann_recall_pq"](spark, sf_dir).collect()[0]
+    ref = qs["q_eval_ann_recall_pq_refine"](spark, sf_dir).collect()[0]
+    assert ref["hits"] >= raw["hits"]
+    # the true top-1 made the 50-shortlist, so exact re-rank puts it first
+    assert ref["top1_rank"] in (0, 1)
+
+
 def test_python_udtf_matches_explode(spark, sf_dir):
     """The @udtf escape hatch returns exactly what the JVM explode path
     returns (which is why the declared query uses explode — same result,
