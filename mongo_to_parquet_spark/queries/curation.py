@@ -825,6 +825,127 @@ def q_bpe_pairs(spark, sf):
     )
 
 
+_BPE_TRAIN_K = 8
+
+
+def _bpe_train_sql(k: int = _BPE_TRAIN_K) -> str:
+    """Chained-CTE oracle for k unrolled BPE merge iterations (lesson 27 —
+    the q_rag_mmr / q_select_cover pattern applied to tokenizer training):
+    w0 = the word census, then per iteration p_i (pair counts) → m_i
+    (argmax merge) → w_i (census rewritten by list_reduce — the same
+    left-to-right non-overlapping fold the Spark side runs)."""
+    sql = """
+    WITH w0 AS (
+        SELECT array_to_string(list_transform(generate_series(1, len(w)),
+                   i -> substr(w, CAST(i AS INT), 1)), '·') AS sym,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 GROUP BY sym
+    )"""
+    for i in range(1, k + 1):
+        sql += f""",
+    p{i} AS (
+        SELECT s[CAST(i AS INT)] AS x, s[CAST(i AS INT) + 1] AS y,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (SELECT string_split(sym, '·') AS s, wc FROM w{i - 1}),
+             UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY x, y
+    ),
+    m{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"""
+        if i < k:
+            sql += f""",
+    w{i} AS (
+        SELECT list_reduce(string_split(w{i - 1}.sym, '·'), (acc, s) ->
+                   CASE WHEN regexp_extract(acc, '[^·]*$') = m{i}.x
+                             AND s = m{i}.y
+                        THEN acc || m{i}.y ELSE acc || '·' || s END) AS sym,
+               wc
+        FROM w{i - 1} CROSS JOIN m{i}
+    )"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, x, y, x || y AS merged, cnt FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + f"\n    SELECT * FROM ({union}) ORDER BY rank ASC"
+
+
+@q("q_bpe_train", _bpe_train_sql())
+def q_bpe_train(spark, sf):
+    # FULL iterative BPE training (Sennrich et al. 2016) — the multi-step
+    # loop q_bpe_pairs is one iteration of: spell every word into symbols,
+    # then k=8 times (count adjacent symbol pairs weighted by word
+    # frequency → merge the most frequent pair everywhere → repeat),
+    # emitting the rank-ordered merge table that q_bpe_apply consumes
+    # (composed end to end in tests/test_curation.py). Merging is the
+    # canonical left-to-right non-overlapping single pass ('a a a a' →
+    # 'aa aa'), expressed as a string fold whose merge case is pure
+    # append: when the accumulator's LAST symbol is x and the next symbol
+    # is y, appending y (no separator) yields the merged token — so both
+    # engines run the identical fold (F.aggregate / list_reduce) and the
+    # argmax sequence is engine-exact (integer counts, (cnt desc, x, y)
+    # ties). Oracle = k unrolled chained CTEs (_bpe_train_sql).
+    #
+    # Scale: ONE corpus scan builds the word census (vocabulary-sized,
+    # partial-combined — the classic trick that makes corpus-scale BPE
+    # tractable: all k iterations run over DISTINCT words × frequency,
+    # never the corpus); each iteration is a census-sized pair count whose
+    # shuffle carries (pair, partial sum) ≤ alphabet² keys + a 1-row
+    # argmax collect (bounded driver pick, the q_select_cover discipline).
+    # Inherently sequential in k, like all BPE trainers.
+    d = T(spark, sf, "documents")
+    spelled = F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
+    )
+    census = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(spelled.alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, _BPE_TRAIN_K + 1):
+        top = (
+            census.select(F.split("sym", "·").alias("s"), "wc")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS x, s[i] AS y))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # census fully merged to single symbols — stop early
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
+        merges.append((rank, x, y, x + y, int(cnt)))
+        if rank == _BPE_TRAIN_K:
+            break  # last iteration's rewrite is never observed
+        s = F.split("sym", "·")
+        fold = F.aggregate(
+            F.slice(s, F.lit(2), F.size(s) - 1),
+            F.element_at(s, 1),
+            lambda acc, el: F.when(
+                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                & (el == F.lit(y)),
+                F.concat(acc, F.lit(y)),
+            ).otherwise(F.concat(acc, F.lit("·"), el)),
+        )
+        census = census.select(fold.alias("sym"), "wc")
+    return spark.createDataFrame(
+        merges, "rank bigint, x string, y string, merged string, cnt bigint"
+    ).orderBy("rank")
+
+
 # ----------------------------------------------------- n-gram LM training ---
 @q(
     "q_ngram_lm",
@@ -1440,24 +1561,31 @@ def q_bpe_apply(spark, sf):
     # runs at scan speed; the downstream n_subwords feeds q_text_pack's
     # budget packing.
     d = T(spark, sf, "documents")
-    merged = "regexp_replace(w, '(.)', '$1·')"
-    for x, y in _BPE_MERGES:
-        merged = f"replace({merged}, '{x}·{y}', '{x}{y}')"
-    sub_count = (
-        f"size(filter(split({merged}, '·'), x -> x != ''))"
-    )
+    n_words, n_subwords = bpe_apply_cols(_BPE_MERGES)
     return d.select(
-        "doc_id",
-        F.expr("size(filter(split(text, ' '), w -> w != ''))")
-        .cast("bigint")
-        .alias("n_words"),
-        F.expr(
-            "aggregate(transform(filter(split(text, ' '), w -> w != ''), "
-            f"w -> {sub_count}), 0L, (acc, x) -> acc + x)"
-        )
-        .cast("bigint")
-        .alias("n_subwords"),
+        "doc_id", n_words.alias("n_words"), n_subwords.alias("n_subwords")
     )
+
+
+def bpe_apply_cols(merges):
+    """The q_bpe_apply expression builder, parameterized by an arbitrary
+    rank-ordered merge table so q_bpe_train's output can be APPLIED (the
+    train→apply composition is pinned in tests/test_curation.py).
+    Returns (n_words, n_subwords) columns over a `text` column — all
+    codegen'd HOFs, merge table folded in as literals."""
+    assert all((x + y).isalnum() for x, y in merges)  # literal-safe
+    merged = "regexp_replace(w, '(.)', '$1·')"
+    for x, y in merges:
+        merged = f"replace({merged}, '{x}·{y}', '{x}{y}')"
+    sub_count = f"size(filter(split({merged}, '·'), x -> x != ''))"
+    n_words = F.expr("size(filter(split(text, ' '), w -> w != ''))").cast(
+        "bigint"
+    )
+    n_subwords = F.expr(
+        "aggregate(transform(filter(split(text, ' '), w -> w != ''), "
+        f"w -> {sub_count}), 0L, (acc, x) -> acc + x)"
+    ).cast("bigint")
+    return n_words, n_subwords
 
 
 # ------------------------------------------------- degree distribution -----

@@ -163,3 +163,71 @@ def test_interpolate_two_exchanges_no_join(spark, sf_dir):
 
 def test_rolling_median_single_shuffle(spark, sf_dir):
     assert checks.count_nodes(QS["q_win_median"](spark, sf_dir), "Exchange") == 1
+
+
+def test_bpe_train_matches_naive_python(spark, sf_dir):
+    """q_bpe_train vs a from-scratch python BPE trainer (Sennrich 2016):
+    word-frequency census, k iterations of overlapping pair counts →
+    (cnt desc, x, y) argmax → canonical left-to-right non-overlapping
+    merge. The engine's merge table must match rank for rank."""
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words = [w for r in docs for w in r["text"].split(" ") if len(w) >= 2]
+    census = Counter("·".join(w) for w in words)
+    expected = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for sym, wc in census.items():
+            s = sym.split("·")
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc
+        if not pc:
+            break
+        cnt = max(pc.values())
+        x, y = min(p for p, c in pc.items() if c == cnt)
+        expected.append((rank, x, y, x + y, cnt))
+        new = Counter()
+        for sym, wc in census.items():
+            s = sym.split("·")
+            out = [s[0]]
+            for el in s[1:]:
+                if out[-1] == x and el == y:
+                    out[-1] = x + y
+                else:
+                    out.append(el)
+            new["·".join(out)] += wc
+        census = new
+    got = [
+        (r["rank"], r["x"], r["y"], r["merged"], r["cnt"])
+        for r in QS["q_bpe_train"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_apply_consumes_trained_merges(spark, sf_dir):
+    """Close the tokenizer loop: the merge table q_bpe_train produces is
+    fed straight into the q_bpe_apply expression builder, and the
+    resulting per-doc subword counts match a python replay of the same
+    replace-chain convention."""
+    from mongo_to_parquet_spark.queries.curation import bpe_apply_cols
+
+    trained = QS["q_bpe_train"](spark, sf_dir).collect()
+    merges = [(r["x"], r["y"]) for r in trained]
+    d = load_table(spark, sf_dir, "documents")
+    n_words, n_subwords = bpe_apply_cols(merges)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in d.select("doc_id", n_words.alias("n_words"),
+                          n_subwords.alias("n_subwords")).collect()
+    }
+
+    def apply_word(w):
+        s = "·".join(w)
+        for x, y in merges:
+            s = s.replace(f"{x}·{y}", f"{x}{y}")
+        return len([t for t in s.split("·") if t])
+
+    for r in d.select("doc_id", "text").limit(20).collect():
+        ws = [w for w in r["text"].split(" ") if w]
+        assert got[r["doc_id"]] == (len(ws), sum(apply_word(w) for w in ws))
