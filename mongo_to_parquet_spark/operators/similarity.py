@@ -475,6 +475,71 @@ def build_ivfpq_layout(
     rng.write.mode("overwrite").parquet(f"{out_dir}/rng")
 
 
+def pq_encode_frozen(
+    emb: DataFrame,
+    codebook: DataFrame,
+    rng: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode vectors against a FROZEN quantizer pair (codebook + SQ8
+    ranges) instead of deriving them from the input — the encode half of
+    incremental layout maintenance. Exactly :func:`pq_codes`' dist→argmin
+    dataflow, with sub taken from the codebook rows (pos-determined, so
+    identical to the vector-side derivation). Returns (id, sub, cid)."""
+    dims = fan_out(emb.select(id_col, vec_col)).select(
+        id_col, F.posexplode(vec_col).alias("pos", "val")
+    ).select(id_col, "pos", F.col("val").cast("double").alias("val"))
+    qv = dims.join(F.broadcast(rng), "pos").select(
+        id_col, "pos", _sq8(F.col("val")).alias("qv")
+    )
+    diff = F.col("qv") - F.col("cqv")
+    dist = (
+        qv.join(F.broadcast(codebook), "pos")
+        .groupBy(id_col, "sub", "cid")
+        .agg(F.sum((diff * diff).cast("bigint")).alias("dist"))
+    )
+    return (
+        dist.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select(id_col, "sub", F.col("b.cid").alias("cid"))
+    )
+
+
+def ivfpq_append(
+    emb: DataFrame,
+    layout_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a :func:`build_ivfpq_layout` directory —
+    :func:`ivf_append` lifted to the PQ layout (the daily-embedding-drop
+    serving story).
+
+    Everything the encode depends on is FROZEN in the layout: cell
+    assignment uses the persisted centroids, SQ8 quantization the
+    persisted rng, code assignment the persisted codebook — so
+    append ∪ original is IDENTICAL to re-encoding the full corpus with
+    the same quantizers (pinned in tests/test_operators.py; the
+    incremental key's oracle recomputes exactly that). New code rows land
+    in existing ``cell=`` partitions, so serve-time partition pruning and
+    the broadcast-ADC plan are untouched. Quantizers are deliberately NOT
+    refit — codebook drift is the monitored failure mode
+    (q_eval_ann_recall_pq), a layout rebuild the rare offline remedy. At
+    100 TB: per-day cost is one broadcast-quantize map pass over the
+    delta + an append write of 2 small ints per vector; the historical
+    code table (let alone the fp32 corpus) is never re-read."""
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{layout_dir}/centroids")
+    codebook = spark.read.parquet(f"{layout_dir}/codebook")
+    rng = spark.read.parquet(f"{layout_dir}/rng")
+    assigned = _assign_cells(emb, F.broadcast(cents), id_col, vec_col)
+    codes = pq_encode_frozen(emb, codebook, rng, id_col, vec_col)
+    codes.join(assigned.select(id_col, "cell"), id_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{layout_dir}/codes")
+
+
 def ivfpq_topk_from_layout(
     spark,
     layout_dir: str,

@@ -759,6 +759,78 @@ def q_sim_topk_ivfpq_refine(spark, sf):
     )
 
 
+#: base-frozen quantizer variants of the shared CTEs for the incremental
+#: key: rng / codebook / centroids come from the BASE subset only
+#: (vec_id % 4 <> 0 — the persisted-layout contract), while quantize /
+#: encode / assign run over the FULL corpus. Derived by targeted string
+#: replacement so the twins can never drift from the canonical CTEs.
+_PQ_CTES_BASEQ = _PQ_CTES.replace(
+    "rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY pos)",
+    "rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims"
+    " WHERE vec_id % 4 <> 0 GROUP BY pos)",
+).replace(
+    "cb AS (SELECT vec_id AS cid, pos, qv AS cqv, sub FROM qs WHERE vec_id < 16)",
+    "cb AS (SELECT vec_id AS cid, pos, qv AS cqv, sub FROM qs"
+    " WHERE vec_id < 16 AND vec_id % 4 <> 0)",
+)
+assert _PQ_CTES_BASEQ.count("vec_id % 4 <> 0") == 2
+_IVF_CTES_BASE = _IVF_CTES.replace(
+    "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)",
+    "FROM (SELECT * FROM embeddings WHERE vec_id % 4 <> 0"
+    " ORDER BY vec_id LIMIT 16)",
+)
+assert _IVF_CTES_BASE.count("vec_id % 4 <> 0") == 1
+
+
+@q(
+    "q_sim_topk_ivfpq_incremental",
+    _PQ_CTES_BASEQ
+    + _IVF_CTES_BASE
+    + """
+    SELECT vec_id, pq_dist FROM pq_scored
+    ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk_ivfpq_incremental(spark, sf):
+    # incremental IVF×PQ maintenance (operators/similarity.ivfpq_append):
+    # the layout is BUILT from the historical corpus (vec_id % 4 != 0),
+    # today's vectors are appended through the persisted FROZEN
+    # quantizers — cells by the stored centroids, SQ8 by the stored rng,
+    # codes by the stored codebook — and the probe (vec_id 0, itself a
+    # delta vector) serves off the appended layout with partition pruning
+    # intact. The oracle recomputes everything with base-derived
+    # quantizers over the FULL corpus, so the hash match proves
+    # append ∪ original ≡ re-encode-with-same-quantizers end to end,
+    # including that same-day vectors are immediately probeable. Layout
+    # rebuilt from scratch each run (rmtree) so appends can't stack.
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_append,
+        ivfpq_topk_from_layout,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "ivfpq_inc", tag
+        )
+    )
+    shutil.rmtree(layout, ignore_errors=True)
+    build_ivfpq_layout(base, layout)
+    ivfpq_append(delta, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return ivfpq_topk_from_layout(spark, layout, pv, k=10, n_probe=4, exclude_id=0)
+
+
 @q(
     "q_eval_ann_recall_pq_refine",
     _PQ_CTES

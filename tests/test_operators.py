@@ -453,6 +453,57 @@ def test_ivfpq_refine_reads_only_shortlist_vectors(spark, sf_dir, tmp_path):
     ]
 
 
+def test_ivfpq_append_equals_oneshot_rebuild(spark, sf_dir, tmp_path):
+    """The incremental contract: build(base) + append(delta) must leave a
+    layout IDENTICAL to one-shot-writing the full corpus encoded with the
+    SAME frozen quantizers — code rows equal as a set, serve results
+    equal row-for-row, and the appended layout still partition-prunes."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        _assign_cells,
+        build_ivfpq_layout,
+        ivfpq_append,
+        ivfpq_topk_from_layout,
+        pq_encode_frozen,
+    )
+    from mongo_to_parquet_spark.plans.checks import formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    inc = str(tmp_path / "inc")
+    build_ivfpq_layout(base, inc)
+    ivfpq_append(delta, inc)
+    # one-shot: encode + assign the FULL corpus with the layout's frozen
+    # quantizers, write a fresh layout from it
+    cents = spark.read.parquet(f"{inc}/centroids")
+    codebook = spark.read.parquet(f"{inc}/codebook")
+    rng = spark.read.parquet(f"{inc}/rng")
+    full = str(tmp_path / "full")
+    codes = pq_encode_frozen(emb, codebook, rng)
+    assigned = _assign_cells(emb, F.broadcast(cents), "vec_id", "embedding")
+    codes.join(assigned.select("vec_id", "cell"), "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{full}/codes")
+    for sub in ("centroids", "codebook", "rng"):
+        spark.read.parquet(f"{inc}/{sub}").write.parquet(f"{full}/{sub}")
+    rows = lambda d: {  # noqa: E731
+        (r["vec_id"], r["sub"], r["cid"], str(r["cell"]))
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    assert rows(inc) == rows(full)
+    pv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    serve = lambda d: [  # noqa: E731
+        (r["vec_id"], r["pq_dist"])
+        for r in ivfpq_topk_from_layout(
+            spark, d, pv, k=10, n_probe=4, exclude_id=0
+        ).collect()
+    ]
+    got = ivfpq_topk_from_layout(spark, inc, pv, k=10, n_probe=4, exclude_id=0)
+    assert "PartitionFilters" in formatted_plan(got)  # pruning survives append
+    assert serve(inc) == serve(full)
+
+
 def test_refine_recall_dominates_raw_pq(spark, sf_dir):
     """The point of stage 2: exact re-ranking can only IMPROVE recall
     over raw ADC ranking (quantization error is confined to shortlist
