@@ -1943,6 +1943,118 @@ def q_eval_ranking(spark, sf):
     )
 
 
+#: nDCG@10 fixed-point weights — the q_stats_benford shared-literal
+#: discipline: W[i] = round(10⁶ / log2(i+1)) precomputed ONCE in python
+#: and folded into BOTH engines' expressions as integer literals, so no
+#: transcendental is ever evaluated by either engine and every metric is
+#: exact BIGINT arithmetic. _NDCG_IW[r] = Σ W[1..r] (ideal-DCG prefix).
+_NDCG_W = (1000000, 630930, 500000, 430677, 386853,
+           356207, 333333, 315465, 301030, 289065)
+_NDCG_IW = (1000000, 1630930, 2130930, 2561607, 2948460,
+            3304667, 3638000, 3953465, 4254495, 4543560)
+_NDCG_W_SQL = " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+_NDCG_IW_SQL = " ".join(f"WHEN {r + 1} THEN {s}" for r, s in enumerate(_NDCG_IW))
+
+
+@q(
+    "q_eval_ndcg",
+    f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    nrel AS (
+        SELECT p.probe_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM embeddings e JOIN probes p
+          ON e.label = p.plabel AND e.vec_id <> p.probe_id
+        GROUP BY p.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, rk,
+               CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+        FROM (
+            SELECT p.probe_id, e.label, p.plabel,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(p.pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= 10
+    ),
+    dcg AS (
+        SELECT probe_id,
+               CAST(SUM(rel * CASE rk {_NDCG_W_SQL} END) AS BIGINT) AS dcg_x1e6
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT d.probe_id, d.dcg_x1e6,
+           CAST(CASE LEAST(n.n_rel, 10) {_NDCG_IW_SQL} ELSE 0 END AS BIGINT)
+               AS idcg_x1e6,
+           CAST(CASE WHEN n.n_rel = 0 THEN 0
+                     ELSE d.dcg_x1e6 * 10000
+                          // (CASE LEAST(n.n_rel, 10) {_NDCG_IW_SQL} END)
+                END AS BIGINT) AS ndcg_bp
+    FROM dcg d JOIN nrel n ON d.probe_id = n.probe_id
+    """,
+)
+def q_eval_ndcg(spark, sf):
+    # nDCG@10 over the exact cosine top-10 — completes the ranking-metric
+    # family beside q_eval_ranking's precision/AP: DCG discounts each
+    # relevant hit by 1/log2(rank+1), normalized by the ideal DCG of
+    # min(n_relevant, 10) front-loaded hits. ALL arithmetic is integer:
+    # the discount weights (×10⁶) and their ideal-prefix sums are shared
+    # python-precomputed literals (_NDCG_W/_NDCG_IW — the benford
+    # discipline), the final nDCG is basis points by integer floor-div,
+    # so both engines agree bit-for-bit with no transcendental in either.
+    #
+    # Scale: the candidate scan + WindowGroupLimit top-k is the shared
+    # batch-eval shape; n_rel per probe is one broadcast-joined count
+    # aggregation over (label, probe) — label cardinality keys. Metric
+    # arithmetic runs over k·|probes| rows.
+    from mongo_to_parquet_spark.operators.similarity import brute_force_topk_batch
+
+    emb = T(spark, sf, "embeddings")
+    probes = list(_EVAL_PROBES)
+    labels = emb.select("vec_id", "label")
+    plabels = F.broadcast(
+        emb.filter(F.col("vec_id").isin(probes)).select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+        )
+    )
+    nrel = (
+        emb.select("vec_id", "label")
+        .crossJoin(plabels.withColumnRenamed("probe_id", "p_id"))
+        .filter((F.col("label") == F.col("plabel")) & (F.col("vec_id") != F.col("p_id")))
+        .groupBy(F.col("p_id").alias("probe_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    w_case = f"CASE rk {_NDCG_W_SQL} END"
+    iw_case = f"CASE least(n_rel, 10) {_NDCG_IW_SQL} END"
+    dcg = (
+        brute_force_topk_batch(emb, probes, k=10)
+        .join(labels, "vec_id")
+        .join(plabels, "probe_id")
+        .select(
+            "probe_id",
+            F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+            F.expr(w_case).alias("w"),
+        )
+        .groupBy("probe_id")
+        .agg(F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_x1e6"))
+    )
+    return dcg.join(nrel, "probe_id").select(
+        "probe_id",
+        "dcg_x1e6",
+        F.expr(f"CAST(CASE least(n_rel, 10) {_NDCG_IW_SQL} ELSE 0 END AS BIGINT)").alias(
+            "idcg_x1e6"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN n_rel = 0 THEN 0 "
+            f"ELSE div(dcg_x1e6 * 10000, {iw_case}) END AS BIGINT)"
+        ).alias("ndcg_bp"),
+    )
+
+
 @q(
     "q_eval_kmv_error",
     f"""

@@ -1793,3 +1793,52 @@ def test_snm_linkage_agrees_with_allpairs_route(spark, sf_dir):
     }
     for a, b in snm:
         assert nation[a] == nation[b]
+
+
+def test_ndcg_matches_naive_python(spark, sf_dir):
+    """q_eval_ndcg vs a from-scratch python recompute: exact cosine
+    ranking per probe, binary label relevance, the SAME ×10⁶ discount
+    literals, integer floor-div basis points — bit-for-bit equal, plus
+    the metric's invariants (dcg ≤ idcg, 0 ≤ ndcg_bp ≤ 10000)."""
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.queries.retrieval import (
+        _EVAL_PROBES,
+        _NDCG_IW,
+        _NDCG_W,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in rows}
+    expected = {}
+    for pid in _EVAL_PROBES:
+        pv, plabel = vecs[pid]
+        pn = math.sqrt(sum(x * x for x in pv))
+        scored = sorted(
+            (
+                (
+                    -round(
+                        sum(a * b for a, b in zip(v, pv))
+                        / (math.sqrt(sum(x * x for x in v)) * pn),
+                        4,
+                    ),
+                    vid,
+                )
+                for vid, (v, lbl) in vecs.items()
+                if vid != pid
+            ),
+        )[:10]
+        rels = [1 if vecs[vid][1] == plabel else 0 for _, vid in scored]
+        dcg = sum(r * w for r, w in zip(rels, _NDCG_W))
+        n_rel = sum(1 for vid, (v, lbl) in vecs.items() if lbl == plabel and vid != pid)
+        idcg = _NDCG_IW[min(n_rel, 10) - 1] if n_rel > 0 else 0
+        expected[pid] = (dcg, idcg, dcg * 10000 // idcg if n_rel else 0)
+    got = {
+        r["probe_id"]: (r["dcg_x1e6"], r["idcg_x1e6"], r["ndcg_bp"])
+        for r in queries()["q_eval_ndcg"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    for dcg, idcg, bp in got.values():
+        assert 0 <= dcg <= idcg and 0 <= bp <= 10000
