@@ -2874,6 +2874,50 @@ def q_select_dsir(spark, sf):
 _FS_M = "0.95"      # assumed per-field m-probability (agreement | match)
 _FS_TOP = 20
 
+#: shared FS weight CTE (q_link_fs + q_link_fs_snm — ONE definition so the
+#: twins' scores cannot drift). m literals forced to DOUBLE: DuckDB parses
+#: bare 0.95 as DECIMAL and decimal division rounds differently from
+#: Spark's double arithmetic. The u-numerators are CLAMPED into
+#: [1, C(n,2)−1] (round-7 self-review): a CONSTANT field (num = den) or an
+#: all-distinct field (num = 0) otherwise hits LN(0) / x÷0 where the
+#: engines DIVERGE (DuckDB errors on LN(0) and NULLs double-division-by-
+#: zero; Spark NULLs LN(0) and runs IEEE ÷0 to ±Inf) — the clamp is the
+#: standard practical FS safeguard (finite weights at the extremes) and is
+#: a no-op on any field with 0 < u < 1, so existing results are unchanged.
+_FS_W_CTE = f"""
+    w AS (
+        SELECT LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2)
+                  / LEAST(GREATEST(num1, 1), n * (n - 1) // 2 - 1)) AS wa1,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2
+                     - LEAST(GREATEST(num1, 1), n * (n - 1) // 2 - 1))) AS wd1,
+               LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2)
+                  / LEAST(GREATEST(num2, 1), n * (n - 1) // 2 - 1)) AS wa2,
+               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
+                  / (n * (n - 1) / 2
+                     - LEAST(GREATEST(num2, 1), n * (n - 1) // 2 - 1))) AS wd2
+        FROM stats
+    )"""
+
+
+def _fs_weights(stats):
+    """Spark twin of :data:`_FS_W_CTE` — identical expression tree so both
+    engines take LN of identical doubles (bm25 precedent)."""
+    m = F.lit(float(_FS_M))
+    den = F.col("n") * (F.col("n") - 1) / 2
+    dmax = F.expr("div(n * (n - 1), 2) - 1")
+
+    def clamp(num):
+        return F.least(F.greatest(F.col(num), F.lit(1).cast("bigint")), dmax)
+
+    c1, c2 = clamp("num1"), clamp("num2")
+    return stats.select(
+        F.log(m * den / c1).alias("wa1"),
+        F.log((1 - m) * den / (den - c1)).alias("wd1"),
+        F.log(m * den / c2).alias("wa2"),
+        F.log((1 - m) * den / (den - c2)).alias("wd2"),
+    )
+
 
 @q(
     "q_link_fs",
@@ -2900,17 +2944,7 @@ _FS_TOP = 20
                CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c END) AS BIGINT) AS n
         FROM vf
     ),
-    -- m literals forced to DOUBLE: DuckDB parses bare 0.95 as DECIMAL and
-    -- decimal division rounds differently from Spark's double arithmetic
-    w AS (
-        SELECT LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num1) AS wa1,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
-                  / (n * (n - 1) / 2 - num1)) AS wd1,
-               LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num2) AS wa2,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
-                  / (n * (n - 1) / 2 - num2)) AS wd2
-        FROM stats
-    ),
+    {_FS_W_CTE},
     pairs AS (
         SELECT a.id AS id1, b.id AS id2,
                CAST(a.f1 = b.f1 AS BIGINT) AS agree_seg,
@@ -2972,14 +3006,7 @@ def q_link_fs(spark, sf):
         F.sum(F.when(~is1, pairs_of)).cast("bigint").alias("num2"),
         F.sum(F.when(is1, F.col("c"))).cast("bigint").alias("n"),
     )
-    m = F.lit(float(_FS_M))
-    den = F.col("n") * (F.col("n") - 1) / 2
-    w = stats.select(
-        F.log(m * den / F.col("num1")).alias("wa1"),
-        F.log((1 - m) * den / (den - F.col("num1"))).alias("wd1"),
-        F.log(m * den / F.col("num2")).alias("wa2"),
-        F.log((1 - m) * den / (den - F.col("num2"))).alias("wd2"),
-    )
+    w = _fs_weights(stats)
     from mongo_to_parquet_spark.operators.parallel import fan_out
 
     # stream side fanned out (pairwise_cosine precedent): the blocked
@@ -3127,15 +3154,7 @@ _SNM_W = 10   # sorted-neighborhood window width
                CAST(SUM(CASE WHEN fld LIKE '1:%' THEN c END) AS BIGINT) AS n
         FROM vf
     ),
-    w AS (
-        SELECT LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num1) AS wa1,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
-                  / (n * (n - 1) / 2 - num1)) AS wd1,
-               LN(CAST({_FS_M} AS DOUBLE) * (n * (n - 1) / 2) / num2) AS wa2,
-               LN((1 - CAST({_FS_M} AS DOUBLE)) * (n * (n - 1) / 2)
-                  / (n * (n - 1) / 2 - num2)) AS wd2
-        FROM stats
-    ),
+    {_FS_W_CTE},
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY blk
                                      ORDER BY c_acctbal ASC, id ASC) AS rn
@@ -3202,14 +3221,7 @@ def q_link_fs_snm(spark, sf):
         F.sum(F.when(~is1, pairs_of)).cast("bigint").alias("num2"),
         F.sum(F.when(is1, F.col("c"))).cast("bigint").alias("n"),
     )
-    m = F.lit(float(_FS_M))
-    den = F.col("n") * (F.col("n") - 1) / 2
-    w = stats.select(
-        F.log(m * den / F.col("num1")).alias("wa1"),
-        F.log((1 - m) * den / (den - F.col("num1"))).alias("wd1"),
-        F.log(m * den / F.col("num2")).alias("wa2"),
-        F.log((1 - m) * den / (den - F.col("num2"))).alias("wd2"),
-    )
+    w = _fs_weights(stats)
     rn = F.row_number().over(
         Window.partitionBy("blk").orderBy(F.col("c_acctbal").asc(), F.col("id").asc())
     )

@@ -2768,8 +2768,13 @@ _OVL_UNION_EST = _kel_sql("m_u", "theta", _OVL_K)
     "q_overlap_sources",
     f"""
     WITH h AS (
+        -- text IS NOT NULL mirrors the Spark side's h-not-null filter:
+        -- md5(NULL) is NULL in both engines, but without the WHERE a
+        -- small (< k distinct) source with a NULL doc would keep a NULL
+        -- sketch slot here while Spark drops it (round-7 self-review —
+        -- dormant divergence, fixtures have no NULL text)
         SELECT DISTINCT source, {_kh_sql('text', salt='ovl:')} AS h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     sk AS (
         SELECT source, h FROM (
