@@ -28,6 +28,9 @@ ORACLE = {}
 
 def q(key: str, sql: str | None = None):
     def deco(fn):
+        # a repeated key would silently SHADOW the earlier query while
+        # its oracle kept gating the new one (round-7 near-miss)
+        assert key not in QUERIES, f"duplicate query key: {key}"
         QUERIES[key] = fn
         if sql is not None:
             ORACLE[key] = sql
@@ -828,12 +831,14 @@ def q_bpe_pairs(spark, sf):
 _BPE_TRAIN_K = 8
 
 
-def _bpe_train_sql(k: int = _BPE_TRAIN_K) -> str:
-    """Chained-CTE oracle for k unrolled BPE merge iterations (lesson 27 —
-    the q_rag_mmr / q_select_cover pattern applied to tokenizer training):
-    w0 = the word census, then per iteration p_i (pair counts) → m_i
-    (argmax merge) → w_i (census rewritten by list_reduce — the same
-    left-to-right non-overlapping fold the Spark side runs)."""
+def _bpe_train_ctes(k: int = _BPE_TRAIN_K) -> str:
+    """Chained-CTE WITH block for k unrolled BPE merge iterations
+    (lesson 27 — the q_rag_mmr / q_select_cover pattern applied to
+    tokenizer training): w0 = the word census, then per iteration p_i
+    (pair counts) → m_i (argmax merge) → w_i (census rewritten by
+    list_reduce — the same left-to-right non-overlapping fold the Spark
+    side runs). Shared by q_bpe_train (emits the merge table) and
+    q_bpe_pipeline (applies m_1..m_k to the corpus)."""
     sql = """
     WITH w0 AS (
         SELECT array_to_string(list_transform(generate_series(1, len(w)),
@@ -862,11 +867,71 @@ def _bpe_train_sql(k: int = _BPE_TRAIN_K) -> str:
                wc
         FROM w{i - 1} CROSS JOIN m{i}
     )"""
+    return sql
+
+
+def _bpe_train_sql(k: int = _BPE_TRAIN_K) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, x, y, x || y AS merged, cnt FROM m{i}"
         for i in range(1, k + 1)
     )
-    return sql + f"\n    SELECT * FROM ({union}) ORDER BY rank ASC"
+    return _bpe_train_ctes(k) + f"\n    SELECT * FROM ({union}) ORDER BY rank ASC"
+
+
+def _bpe_train_merges(spark, sf, k: int = _BPE_TRAIN_K):
+    """The iterative training loop (census → k × [pair count → 1-row
+    argmax collect → fold rewrite]); returns [(rank, x, y, merged, cnt)].
+    Shared by q_bpe_train and q_bpe_pipeline."""
+    d = T(spark, sf, "documents")
+    spelled = F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
+    )
+    census = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(spelled.alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        top = (
+            census.select(F.split("sym", "·").alias("s"), "wc")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS x, s[i] AS y))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # census fully merged to single symbols — stop early
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
+        merges.append((rank, x, y, x + y, int(cnt)))
+        if rank == k:
+            break  # last iteration's rewrite is never observed
+        s = F.split("sym", "·")
+        fold = F.aggregate(
+            F.slice(s, F.lit(2), F.size(s) - 1),
+            F.element_at(s, 1),
+            lambda acc, el: F.when(
+                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                & (el == F.lit(y)),
+                F.concat(acc, F.lit(y)),
+            ).otherwise(F.concat(acc, F.lit("·"), el)),
+        )
+        census = census.select(fold.alias("sym"), "wc")
+    return merges
 
 
 @q("q_bpe_train", _bpe_train_sql())
@@ -892,58 +957,74 @@ def q_bpe_train(spark, sf):
     # shuffle carries (pair, partial sum) ≤ alphabet² keys + a 1-row
     # argmax collect (bounded driver pick, the q_select_cover discipline).
     # Inherently sequential in k, like all BPE trainers.
-    d = T(spark, sf, "documents")
-    spelled = F.expr(
-        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
-    )
-    census = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .select(spelled.alias("sym"))
-        .groupBy("sym")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .persist()
-    )
-    merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, _BPE_TRAIN_K + 1):
-        top = (
-            census.select(F.split("sym", "·").alias("s"), "wc")
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct(s[i-1] AS x, s[i] AS y))"
-                    )
-                ).alias("p"),
-                "wc",
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .collect()
-        )
-        if not top:  # census fully merged to single symbols — stop early
-            break
-        x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
-        merges.append((rank, x, y, x + y, int(cnt)))
-        if rank == _BPE_TRAIN_K:
-            break  # last iteration's rewrite is never observed
-        s = F.split("sym", "·")
-        fold = F.aggregate(
-            F.slice(s, F.lit(2), F.size(s) - 1),
-            F.element_at(s, 1),
-            lambda acc, el: F.when(
-                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
-                & (el == F.lit(y)),
-                F.concat(acc, F.lit(y)),
-            ).otherwise(F.concat(acc, F.lit("·"), el)),
-        )
-        census = census.select(fold.alias("sym"), "wc")
+    merges = _bpe_train_merges(spark, sf)
     return spark.createDataFrame(
         merges, "rank bigint, x string, y string, merged string, cnt bigint"
     ).orderBy("rank")
+
+
+def _bpe_pipeline_sql(k: int = _BPE_TRAIN_K) -> str:
+    """Train-then-apply composed in ONE statement: the k-merge training
+    chain (_bpe_train_ctes) feeds a corpus-wide APPLY whose replace chain
+    takes the merge pairs as CORRELATED COLUMNS (m_i cross-joined 1-row
+    relations), then per-language subword accounting. Assumes the corpus
+    yields k mergeable pairs (any non-degenerate corpus; early-stop
+    corpora are q_bpe_train's department)."""
+    merged = "regexp_replace(w, '(.)', '\\1·', 'g')"
+    for i in range(1, k + 1):
+        merged = (
+            f"replace({merged}, m{i}.x || '·' || m{i}.y, m{i}.x || m{i}.y)"
+        )
+    subword = f"len(list_filter(string_split({merged}, '·'), x -> x <> ''))"
+    crosses = " ".join(f"CROSS JOIN m{i}" for i in range(1, k + 1))
+    return (
+        _bpe_train_ctes(k)
+        + f""",
+    app AS (
+        SELECT d.lang,
+               len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+                   AS n_words,
+               COALESCE(list_sum(list_transform(
+                   list_filter(string_split(d.text, ' '), w -> w <> ''),
+                   w -> {subword})), 0) AS n_subwords
+        FROM documents d {crosses}
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords
+    FROM app GROUP BY lang
+    """
+    )
+
+
+@q("q_bpe_pipeline", _bpe_pipeline_sql())
+def q_bpe_pipeline(spark, sf):
+    # the COMPOSED tokenizer pipeline — train BPE on the corpus, then
+    # tokenize the SAME corpus with the trained merges, reporting
+    # per-language word vs subword counts (the compression the tokenizer
+    # actually achieves — the number a tokenizer-budget decision reads).
+    # Spark: the k-merge training loop (_bpe_train_merges, census-sized),
+    # then the trained table fed straight into the q_bpe_apply expression
+    # builder (bpe_apply_cols — merges folded in as literals, map-only
+    # codegen'd HOFs over one corpus scan). Oracle: the SAME train CTEs
+    # plus a replace chain taking the merge pairs as correlated columns —
+    # the whole train→apply dataflow hash-checked end to end.
+    #
+    # Scale: training cost is the census loop (q_bpe_train); apply is one
+    # map-only corpus pass at scan speed (the merge table broadcasts as
+    # expression literals, the way real tokenizers ship merge files).
+    merges = _bpe_train_merges(spark, sf)
+    n_words, n_subwords = bpe_apply_cols([(x, y) for _, x, y, _, _ in merges])
+    d = T(spark, sf, "documents")
+    return (
+        d.select("lang", n_words.alias("nw"), n_subwords.alias("ns"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("ns").cast("bigint").alias("n_subwords"),
+        )
+    )
 
 
 # ----------------------------------------------------- n-gram LM training ---

@@ -27,6 +27,9 @@ ORACLE = {}
 
 def q(key, sql=None):
     def deco(fn):
+        # a repeated key would silently SHADOW the earlier query while
+        # its oracle kept gating the new one (round-7 near-miss)
+        assert key not in QUERIES, f"duplicate query key: {key}"
         QUERIES[key] = fn
         if sql is not None:
             ORACLE[key] = sql
@@ -2960,4 +2963,73 @@ def q_quality_len_adaptive(spark, sf):
             .alias("n_kept"),
         )
         .select("lang", "lo_cut", "hi_cut", "n_docs", "n_kept")
+    )
+
+
+# ------------------------------------------------ benchmark decontamination -
+_DECON_N = 5     # n-gram width (real pipelines use 8-13; fixture docs are
+                 # 10-99 tokens, so 5 keeps the unit proportionate)
+_DECON_MOD = 97  # eval set = doc_id % 97 == 0 (~1% held-out benchmark)
+
+
+@q(
+    "q_decontaminate_doc",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t, text
+               FROM documents),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, CAST(i AS INT),
+                                          CAST(i AS INT) + {_DECON_N - 1}),
+                               ' ') AS g
+        FROM d, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+        WHERE len(t) >= {_DECON_N}
+        UNION ALL
+        SELECT doc_id, text AS g FROM d WHERE len(t) < {_DECON_N}
+    ),
+    evd AS (SELECT DISTINCT doc_id AS eid, g FROM sh
+            WHERE doc_id % {_DECON_MOD} = 0),
+    tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT e.eid) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN evd e ON tr.g = e.g
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate_doc(spark, sf):
+    # DOC-LEVEL decontamination rollup — complements q_decontaminate above
+    # (pair-level trigram audit, ≥3-shared threshold) with the DROP-decision
+    # view every serious
+    # pipeline runs (GPT-3 §C / Llama style): flag training documents
+    # sharing any word n-gram with a held-out evaluation set, reporting
+    # how many distinct n-grams leak and how many eval documents each
+    # training doc collides with. Eval set here = doc_id % 97 (a
+    # deterministic ~1% holdout standing in for the benchmark table).
+    #
+    # Scale: the eval side is the SMALL relation by construction
+    # (benchmarks are megabytes against a 100 TB corpus), so its distinct
+    # (eid, gram) pairs broadcast and the train side is ONE fanned-out
+    # scan + explode whose join filters to contaminated grams BEFORE any
+    # shuffle — the only aggregation state is per-hit, and clean docs
+    # (the overwhelming majority) never leave the map side. No distinct
+    # before the join: the two COUNT(DISTINCT)s dedup at the (tiny)
+    # hit-group level instead of shuffling the full gram explosion.
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    g = F.explode(shingles(F.col("text"), _DECON_N)).alias("g")
+    evd = F.broadcast(
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.col("doc_id").alias("eid"), g)
+        .distinct()
+    )
+    tr = fan_out(d.filter(F.col("doc_id") % _DECON_MOD != 0)).select("doc_id", g)
+    return (
+        tr.join(evd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_shared_ngrams"),
+            F.countDistinct("eid").cast("bigint").alias("n_eval_docs"),
+        )
     )

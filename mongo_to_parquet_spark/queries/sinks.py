@@ -23,6 +23,9 @@ ORACLE = {}
 
 def q(key, sql=None):
     def deco(fn):
+        # a repeated key would silently SHADOW the earlier query while
+        # its oracle kept gating the new one (round-7 near-miss)
+        assert key not in QUERIES, f"duplicate query key: {key}"
         QUERIES[key] = fn
         if sql is not None:
             ORACLE[key] = sql

@@ -231,3 +231,68 @@ def test_bpe_apply_consumes_trained_merges(spark, sf_dir):
     for r in d.select("doc_id", "text").limit(20).collect():
         ws = [w for w in r["text"].split(" ") if w]
         assert got[r["doc_id"]] == (len(ws), sum(apply_word(w) for w in ws))
+
+
+def test_decontaminate_doc_matches_naive_python(spark, sf_dir):
+    """q_decontaminate vs python set arithmetic: 5-gram shingles, eval =
+    doc_id % 97, per-train-doc distinct shared grams + eval docs hit."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def grams(text):
+        t = text.split(" ")
+        if len(t) < 5:
+            return {text}
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    ev = {d: grams(t) for d, t in docs.items() if d % 97 == 0}
+    expected = {}
+    for d, t in docs.items():
+        if d % 97 == 0:
+            continue
+        g = grams(t)
+        shared = g & set().union(*ev.values())
+        if shared:
+            hit_docs = sum(1 for eg in ev.values() if g & eg)
+            expected[d] = (len(shared), hit_docs)
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in QS["q_decontaminate_doc"](spark, sf_dir).collect()
+    }
+    assert got == expected and expected  # fixtures must actually contaminate
+
+
+def test_bpe_pipeline_matches_python_replay(spark, sf_dir):
+    """The composed train→apply key vs a python replay: trained merges
+    (already pinned canonical by test_bpe_train_matches_naive_python)
+    applied with the replace-chain convention, accumulated per lang."""
+    from collections import defaultdict
+
+    trained = QS["q_bpe_train"](spark, sf_dir).collect()
+    merges = [(r["x"], r["y"]) for r in trained]
+
+    def subwords(w):
+        s = "·".join(w)
+        for x, y in merges:
+            s = s.replace(f"{x}·{y}", f"{x}{y}")
+        return len([t for t in s.split("·") if t])
+
+    expected = defaultdict(lambda: [0, 0, 0])
+    rows = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    ).collect()
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        e = expected[r["lang"]]
+        e[0] += 1
+        e[1] += len(ws)
+        e[2] += sum(subwords(w) for w in ws)
+    got = {
+        r["lang"]: [r["n_docs"], r["n_words"], r["n_subwords"]]
+        for r in QS["q_bpe_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+    for n_docs, n_words, n_subwords in got.values():
+        assert n_words <= n_subwords  # each word is >= 1 subword
