@@ -3033,3 +3033,164 @@ def q_decontaminate_doc(spark, sf):
             F.countDistinct("eid").cast("bigint").alias("n_eval_docs"),
         )
     )
+
+
+# ----------------------------------------------- mixture temperature weights -
+@q(
+    "q_mix_temperature",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        w -> w <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS rt
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 10000 // (SUM(n_tokens) OVER ()) AS BIGINT)
+               AS raw_bp,
+           CAST(rt * 10000 // (SUM(rt) OVER ()) AS BIGINT) AS temp_bp
+    FROM s
+    """,
+)
+def q_mix_temperature(spark, sf):
+    # temperature-scaled mixture weights (mT5 / multilingual-T5 style,
+    # Xue et al. 2021: sample source s ∝ |s|^(1/τ) with τ = 2): the
+    # sampling-proportion table a mixture dataloader consumes, upweighting
+    # small sources against the head. Exponent 1/2 is deliberate — it is
+    # the ONE non-trivial temperature that is engine-exact: SQRT is
+    # IEEE-754 correctly-rounded in both engines (unlike POW/EXP/LN
+    # chains), n_tokens < 2^53 is exactly representable, and FLOOR brings
+    # the weight back to BIGINT, so raw and temperature shares are pure
+    # integer basis points (floor-div) with no float summation anywhere.
+    #
+    # Scale: one corpus scan with a map-combined (source, count, tokens)
+    # aggregate — state = |sources|; the share windows run over the
+    # source-cardinality relation, nothing corpus-sized. The token count
+    # is the same codegen'd filter+size HOF q_bpe_apply uses.
+    d = T(spark, sf, "documents")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("size(filter(split(text, ' '), w -> w != ''))"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn("rt", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
+    )
+    from pyspark.sql import Window as _W
+
+    tot = _W.partitionBy()
+    return per.withColumn(
+        "tot_tok", F.sum("n_tokens").over(tot)
+    ).withColumn("tot_rt", F.sum("rt").over(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("div(n_tokens * 10000, tot_tok)").cast("bigint").alias("raw_bp"),
+        F.expr("div(rt * 10000, tot_rt)").cast("bigint").alias("temp_bp"),
+    )
+
+
+# ---------------------------------------------------- URL-canonical dedup ---
+#: synthesized messy URL per doc (lesson 21: the synthesis is ONE shared
+#: expression per dialect; the machinery under test is the canonicalizer).
+#: Four mess classes: cased scheme/host + tracking params, www prefix,
+#: http + fragment, and a MEANINGFUL query param (must survive).
+_URL_SYN_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'HTTPS://WWW.Example.COM/post/'
+              || CAST(doc_id // 7 AS VARCHAR) || '/?utm_source=feed&ref=rss'
+  WHEN 1 THEN 'https://www.example.com/post/'
+              || CAST(doc_id // 7 AS VARCHAR)
+  WHEN 2 THEN 'http://example.com/post/'
+              || CAST(doc_id // 7 AS VARCHAR) || '/#frag'
+  ELSE 'https://example.com/post/'
+       || CAST(doc_id // 7 AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+ END"""
+#: canonicalization pipeline, applied in this order (each step is a
+#: deliberate, standard rule): lowercase scheme+authority (path/query case
+#: is significant, authority case is not — RFC 3986 §6.2.2.1), http→https,
+#: strip leading www., drop fragment, drop tracking params (utm_*, ref),
+#: drop trailing slashes
+_URL_HEAD = "^[A-Za-z]+://[^/]*"
+
+
+@q(
+    "q_dedup_url",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SYN_SQL} AS u FROM documents),
+    c AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(u, '{_URL_HEAD}'))
+                     || substr(u, len(regexp_extract(u, '{_URL_HEAD}')) + 1),
+                   '^http://', 'https://'),
+                   '^https://www\\.', 'https://'),
+                   '#.*$', ''),
+                   '(utm_[a-z]+|ref)=[^&#]*&', '', 'g'),
+                   '[?&](utm_[a-z]+|ref)=[^&#]*$', ''),
+                   '/+$', '') AS canon_url
+        FROM u
+    )
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM c GROUP BY canon_url HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_url(spark, sf):
+    # URL-canonicalization dedup — the FIRST dedup pass of every web-scale
+    # crawl pipeline (far cheaper than any content hash: the same page
+    # fetched as http://, https://www., with utm tracking junk or a
+    # fragment is one document). Canonical form: lowercase
+    # scheme+authority (RFC 3986 §6.2.2.1 — path/query case preserved),
+    # http→https, strip www., fragment, utm_*/ref tracking params and
+    # trailing slashes; then exact groupBy with min-doc_id keeper.
+    # Fixtures carry no URL column, so each doc synthesizes a messy URL
+    # from (doc_id, source) through ONE shared expression (lesson 21);
+    # the canonicalizer chain is the operator under test.
+    #
+    # Scale: pure map-side string rewriting (codegen'd regexp chain, no
+    # UDF) into one hash aggregation keyed by canonical URL — the shuffle
+    # carries (url, count) partials and dup groups only survive the
+    # HAVING. At crawl scale this keys the crawl frontier too.
+    d = T(spark, sf, "documents")
+    syn = F.expr(
+        """CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN concat('HTTPS://WWW.Example.COM/post/',
+              CAST(div(doc_id, 7) AS STRING), '/?utm_source=feed&ref=rss')
+  WHEN 1 THEN concat('https://www.example.com/post/',
+              CAST(div(doc_id, 7) AS STRING))
+  WHEN 2 THEN concat('http://example.com/post/',
+              CAST(div(doc_id, 7) AS STRING), '/#frag')
+  ELSE concat('https://example.com/post/',
+       CAST(div(doc_id, 7) AS STRING), '?id=', CAST(doc_id AS STRING))
+ END"""
+    )
+    head = F.regexp_extract(F.col("u"), _URL_HEAD, 0)
+    canon = F.concat(F.lower(head), F.expr(f"substring(u, length(regexp_extract(u, '{_URL_HEAD}', 0)) + 1)"))
+    for pat, rep in (
+        ("^http://", "https://"),
+        ("^https://www\\.", "https://"),
+        ("#.*$", ""),
+        ("(utm_[a-z]+|ref)=[^&#]*&", ""),
+        ("[?&](utm_[a-z]+|ref)=[^&#]*$", ""),
+        ("/+$", ""),
+    ):
+        canon = F.regexp_replace(canon, pat, rep)
+    return (
+        d.select("doc_id", syn.alias("u"))
+        .select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -296,3 +296,83 @@ def test_bpe_pipeline_matches_python_replay(spark, sf_dir):
     assert got == dict(expected)
     for n_docs, n_words, n_subwords in got.values():
         assert n_words <= n_subwords  # each word is >= 1 subword
+
+
+def test_dedup_url_matches_urllib_canonicalization(spark, sf_dir):
+    """The regex canonicalizer chain vs a from-scratch urllib.parse
+    canonicalization (lower scheme+host, strip www., http→https, drop
+    fragment, drop utm_*/ref params, strip trailing slashes) — group
+    for group identical, proving the regex pipeline implements the
+    parser-level rules rather than merely matching itself."""
+    from collections import defaultdict
+    from urllib.parse import parse_qsl, urlsplit
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+
+    def synth(i):
+        b = i // 7
+        return [
+            f"HTTPS://WWW.Example.COM/post/{b}/?utm_source=feed&ref=rss",
+            f"https://www.example.com/post/{b}",
+            f"http://example.com/post/{b}/#frag",
+            f"https://example.com/post/{b}?id={i}",
+        ][i % 4]
+
+    def canon(u):
+        s = urlsplit(u)
+        host = s.netloc.lower()
+        host = host[4:] if host.startswith("www.") else host
+        q = "&".join(
+            f"{k}={v}"
+            for k, v in parse_qsl(s.query, keep_blank_values=True)
+            if not (k.startswith("utm_") or k == "ref")
+        )
+        return (
+            "https://" + host + s.path.rstrip("/") + (f"?{q}" if q else "")
+        )
+
+    groups = defaultdict(list)
+    for i in ids:
+        groups[canon(synth(i))].append(i)
+    expected = {
+        c: (len(v), min(v)) for c, v in groups.items() if len(v) >= 2
+    }
+    got = {
+        r["canon_url"]: (r["n_docs"], r["keeper_doc_id"])
+        for r in QS["q_dedup_url"](spark, sf_dir).collect()
+    }
+    assert got == expected and expected
+
+
+def test_mix_temperature_matches_python_and_flattens(spark, sf_dir):
+    """q_mix_temperature vs a python replay (same IEEE sqrt + floor-div),
+    plus the property that makes temperature sampling useful: the
+    smallest source's share can only go UP, the largest's only DOWN."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per = {}
+    for r in docs:
+        n = len([w for w in r["text"].split(" ") if w])
+        d, t = per.get(r["source"], (0, 0))
+        per[r["source"]] = (d + 1, t + n)
+    tot_tok = sum(t for _, t in per.values())
+    rts = {s: math.floor(math.sqrt(t)) for s, (_, t) in per.items()}
+    tot_rt = sum(rts.values())
+    expected = {
+        s: (d, t, t * 10000 // tot_tok, rts[s] * 10000 // tot_rt)
+        for s, (d, t) in per.items()
+    }
+    rows = QS["q_mix_temperature"](spark, sf_dir).collect()
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["raw_bp"], r["temp_bp"])
+        for r in rows
+    }
+    assert got == expected
+    small = min(got, key=lambda s: got[s][1])
+    big = max(got, key=lambda s: got[s][1])
+    assert got[small][3] >= got[small][2]  # upweighted
+    assert got[big][3] <= got[big][2]      # downweighted
