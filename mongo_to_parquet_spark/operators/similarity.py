@@ -718,6 +718,67 @@ def ivfpq_topk_batch_from_layout(
     )
 
 
+def ivfpq_topk_batch_refined_from_layout(
+    spark,
+    layout_dir: str,
+    probes: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage serving for a PROBE BATCH —
+    :func:`ivfpq_topk_refined_from_layout` lifted to the micro-batch
+    shape: one cell-pruned ADC pass produces every probe's k′ shortlist,
+    then ONE exact re-rank pass reads only the UNION of all shortlisted
+    fp32 vectors (collected ids → IN-pushdown scan, ≤ k′·|batch| point
+    lookups regardless of corpus size) and ranks per probe through a
+    WindowGroupLimit. Per-probe results are identical to the
+    single-probe refine path (pinned in tests/test_operators.py).
+
+    Returns (probe_id, id, sim, rk ≤ k) by exact 4dp cosine desc, id asc.
+    """
+    short = ivfpq_topk_batch_from_layout(
+        spark,
+        layout_dir,
+        probes,
+        k=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+    ).select("probe_id", id_col)
+    pairs = short.collect()  # ≤ shortlist·|batch| rows — bounded pick
+    ids = sorted({r[id_col] for r in pairs})
+    pair_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["probe_id"], r[id_col]) for r in pairs],
+            f"probe_id long, {id_col} long",
+        )
+    )
+    pr = F.broadcast(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv"))
+    )
+    fetched = emb.filter(F.col(id_col).isin(ids)).select(id_col, vec_col)
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        fetched.join(pair_df, id_col)
+        .join(pr, "probe_id")
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__pv")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pairwise_cosine(
     emb: DataFrame,
     block_col: str,

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_to_parquet_spark.operators.similarity import (
     ivfpq_topk_batch_from_layout,
+    ivfpq_topk_batch_refined_from_layout,
 )
 
 _RESULT_SCHEMA = "probe_id bigint, vec_id bigint, pq_dist bigint, rk bigint"
@@ -55,8 +56,17 @@ def stream_ann_probe(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_emb: DataFrame | None = None,
+    shortlist: int = 50,
 ):
     """Answer a probe-vector stream against a static IVF×PQ layout.
+
+    With ``refine_emb`` (the fp32 vector table), each batch runs the
+    TWO-STAGE plan instead — ADC shortlist → exact re-rank of only the
+    shortlist union (operators/similarity.ivfpq_topk_batch_refined_
+    from_layout) — and results carry exact ``sim`` instead of
+    ``pq_dist``. Per-probe equality with the batch/single refine paths
+    is pinned in tests.
 
     Returns the started streaming query (availableNow trigger — drains
     what exists, then stops; a production run would use a steady trigger
@@ -69,10 +79,17 @@ def stream_ann_probe(
         marker = os.path.join(state_dir, "ledger", str(bid))
         if os.path.exists(marker):
             return
-        out = ivfpq_topk_batch_from_layout(
-            spark, layout_dir, batch_df, k=k, n_probe=n_probe,
-            id_col=id_col, vec_col=vec_col,
-        )
+        if refine_emb is not None:
+            out = ivfpq_topk_batch_refined_from_layout(
+                spark, layout_dir, batch_df, refine_emb, k=k,
+                shortlist=shortlist, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            out = ivfpq_topk_batch_from_layout(
+                spark, layout_dir, batch_df, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
         out.write.mode("overwrite").parquet(
             os.path.join(state_dir, "results", f"batch={bid}")
         )

@@ -504,6 +504,56 @@ def test_ivfpq_append_equals_oneshot_rebuild(spark, sf_dir, tmp_path):
     assert serve(inc) == serve(full)
 
 
+def test_batch_refine_matches_single_probe_refine(spark, sf_dir, tmp_path):
+    """The batched two-stage path must return, per probe, EXACTLY what
+    the single-probe refine returns (same shortlist, same exact re-rank,
+    same ties) — and its re-rank plan must read only the shortlist union
+    via IN pushdown, never a full fp32 scan."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_batch_refined_from_layout,
+        ivfpq_topk_refined_from_layout,
+    )
+    from mongo_to_parquet_spark.plans.checks import count_nodes, formatted_plan
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "ivfpq")
+    build_ivfpq_layout(emb, layout, n_cells=8)
+    probe_ids = [0, 1, 2, 3]
+    # probe batch as a LITERAL relation (the serving shape — probes arrive
+    # from a stream, not from the corpus table), so the re-rank plan's only
+    # parquet scan is the shortlist fetch
+    probes = spark.createDataFrame(
+        [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id").isin(probe_ids)).collect()
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch = ivfpq_topk_batch_refined_from_layout(
+        spark, layout, probes, emb, k=5, shortlist=20, n_probe=3
+    )
+    plan = formatted_plan(batch).split("== Physical Plan ==")[-1]
+    assert "In(vec_id" in plan
+    assert count_nodes(batch, "Scan parquet") == 1  # emb fetch only
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["probe_id"], []).append((r["rk"], r["vec_id"], r["sim"]))
+    for pid in probe_ids:
+        pv = [float(x) for x in emb.filter(F.col("vec_id") == pid).head()["embedding"]]
+        single = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                ivfpq_topk_refined_from_layout(
+                    spark, layout, emb, pv, k=5, shortlist=20, n_probe=3,
+                    exclude_id=pid,
+                ).collect()
+            )
+        ]
+        assert sorted(got[pid]) == single
+
+
 def test_refine_recall_dominates_raw_pq(spark, sf_dir):
     """The point of stage 2: exact re-ranking can only IMPROVE recall
     over raw ADC ranking (quantization error is confined to shortlist

@@ -977,3 +977,52 @@ def test_stream_ann_probe_matches_batch_serving(spark, sf_dir, tmp_path):
     assert {
         tuple(r) for r in sr.read_probe_results(spark, state).collect()
     } == want
+
+
+def test_stream_ann_probe_refine_mode_matches_single_refine(spark, sf_dir, tmp_path):
+    """The streaming fold's two-stage mode: every probe answered through
+    refine_emb equals the single-probe ADC-shortlist → exact-re-rank
+    path — exact sims, same ties — through the same exactly-once ledger."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_refined_from_layout,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import retrieval as sr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = str(tmp_path / "layout")
+    build_ivfpq_layout(emb, layout)
+    probes = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+    src = str(tmp_path / "probes_src")
+    probes.repartition(2).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sr.stream_ann_probe(
+        stream, layout, state, str(tmp_path / "ck"), k=5, n_probe=3,
+        refine_emb=emb, shortlist=20,
+    )
+    q.awaitTermination(300)
+
+    res = spark.read.parquet(
+        *[f"{state}/results/batch={b}" for b in sr._committed(state)]
+    )
+    got = {
+        (r["probe_id"], r["vec_id"], r["sim"], r["rk"]) for r in res.collect()
+    }
+    want = set()
+    for p in probes.collect():
+        single = ivfpq_topk_refined_from_layout(
+            spark, layout, emb, [float(x) for x in p["embedding"]],
+            k=5, shortlist=20, n_probe=3, exclude_id=p["vec_id"],
+        )
+        for i, r in enumerate(single.collect()):
+            want.add((p["vec_id"], r["vec_id"], r["sim"], i + 1))
+    assert len(want) == 20 and got == want
