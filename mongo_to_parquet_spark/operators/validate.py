@@ -283,7 +283,8 @@ def profile_columns(
 
 
 def exact_kth_smallest(
-    df: DataFrame, col: str, k: int, buckets: int = 1024
+    df: DataFrame, col: str, k: int, buckets: int = 1024,
+    weight_col: str | None = None,
 ) -> int:
     """EXACT k-th smallest of an integer column WITHOUT a global sort —
     the 100 TB path for exact quantiles.
@@ -301,10 +302,17 @@ def exact_kth_smallest(
     When the bucket width reaches 1, the chosen cell IS the answer (a
     single integer with count > 0 — an actual data value). Requires a
     non-null integer-valued column; caller pre-scales decimals.
+
+    ``weight_col``: treat each row as ``weight`` occurrences of its
+    value — rank-k over the EXPANDED multiset without expanding it.
+    This is what lets a caller collapse a 100 TB fact to its key census
+    once (one scan, |keys| rows) and then run many rank probes against
+    the census instead of the fact (q_partition_bounds).
     """
     c = F.col(col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
     row = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.sum(w).alias("n")
     ).collect()[0]
     lo, hi, n = row["lo"], row["hi"], row["n"]
     if n == 0 or not 1 <= k <= n:
@@ -319,7 +327,7 @@ def exact_kth_smallest(
         census = dict(
             df.filter(c.between(lo, hi))
             .groupBy(F.expr(f"div({col} - {int(lo)}L, {int(width)}L)").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum(w).alias("cnt"))
             .collect()
         )
         cum = base

@@ -1351,3 +1351,68 @@ def q_skew_diag(spark, sf):
         pick(F.expr("(99 * n_keys + 99) div 100")).alias("p99_cnt"),
         F.expr("(max_cnt * 10000) div n_rows").cast("bigint").alias("top_share_x10000"),
     )
+
+
+# ----------------------------------------------- range-partition planning ---
+_PB_N = 16  # target partition count
+
+
+@q(
+    "q_partition_bounds",
+    f"""
+    WITH census AS (
+        SELECT l_orderkey AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cum AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) AS cc,
+               SUM(cnt) OVER () AS n
+        FROM census
+    ),
+    idx AS (SELECT unnest(generate_series(1, {_PB_N - 1})) AS i)
+    SELECT CAST(i AS BIGINT) AS bound_idx,
+           CAST((i * n + {_PB_N} - 1) // {_PB_N} AS BIGINT) AS target_rank,
+           CAST(MIN(v) AS BIGINT) AS boundary
+    FROM cum CROSS JOIN idx
+    WHERE cc >= (i * n + {_PB_N} - 1) // {_PB_N}
+    GROUP BY i, n
+    """,
+)
+def q_partition_bounds(spark, sf):
+    # EQUI-DEPTH range-partition planning — the boundary table behind
+    # repartitionByRange / range-clustered exports, computed EXACTLY:
+    # boundary_i = the smallest key whose cumulative count reaches
+    # ⌈i·n/N⌉ (type-1 quantiles). Spark samples to pick its range
+    # boundaries (RangePartitioner reservoir); this is the deterministic
+    # planner you run ONCE on the census when the layout must be
+    # reproducible (sorted export file boundaries, bucket pruning docs).
+    #
+    # Scale: the corpus collapses to its KEY CENSUS first (ONE
+    # map-combined scan — |keys| rows, persisted), then each boundary is
+    # a WEIGHTED exact_kth_smallest probe over the census — histogram
+    # refinement with the census counts as weights, ≤3 map-combined
+    # passes per boundary, driver state = a bucket histogram. No
+    # cumulative window: an UNPARTITIONED running sum over the key
+    # census would be a single task holding every distinct key (the
+    # spearman lesson — the census here GROWS with the data, unlike
+    # q_quality_len_adaptive's bounded per-lang value census). The
+    # oracle keeps the window form — DuckDB replays semantics, not the
+    # distributed plan.
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    li = T(spark, sf, "lineitem")
+    census = (
+        li.groupBy(F.col("l_orderkey").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()  # N-1 rank probes; caller clearCache()s after
+    )
+    n = census.agg(F.sum("cnt")).collect()[0][0]
+    rows = []
+    for i in range(1, _PB_N):
+        target = (i * n + _PB_N - 1) // _PB_N
+        rows.append(
+            (i, target, exact_kth_smallest(census, "v", target, weight_col="cnt"))
+        )
+    return spark.createDataFrame(
+        rows, "bound_idx bigint, target_rank bigint, boundary bigint"
+    ).orderBy("bound_idx")

@@ -1892,3 +1892,19 @@ def test_ndcg_matches_naive_python(spark, sf_dir):
     assert got == expected
     for dcg, idcg, bp in got.values():
         assert 0 <= dcg <= idcg and 0 <= bp <= 10000
+
+
+def test_exact_kth_smallest_weighted_equals_expanded(spark):
+    """weight_col semantics: rank-k over the census must equal rank-k
+    over the physically expanded multiset, duplicates and all."""
+    import random
+
+    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+
+    rng = random.Random(7)
+    census = [(rng.randint(-100, 100), rng.randint(1, 9)) for _ in range(60)]
+    cdf = spark.createDataFrame(census, "v long, w long")
+    expanded = sorted(v for v, w in census for _ in range(w))
+    for k in {1, 17, len(expanded) // 2, len(expanded)}:
+        got = exact_kth_smallest(cdf, "v", k, buckets=8, weight_col="w")
+        assert got == expanded[k - 1]
