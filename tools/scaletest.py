@@ -87,6 +87,20 @@ PROBES = {
     "q_link_fs": ["customer"],
     "q_link_fs_snm": ["customer"],
     "q_select_cover": ["documents"],
+    # round-7 additions. NOT probed: q_decontaminate_doc /
+    # q_decontaminate — the replica growth model appends ONE token per
+    # doc, which keeps MinHash near-dup density constant but preserves
+    # almost every raw n-gram ACROSS replicas, so eval×train gram
+    # collisions grow ~quadratically in replicas: that measures a denser
+    # benchmark, not a bigger corpus (lesson 15's density invariant
+    # fails for exact-gram equality). A valid growth model would need
+    # per-replica-disjoint gram spaces (e.g. replica-prefixed tokens).
+    "q_dedup_url": ["documents"],          # doc_id offset ⇒ disjoint URL buckets
+    "q_bpe_train": ["documents"],          # census ~constant, counts ×m
+    "q_mix_temperature": ["documents"],
+    "q_partition_bounds": ["lineitem"],    # key census ×m, probe passes constant
+    "q_sim_topk_ivfpq_refine": ["embeddings"],
+    "q_sim_topk_ivfpq_incremental": ["embeddings"],
 }
 
 #: per-table key columns to offset per replica
