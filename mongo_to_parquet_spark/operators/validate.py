@@ -342,3 +342,69 @@ def exact_kth_smallest(
         else:  # pragma: no cover - counts always reach k by construction
             raise AssertionError("rank not found in census")
     return int(lo)
+
+
+def exact_ranks_smallest(
+    df: DataFrame,
+    col: str,
+    ks: list[int],
+    buckets: int = 1024,
+    weight_col: str | None = None,
+) -> dict[int, int]:
+    """MANY exact ranks in shared passes — :func:`exact_kth_smallest` for
+    a whole rank list (equi-depth boundaries, percentile grids).
+
+    Probing R ranks one at a time costs R·⌈log_B(range)⌉ scans; here
+    every refinement ROUND is ONE scan serving all still-active ranks:
+    each rank's current [lo, hi] window rides a broadcast relation, rows
+    fan out to the windows containing them (R-row broadcast nested-loop
+    — R is tens), and one (rank, bucket) aggregate narrows every window
+    simultaneously. Total scans = ⌈log_B(range)⌉ + 1, independent of R
+    and of row count. Per-rank results are IDENTICAL to the one-rank
+    probe (pinned in tests). Driver state: R bucket histograms.
+    """
+    c = F.col(col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    row = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.sum(w).alias("n")
+    ).collect()[0]
+    glo, ghi, n = row["lo"], row["hi"], row["n"]
+    bad = [k for k in ks if n == 0 or not 1 <= k <= n]
+    if bad:
+        raise ValueError(f"ranks {bad} out of range for {n} rows")
+    # state per rank: [lo, hi, base] (base = weight known < lo)
+    state = {k: [glo, ghi, 0] for k in set(ks)}
+    spark = df.sparkSession
+    while True:
+        active = {k: s for k, s in state.items() if s[1] > s[0]}
+        if not active:
+            break
+        wins = [
+            (k, s[0], s[1], (s[1] - s[0] + buckets) // buckets)
+            for k, s in active.items()
+        ]
+        wdf = F.broadcast(
+            spark.createDataFrame(wins, "k long, wlo long, whi long, wwidth long")
+        )
+        census: dict[int, dict[int, int]] = {k: {} for k in active}
+        rows = (
+            df.join(wdf, c.between(F.col("wlo"), F.col("whi")))
+            .groupBy("k", F.expr(f"div({col} - wlo, wwidth)").alias("b"))
+            .agg(F.sum(w).alias("cnt"))
+            .collect()
+        )
+        for r in rows:
+            census[r["k"]][r["b"]] = r["cnt"]
+        for k, s in active.items():
+            lo, hi, base = s
+            width = (hi - lo + buckets) // buckets
+            cum = base
+            for b in sorted(census[k]):
+                if cum + census[k][b] >= k - 0:  # rank target is k itself
+                    new_lo = lo + b * width
+                    state[k] = [new_lo, min(hi, new_lo + width - 1), cum]
+                    break
+                cum += census[k][b]
+            else:  # pragma: no cover
+                raise AssertionError("rank not found in census")
+    return {k: int(state[k][0]) for k in ks}

@@ -1908,3 +1908,24 @@ def test_exact_kth_smallest_weighted_equals_expanded(spark):
     for k in {1, 17, len(expanded) // 2, len(expanded)}:
         got = exact_kth_smallest(cdf, "v", k, buckets=8, weight_col="w")
         assert got == expanded[k - 1]
+
+
+def test_exact_ranks_smallest_matches_single_probes(spark):
+    """The shared-round multi-rank probe must return, rank for rank,
+    exactly what the one-rank probe returns — duplicates, weights,
+    negatives, rank collisions and all."""
+    import random
+
+    from mongo_to_parquet_spark.operators.validate import (
+        exact_kth_smallest,
+        exact_ranks_smallest,
+    )
+
+    rng = random.Random(23)
+    census = [(rng.randint(-500, 500), rng.randint(1, 5)) for _ in range(80)]
+    cdf = spark.createDataFrame(census, "v long, w long")
+    n = sum(w for _, w in census)
+    ks = [1, 2, n // 4, n // 2, n // 2, 3 * n // 4, n]  # incl. a duplicate
+    multi = exact_ranks_smallest(cdf, "v", ks, buckets=8, weight_col="w")
+    for k in set(ks):
+        assert multi[k] == exact_kth_smallest(cdf, "v", k, buckets=8, weight_col="w")
