@@ -115,6 +115,7 @@ HEADLINE = [
     "q_agg_hll_sketch_native",         # DataSketches HLL + union merge
     "q_profile_approx_native",         # single-HashAggregate HLL profile
     "q_sim_topk_ivfpq_serve",          # ANN serve latency off a built layout
+    "q_sim_topk_ivfpq_refine_serve",   # two-stage serve: + exact 50-vec re-rank
 ]
 
 #: the round-1 headline set — reported as a subtotal so totals stay

@@ -2341,6 +2341,42 @@ def q_sim_topk_ivfpq_serve(spark, sf):
     return ivfpq_topk_from_layout(spark, layout, pv, k=10, n_probe=4, exclude_id=0)
 
 
+def q_sim_topk_ivfpq_refine_serve(spark, sf):
+    # bench-only: the TWO-STAGE serve path in isolation (reuses the same
+    # cached layout as q_sim_topk_ivfpq_serve) — what production pays per
+    # refined query: ADC shortlist + 50-vector IN-pushdown exact re-rank.
+    # The delta over q_sim_topk_ivfpq_serve IS the published price of the
+    # recall jump (30→80% at sf0.01).
+    import os
+
+    from mongo_to_parquet_spark.operators.similarity import (
+        build_ivfpq_layout,
+        ivfpq_topk_refined_from_layout,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    layout = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "ivfpq_serve", tag
+        )
+    )
+    rng_dir = os.path.join(layout, "rng")
+    if not (
+        os.path.isdir(rng_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(rng_dir))
+    ):
+        build_ivfpq_layout(emb, layout)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return ivfpq_topk_refined_from_layout(
+        spark, layout, emb, pv, k=10, shortlist=50, n_probe=4, exclude_id=0
+    )
+
+
 BENCH_ONLY = {
     "q_sim_topk_ivfpq_serve": q_sim_topk_ivfpq_serve,
+    "q_sim_topk_ivfpq_refine_serve": q_sim_topk_ivfpq_refine_serve,
 }

@@ -1026,3 +1026,53 @@ def test_stream_ann_probe_refine_mode_matches_single_refine(spark, sf_dir, tmp_p
         for i, r in enumerate(single.collect()):
             want.add((p["vec_id"], r["vec_id"], r["sim"], i + 1))
     assert len(want) == 20 and got == want
+
+
+def test_stream_decontaminate_matches_batch_key(spark, sf_dir, tmp_path):
+    """Streaming decontamination ≡ the batch key: screening the training
+    docs micro-batch by micro-batch against the static eval gram table
+    yields exactly q_decontaminate_doc's rows; replay against a fresh
+    checkpoint is a ledger no-op; a torn batch is invisible then
+    recommitted identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import decontaminate as sd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev_path = str(tmp_path / "eval_grams")
+    sd.eval_gram_table(docs.filter(F.col("doc_id") % 97 == 0), ev_path, n=5)
+
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    src = str(tmp_path / "train_src")
+    train.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sd.stream_decontaminate(stream, ev_path, state, ck, n=5)
+        q.awaitTermination(300)
+
+    run(str(tmp_path / "ck1"))
+    want = {
+        (r["doc_id"], r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in queries()["q_decontaminate_doc"](spark, sf_dir).collect()
+    }
+    got = {tuple(r) for r in sd.read_reports(spark, state).collect()}
+    assert got == want and want
+
+    run(str(tmp_path / "ck2"))  # replay: markers skip every batch
+    assert {tuple(r) for r in sd.read_reports(spark, state).collect()} == want
+
+    last = max(sd._committed(state))
+    os.remove(os.path.join(state, "ledger", str(last)))
+    assert {tuple(r) for r in sd.read_reports(spark, state).collect()} <= want
+    run(str(tmp_path / "ck3"))
+    assert {tuple(r) for r in sd.read_reports(spark, state).collect()} == want
