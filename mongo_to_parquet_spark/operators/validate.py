@@ -400,7 +400,7 @@ def exact_ranks_smallest(
             width = (hi - lo + buckets) // buckets
             cum = base
             for b in sorted(census[k]):
-                if cum + census[k][b] >= k - 0:  # rank target is k itself
+                if cum + census[k][b] >= k:  # the dict key IS the rank
                     new_lo = lo + b * width
                     state[k] = [new_lo, min(hi, new_lo + width - 1), cum]
                     break

@@ -1653,18 +1653,28 @@ def bpe_apply_cols(merges):
     rank-ordered merge table so q_bpe_train's output can be APPLIED (the
     train→apply composition is pinned in tests/test_curation.py).
     Returns (n_words, n_subwords) columns over a `text` column — all
-    codegen'd HOFs, merge table folded in as literals."""
-    assert all((x + y).isalnum() for x, y in merges)  # literal-safe
-    merged = "regexp_replace(w, '(.)', '$1·')"
-    for x, y in merges:
-        merged = f"replace({merged}, '{x}·{y}', '{x}{y}')"
-    sub_count = f"size(filter(split({merged}, '·'), x -> x != ''))"
-    n_words = F.expr("size(filter(split(text, ' '), w -> w != ''))").cast(
-        "bigint"
-    )
-    n_subwords = F.expr(
-        "aggregate(transform(filter(split(text, ' '), w -> w != ''), "
-        f"w -> {sub_count}), 0L, (acc, x) -> acc + x)"
+    codegen'd HOFs. The merge table enters as F.lit VALUES, never
+    f-string fragments (round-7 self-review: the earlier injection-style
+    builder ASSERTED alnum merges, so a corpus whose trained pairs carry
+    quotes/punctuation would crash the Spark side while the oracle kept
+    running — divergence by error; literals make any merge pair safe)."""
+
+    def subwords(w):
+        spelled = F.regexp_replace(w, "(.)", "$1·")
+        for x, y in merges:
+            spelled = F.replace(
+                spelled, F.lit(f"{x}·{y}"), F.lit(f"{x}{y}")
+            )
+        return F.size(
+            F.filter(F.split(spelled, "·"), lambda t: t != "")
+        ).cast("bigint")
+
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_words = F.size(words).cast("bigint")
+    n_subwords = F.aggregate(
+        F.transform(words, subwords),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     ).cast("bigint")
     return n_words, n_subwords
 
