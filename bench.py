@@ -102,6 +102,10 @@ HEADLINE = [
     "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
     "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
     "q_select_dsir",        # DSIR importance selection over hashed bigrams
+    "q_dedup_url",          # map-side URL canonicalization, one shuffle
+    "q_decontaminate_doc",  # broadcast-eval n-gram screening
+    "q_partition_bounds",   # shared-round multi-rank boundary probes
+    "q_bpe_train",          # full k-merge tokenizer training (census loop)
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

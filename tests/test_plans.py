@@ -827,3 +827,30 @@ def test_readme_declared_key_count_matches_registry():
         f"README.md declares {m.group(1)} keys but queries() has "
         f"{len(QS)} — update the README number"
     )
+
+
+def test_decontaminate_doc_broadcasts_eval_side(spark, sf_dir):
+    # the contract that makes decontamination free at corpus scale: the
+    # eval grams broadcast, the train side never sort-merge-joins
+    df = QS["q_decontaminate_doc"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "BroadcastHashJoin") >= 1
+    assert checks.count_nodes(df, "SortMergeJoin") == 0
+    assert "Python" not in plan
+
+
+def test_dedup_url_single_shuffle_no_python(spark, sf_dir):
+    # map-side regexp canonicalization into ONE partial-combined
+    # aggregation - the whole op is a single exchange at any scale
+    df = QS["q_dedup_url"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Exchange") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert "Python" not in plan
+
+
+def test_mix_temperature_single_scan(spark, sf_dir):
+    df = QS["q_mix_temperature"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    assert "Python" not in plan
