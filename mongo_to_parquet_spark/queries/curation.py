@@ -3349,3 +3349,87 @@ def q_link_fs_snm(spark, sf):
     return scored.orderBy(
         F.col("fs_score").desc(), F.col("id1").asc(), F.col("id2").asc()
     ).limit(_FS_TOP)
+
+
+def _bpe_curve_sql(k: int = _BPE_TRAIN_K) -> str:
+    """The merge-value curve: the training chain already materializes the
+    census AFTER every merge (w_0..w_k), so each curve point is one
+    aggregate over an existing CTE. Generated with k+1 so w_k exists;
+    the dangling p/m CTEs of the extra step are never referenced and
+    DuckDB does not evaluate unreferenced CTEs."""
+    counts = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS n_merges,"
+        f" CAST(SUM(wc * len(list_filter(string_split(sym, '·'),"
+        f" x -> x <> ''))) AS BIGINT) + (SELECT o FROM ones)"
+        f" AS total_subwords FROM w{i}"
+        for i in range(0, k + 1)
+    )
+    return (
+        _bpe_train_ctes(k + 1)
+        + f""",
+    ones AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS o
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) = 1
+    )
+    SELECT * FROM ({counts}) ORDER BY n_merges ASC
+    """
+    )
+
+
+@q("q_bpe_curve", _bpe_curve_sql())
+def q_bpe_curve(spark, sf):
+    # the MERGE-VALUE curve — corpus subword count after 0..k BPE merges,
+    # the marginal-compression report a vocab-size decision reads (each
+    # row's delta = tokens saved by that merge; the knee is where you
+    # stop growing the vocabulary). Point 0 = character count. Single-
+    # char words ride as a constant (they never merge). The oracle reads
+    # each count off the training chain's OWN intermediate censuses
+    # (w_0..w_k already exist as CTEs); the Spark side replays the
+    # trained merges progressively over the persisted census with one
+    # census-sized aggregate per point.
+    #
+    # Scale: training cost as q_bpe_train (census loop); the curve adds
+    # k+1 census-sized aggregates — nothing corpus-sized beyond the one
+    # census scan.
+    merges = _bpe_train_merges(spark, sf)
+    d = T(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    ones = words.filter(F.length("w") == 1).count()
+    spelled = F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
+    )
+    census = (
+        words.filter(F.length("w") >= 2)
+        .select(spelled.alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()  # k+1 curve aggregates; caller clearCache()s
+    )
+
+    def total(cdf):
+        n = cdf.select(
+            F.sum(
+                F.col("wc")
+                * F.size(F.filter(F.split("sym", "·"), lambda t: t != ""))
+            ).alias("t")
+        ).collect()[0]["t"]
+        return int(n) + ones
+
+    rows = [(0, total(census))]
+    for rank, x, y, _, _ in merges:
+        s = F.split("sym", "·")
+        fold = F.aggregate(
+            F.slice(s, F.lit(2), F.size(s) - 1),
+            F.element_at(s, 1),
+            lambda acc, el: F.when(
+                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                & (el == F.lit(y)),
+                F.concat(acc, F.lit(y)),
+            ).otherwise(F.concat(acc, F.lit("·"), el)),
+        )
+        census = census.select(fold.alias("sym"), "wc")
+        rows.append((rank, total(census)))
+    return spark.createDataFrame(
+        rows, "n_merges bigint, total_subwords bigint"
+    ).orderBy("n_merges")

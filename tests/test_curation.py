@@ -233,6 +233,49 @@ def test_bpe_apply_consumes_trained_merges(spark, sf_dir):
         assert got[r["doc_id"]] == (len(ws), sum(apply_word(w) for w in ws))
 
 
+def test_bpe_curve_matches_naive_python(spark, sf_dir):
+    """q_bpe_curve vs a python replay: corpus total subword count after
+    0..k canonical merges. Point 0 = character count of multi-char words
+    plus the single-char-word constant; each point replays the trained
+    merges (already pinned canonical by test_bpe_train_matches_naive_python)
+    left-to-right non-overlapping over the word census."""
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    toks = [w for r in docs for w in r["text"].split(" ") if w]
+    ones = sum(1 for w in toks if len(w) == 1)
+    census = Counter("·".join(w) for w in toks if len(w) >= 2)
+    trained = QS["q_bpe_train"](spark, sf_dir).collect()
+
+    def total(c):
+        return ones + sum(wc * len(sym.split("·")) for sym, wc in c.items())
+
+    expected = [(0, total(census))]
+    for r in trained:
+        x, y = r["x"], r["y"]
+        new = Counter()
+        for sym, wc in census.items():
+            s = sym.split("·")
+            out = [s[0]]
+            for el in s[1:]:
+                if out[-1] == x and el == y:
+                    out[-1] = x + y
+                else:
+                    out.append(el)
+            new["·".join(out)] += wc
+        census = new
+        expected.append((r["rank"], total(census)))
+    got = [
+        (r["n_merges"], r["total_subwords"])
+        for r in QS["q_bpe_curve"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # compression curve must be strictly decreasing: every accepted merge
+    # saves at least one token occurrence
+    totals = [t for _, t in got]
+    assert all(a > b for a, b in zip(totals, totals[1:]))
+
+
 def test_decontaminate_doc_matches_naive_python(spark, sf_dir):
     """q_decontaminate vs python set arithmetic: 5-gram shingles, eval =
     doc_id % 97, per-train-doc distinct shared grams + eval docs hit."""
