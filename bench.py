@@ -106,6 +106,8 @@ HEADLINE = [
     "q_decontaminate_doc",  # broadcast-eval n-gram screening
     "q_partition_bounds",   # shared-round multi-rank boundary probes
     "q_bpe_train",          # full k-merge tokenizer training (census loop)
+    "q_chunk_fixed",        # map-only token-window chunking (scan-speed)
+    "q_pack_greedy",        # T5-style no-split packing, Arrow grouped-map
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

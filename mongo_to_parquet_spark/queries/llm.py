@@ -3194,3 +3194,199 @@ def q_dedup_url(spark, sf):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ----------------------------------------------- chunking & seq packing ----
+#: tokens per retrieval chunk / per packed training sequence, and the
+#: shard fan-out for packing. At 100 TB the shard count is sized to the
+#: cluster (n_shards ~ total_tokens / tokens_per_output_file); 8 keeps
+#: the sf fixtures multi-bin per shard.
+_CHUNK_L = 32
+_PACK_L = 128
+_PACK_SHARDS = 8
+
+
+@q(
+    "q_chunk_fixed",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range((n + {_CHUNK_L - 1}) // {_CHUNK_L})) AS i
+          FROM nz)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(least({_CHUNK_L}, n - i * {_CHUNK_L}) AS BIGINT) AS n_tokens,
+           array_to_string(
+               toks[i * {_CHUNK_L} + 1 : least(n, (i + 1) * {_CHUNK_L})], ' '
+           ) AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_fixed(spark, sf):
+    # fixed-size token-window chunking — the context-length splitter every
+    # RAG index and pretraining tokenizer front-end runs: each doc becomes
+    # ceil(n_tokens/L) chunks of <= L whitespace tokens, id'd by ordinal.
+    # Pure map-side codegen (split -> explode(sequence) -> slice): no
+    # shuffle, no UDF, the chunker inherits the scan's parallelism.
+    #
+    # Scale: map-only — at 100 TB this is the one op that SHOULD be free;
+    # output rows ~ corpus_tokens/L ride straight into the next stage
+    # (embed / index / pack) without a repartition. Empty docs (zero
+    # tokens after the '' filter) are dropped in BOTH engines.
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    c = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.expr(f"sequence(0, (size(toks) - 1) div {_CHUNK_L})")
+        ).alias("i"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.least(F.lit(_CHUNK_L), F.col("n") - F.col("i") * _CHUNK_L)
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(
+            f"array_join(slice(toks, i * {_CHUNK_L} + 1, {_CHUNK_L}), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+@q(
+    "q_pack_concat",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t WHERE n_tok > 0
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tok,
+           CAST((cum - n_tok) // {_PACK_L} AS BIGINT) AS first_seq,
+           CAST((cum - 1) // {_PACK_L} AS BIGINT) AS last_seq,
+           CAST((cum - n_tok) % {_PACK_L} AS BIGINT) AS offset_in_seq
+    FROM c
+    """,
+)
+def q_pack_concat(spark, sf):
+    # concat-and-split sequence packing (the GPT-2/Pile recipe): within
+    # each shard, docs are laid end-to-end in doc_id order into one token
+    # stream cut every L tokens; a doc may SPAN sequences. Each doc's
+    # placement is pure integer window math over the shard-local running
+    # token count: first_seq = floor(cum_before/L), last_seq =
+    # floor((cum_after-1)/L), offset = cum_before mod L — fully
+    # declarative, zero padding waste by construction.
+    #
+    # Scale: ONE cumulative window per shard partition; shards are the
+    # output training files, so their count grows with the corpus and the
+    # windows stay bounded and parallel (the spearman lesson: never a
+    # single global running sum). No UDF, no join; integers end to end.
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, never float `/`: shard-local running token counts can
+    # pass 2^53 at real scale, where float floor-division loses exactness
+    cum = base.select("shard", "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    return cum.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {_PACK_L}").cast("long").alias("first_seq"),
+        F.expr(f"(cum - 1) div {_PACK_L}").cast("long").alias("last_seq"),
+        F.expr(f"(cum - n_tok) % {_PACK_L}").cast("long").alias("offset_in_seq"),
+    )
+
+
+@q(
+    "q_pack_greedy",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT shard, doc_id, n_tok,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM t WHERE n_tok > 0
+    ),
+    pack AS (
+        SELECT shard, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT nxt.shard, nxt.rn, nxt.doc_id, nxt.n_tok,
+               CASE WHEN p.fill + nxt.n_tok <= {_PACK_L}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill + nxt.n_tok <= {_PACK_L}
+                    THEN p.fill + nxt.n_tok ELSE nxt.n_tok END
+        FROM pack p JOIN s nxt ON nxt.shard = p.shard AND nxt.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tok, bin_id FROM pack
+    """,
+)
+def q_pack_greedy(spark, sf):
+    # greedy NO-SPLIT sequence packing (the T5 recipe): within each shard,
+    # docs in doc_id order fill the current L-token bin until the next doc
+    # would overflow, then a fresh bin starts; docs never span bins (the
+    # remainder is padding at train time). The fold is an order-dependent
+    # recurrence Spark's declarative surface cannot express, so this is
+    # the package's canonical applyInPandas custom operator: sequential
+    # WITHIN a shard, shard-parallel ACROSS the cluster — exactly the
+    # parallelism the workload itself has. Oracle = a recursive CTE
+    # advancing every shard one doc per step.
+    #
+    # Scale: one shuffle by shard (the output-file key), then a linear
+    # Arrow-batched pass per shard; shard count grows with the corpus so
+    # per-task state stays bounded (a shard ~ one training file). An
+    # oversized doc (n_tok > L) gets a bin alone, like T5's truncation
+    # path.
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tok"]:
+            if fill > 0 and fill + t > _PACK_L:
+                b += 1
+                fill = 0
+            bins.append(b)
+            fill += t
+        pdf["bin_id"] = bins
+        return pdf[["shard", "doc_id", "n_tok", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tok bigint, bin_id bigint"
+    )

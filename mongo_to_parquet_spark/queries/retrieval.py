@@ -2059,6 +2059,87 @@ def q_eval_ndcg(spark, sf):
 
 
 @q(
+    "q_eval_mrr",
+    """
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    ranked AS (
+        SELECT probe_id, rk,
+               CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+        FROM (
+            SELECT p.probe_id, e.label, p.plabel,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(p.pv AS DOUBLE[])), 4) DESC,
+                       e.vec_id ASC) AS rk
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= 10
+    ),
+    frr AS (
+        SELECT probe_id,
+               COALESCE(MIN(CASE WHEN rel = 1 THEN rk END), 0) AS first_rk
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN first_rk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN first_rk > 0 THEN 2520 // first_rk ELSE 0 END)
+                AS BIGINT) AS mrr_x2520
+    FROM frr
+    """,
+)
+def q_eval_mrr(spark, sf):
+    # MRR@10 over the exact cosine top-10 — the one-number eval summary
+    # beside q_eval_ranking's per-probe metrics and q_eval_ndcg: mean
+    # reciprocal rank of the FIRST relevant hit, zero when none lands in
+    # the top-10. Exact integer arithmetic via the lcm(1..10)=2520 scaling
+    # (the ap_x2520 discipline): 2520/rk is whole for every rk <= 10, so
+    # mrr_x2520 is a plain BIGINT sum — divide by 2520*n_probes offline.
+    #
+    # Scale: the shared batch-eval shape (one corpus scan scores all
+    # probes, WindowGroupLimit keeps 10 per probe), then two tiny
+    # aggregates over k*|probes| rows. With labeled eval sets in the
+    # millions the same plan shards by probe_id.
+    from mongo_to_parquet_spark.operators.similarity import brute_force_topk_batch
+
+    emb = T(spark, sf, "embeddings")
+    probes = list(_EVAL_PROBES)
+    labels = emb.select("vec_id", "label")
+    plabels = F.broadcast(
+        emb.filter(F.col("vec_id").isin(probes)).select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+        )
+    )
+    frr = (
+        brute_force_topk_batch(emb, probes, k=10)
+        .join(labels, "vec_id")
+        .join(plabels, "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("label") == F.col("plabel"), F.col("rk"))),
+                F.lit(0),
+            ).alias("first_rk")
+        )
+    )
+    return frr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("first_rk") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.sum(
+            F.when(
+                F.col("first_rk") > 0, F.expr("2520 div first_rk")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("mrr_x2520"),
+    )
+
+
+@q(
     "q_eval_kmv_error",
     f"""
     WITH d AS (SELECT DISTINCT event_type, {_sk.kmv_hash_sql('user_id')} AS h

@@ -106,3 +106,46 @@ def test_pack_curriculum_duplicate_heavy_nll(spark, tmp_path):
     want = _duck(d, ["documents"]).execute(OS["q_pack_curriculum"]).fetchall()
     assert len(got) == 1 and got[0]["bucket"] == 1 and got[0]["n_docs"] == 40
     assert _rows(got) == _rows(want)
+
+
+def test_chunk_and_pack_degenerate_docs(spark, tmp_path):
+    """Degenerate chunk/pack inputs the fixtures never produce: empty
+    text, whitespace-only text (splits to only '' tokens), a 1-token doc,
+    docs at exactly L and L+1 tokens, and a giant 3L+5-token doc. Both
+    engines must drop the token-less docs, clamp the tail slice, and
+    agree row-for-row; the giant doc must span sequences (concat) and sit
+    alone in its bin (greedy)."""
+    d = str(tmp_path)
+    L_CHUNK, L_PACK = 32, 128
+    texts = {
+        1: "",
+        2: "   ",
+        3: "one",
+        4: " ".join(f"w{i}" for i in range(L_CHUNK)),       # exactly one chunk
+        5: " ".join(f"w{i}" for i in range(L_CHUNK + 1)),   # 2 chunks, tail of 1
+        6: " ".join(f"g{i}" for i in range(3 * L_PACK + 5)),  # spans >3 seqs
+        9: "a  b",  # double space -> '' token filtered
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ).to_parquet(f"{d}/documents.parquet")
+    con = _duck(d, ["documents"])
+    for key in ("q_chunk_fixed", "q_pack_concat", "q_pack_greedy"):
+        got = QS[key](spark, d).collect()
+        want = con.execute(OS[key]).fetchall()
+        assert _rows(got) == _rows(want), key
+        ids = {r["doc_id"] for r in got}
+        assert 1 not in ids and 2 not in ids, key  # token-less docs dropped
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): r["n_tokens"]
+        for r in QS["q_chunk_fixed"](spark, d).collect()
+    }
+    assert chunks[(4, 0)] == L_CHUNK and (4, 1) not in chunks
+    assert chunks[(5, 0)] == L_CHUNK and chunks[(5, 1)] == 1
+    concat = {r["doc_id"]: r for r in QS["q_pack_concat"](spark, d).collect()}
+    assert concat[6]["last_seq"] - concat[6]["first_seq"] >= 3  # giant doc spans
+    greedy = {r["doc_id"]: r for r in QS["q_pack_greedy"](spark, d).collect()}
+    bins = {}
+    for r in greedy.values():
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r["doc_id"])
+    assert bins[(greedy[6]["shard"], greedy[6]["bin_id"])] == [6]  # loner bin

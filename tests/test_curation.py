@@ -419,3 +419,91 @@ def test_mix_temperature_matches_python_and_flattens(spark, sf_dir):
     big = max(got, key=lambda s: got[s][1])
     assert got[small][3] >= got[small][2]  # upweighted
     assert got[big][3] <= got[big][2]      # downweighted
+
+
+def test_chunk_fixed_matches_naive_python(spark, sf_dir):
+    """q_chunk_fixed vs a python splitter: every doc becomes
+    ceil(n/L) chunks of <= L=32 whitespace tokens; reassembling the
+    chunks in chunk_id order must reproduce the token stream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        toks = [w for w in r["text"].split(" ") if w]
+        for i in range(0, (len(toks) + 31) // 32):
+            part = toks[i * 32 : (i + 1) * 32]
+            expected[(r["doc_id"], i)] = (len(part), " ".join(part))
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in QS["q_chunk_fixed"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # multi-chunk docs must exist or the op is untested
+    assert any(cid > 0 for _, cid in got)
+
+
+def test_pack_concat_matches_naive_python(spark, sf_dir):
+    """q_pack_concat vs a python replay of the concat-and-split layout:
+    per shard, docs laid end-to-end in doc_id order, cut every L=128
+    tokens. Also pins the span invariant: consecutive docs in a shard
+    tile the token stream with no gaps."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shards = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        n = len([w for w in r["text"].split(" ") if w])
+        if n == 0:
+            continue
+        shards.setdefault(r["doc_id"] % 8, []).append((r["doc_id"], n))
+    expected = {}
+    for sh, ds in shards.items():
+        cum = 0
+        for doc_id, n in ds:
+            expected[doc_id] = (sh, n, cum // 128, (cum + n - 1) // 128, cum % 128)
+            cum += n
+    got = {
+        r["doc_id"]: (
+            r["shard"], r["n_tok"], r["first_seq"], r["last_seq"], r["offset_in_seq"]
+        )
+        for r in QS["q_pack_concat"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # some doc must span a sequence boundary, else the op is untested
+    assert any(f != l for _, _, f, l, _ in got.values())
+
+
+def test_pack_greedy_matches_naive_python(spark, sf_dir):
+    """q_pack_greedy vs an independent python greedy packer, plus the
+    packing invariants: bins within a shard are contiguous from 0, and
+    every bin fits L=128 tokens unless it holds a single oversized doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shards = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        n = len([w for w in r["text"].split(" ") if w])
+        if n == 0:
+            continue
+        shards.setdefault(r["doc_id"] % 8, []).append((r["doc_id"], n))
+    expected = {}
+    for sh, ds in shards.items():
+        fill, b = 0, 0
+        for doc_id, n in ds:
+            if fill > 0 and fill + n > 128:
+                b, fill = b + 1, 0
+            expected[doc_id] = (sh, n, b)
+            fill += n
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["bin_id"])
+        for r in QS["q_pack_greedy"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for sh, n, b in got.values():
+        fills[(sh, b)].append(n)
+    for (sh, b), ns in fills.items():
+        assert sum(ns) <= 128 or len(ns) == 1  # only an oversized loner overflows
+    per_shard = defaultdict(set)
+    for sh, _, b in got.values():
+        per_shard[sh].add(b)
+    for sh, bs in per_shard.items():
+        assert bs == set(range(max(bs) + 1))  # contiguous bin ids
+        assert max(bs) >= 1  # multi-bin shards or the op is untested

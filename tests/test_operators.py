@@ -1929,3 +1929,45 @@ def test_exact_ranks_smallest_matches_single_probes(spark):
     multi = exact_ranks_smallest(cdf, "v", ks, buckets=8, weight_col="w")
     for k in set(ks):
         assert multi[k] == exact_kth_smallest(cdf, "v", k, buckets=8, weight_col="w")
+
+
+def test_mrr_matches_naive_python(spark, sf_dir):
+    """q_eval_mrr vs a from-scratch python recompute: exact cosine top-10
+    per probe, first relevant rank, 2520-scaled reciprocal-rank sum —
+    exact integers, plus the invariant mrr_x2520 <= 2520 * n_hit."""
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.queries.retrieval import _EVAL_PROBES
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in rows}
+    n_hit = mrr = 0
+    for pid in _EVAL_PROBES:
+        pv, plabel = vecs[pid]
+        pn = math.sqrt(sum(x * x for x in pv))
+        scored = sorted(
+            (
+                (
+                    -round(
+                        sum(a * b for a, b in zip(v, pv))
+                        / (math.sqrt(sum(x * x for x in v)) * pn),
+                        4,
+                    ),
+                    vid,
+                )
+                for vid, (v, lbl) in vecs.items()
+                if vid != pid
+            ),
+        )[:10]
+        first = next(
+            (i + 1 for i, (_, vid) in enumerate(scored) if vecs[vid][1] == plabel),
+            0,
+        )
+        if first:
+            n_hit += 1
+            mrr += 2520 // first
+    [r] = queries()["q_eval_mrr"](spark, sf_dir).collect()
+    assert (r["n_probes"], r["n_hit"], r["mrr_x2520"]) == (len(_EVAL_PROBES), n_hit, mrr)
+    assert r["mrr_x2520"] <= 2520 * r["n_hit"]

@@ -854,3 +854,31 @@ def test_mix_temperature_single_scan(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert checks.count_nodes(df, "Scan parquet") == 1
     assert "Python" not in plan
+
+
+def test_chunk_fixed_map_only(spark, sf_dir):
+    # the chunker runs at scan speed: explode(sequence)+slice, no
+    # exchange, no join, no Python
+    df = QS["q_chunk_fixed"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Exchange") == 0
+    assert checks.count_nodes(df, "Generate") >= 1
+    assert "Python" not in plan
+
+
+def test_pack_concat_one_shuffle_no_python(spark, sf_dir):
+    # concat-and-split packing = ONE exchange by shard feeding the
+    # cumulative window; integer math stays JVM-side
+    df = QS["q_pack_concat"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_nodes(df, "Exchange") == 1
+    assert checks.count_nodes(df, "Window") == 1
+    assert "Python" not in plan
+
+
+def test_pack_greedy_one_shuffle_arrow_grouped(spark, sf_dir):
+    # greedy packing = ONE exchange by shard into the Arrow-batched
+    # grouped-map pass; the token counting stays JVM-side before it
+    df = QS["q_pack_greedy"](spark, sf_dir)
+    assert checks.count_nodes(df, "Exchange") == 1
+    assert checks.count_nodes(df, "FlatMapGroupsInPandas") == 1

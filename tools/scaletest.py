@@ -101,6 +101,11 @@ PROBES = {
     "q_partition_bounds": ["lineitem"],    # key census ×m, probe passes constant
     "q_sim_topk_ivfpq_refine": ["embeddings"],
     "q_sim_topk_ivfpq_incremental": ["embeddings"],
+    # chunking/packing: doc_id offsets keep the %8 shards balanced as the
+    # corpus grows; chunk rows and per-shard token streams scale ×m
+    "q_chunk_fixed": ["documents"],
+    "q_pack_concat": ["documents"],
+    "q_pack_greedy": ["documents"],
 }
 
 #: per-table key columns to offset per replica
