@@ -3390,3 +3390,219 @@ def q_pack_greedy(spark, sf):
     return base.groupBy("shard").applyInPandas(
         pack, "shard bigint, doc_id bigint, n_tok bigint, bin_id bigint"
     )
+
+
+# ------------------------------------------------------- epoch shuffling ---
+#: epochs to materialize and the hash-prefix bucket fan-out for the
+#: scale-safe global rank (two hex chars = 256 near-uniform buckets)
+_SHUF_EPOCHS = 2
+
+
+@q(
+    "q_shuffle_epoch",
+    f"""
+    WITH e AS (SELECT unnest(range({_SHUF_EPOCHS})) AS epoch),
+    k AS (
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+               md5(concat('ep', CAST(epoch AS VARCHAR), ':',
+                          CAST(doc_id AS VARCHAR))) AS skey
+        FROM documents CROSS JOIN e
+    )
+    SELECT epoch, doc_id, skey,
+           CAST(row_number() OVER (PARTITION BY epoch
+                ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
+    FROM k
+    """,
+)
+def q_shuffle_epoch(spark, sf):
+    # deterministic per-epoch data-order shuffling — reproducible training
+    # requires each epoch's permutation to be a pure function of
+    # (epoch, doc_id), not an RNG: sort key = md5('ep<e>:<id>'), a fresh
+    # near-uniform order per epoch that any worker can recompute.
+    #
+    # The global rank is computed the SCALE-SAFE way (the spearman
+    # lesson: never one corpus-sized sort task): rows bucket by the
+    # key's first 2 hex chars (256 near-uniform buckets), rank within
+    # (epoch, bucket) windows runs distributed, and each bucket's offset
+    # comes from a 256-row census window — rank = offset + local rank,
+    # identical to the single global sort the oracle runs.
+    d = T(spark, sf, "documents")
+    epochs = spark.range(_SHUF_EPOCHS).select(F.col("id").alias("epoch"))
+    k = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("skey"),
+        )
+        .withColumn("bkt", F.substring("skey", 1, 2))
+    )
+    from pyspark.sql import Window as W
+
+    local = F.row_number().over(
+        W.partitionBy("epoch", "bkt").orderBy(F.asc("skey"), F.asc("doc_id"))
+    )
+    ranked = k.select("epoch", "doc_id", "skey", "bkt", local.alias("lrk"))
+    census = (
+        k.groupBy("epoch", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "epoch",
+            "bkt",
+            (
+                F.sum("n").over(
+                    W.partitionBy("epoch")
+                    .orderBy("bkt")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("n")
+            ).alias("offset"),
+        )
+    )
+    return ranked.join(F.broadcast(census), ["epoch", "bkt"]).select(
+        "epoch",
+        "doc_id",
+        "skey",
+        (F.col("offset") + F.col("lrk")).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------- bitext mining --
+#: source/target language pair and the neighborhood size for the margin
+#: denominator (Artetxe & Schwenk 2019 use k=4 over both directions)
+_BITEXT_SRC, _BITEXT_TGT = "en", "fr"
+_BITEXT_K = 4
+
+
+@q(
+    "q_mine_bitext",
+    f"""
+    WITH a AS (
+        SELECT d.doc_id AS a_id, e.embedding AS va
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = '{_BITEXT_SRC}'
+    ),
+    b AS (
+        SELECT d.doc_id AS b_id, e.embedding AS vb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = '{_BITEXT_TGT}'
+    ),
+    sims AS (
+        SELECT a_id, b_id,
+               CAST(ROUND(list_cosine_similarity(CAST(va AS DOUBLE[]),
+                                                 CAST(vb AS DOUBLE[])) * 10000)
+                    AS BIGINT) AS s
+        FROM a CROSS JOIN b
+    ),
+    pos AS (SELECT * FROM sims WHERE s > 0),
+    ka AS (
+        SELECT a_id, CAST(SUM(s) AS BIGINT) AS sum_a,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM (SELECT a_id, s, row_number() OVER (PARTITION BY a_id
+                  ORDER BY s DESC, b_id ASC) AS rk FROM pos)
+        WHERE rk <= {_BITEXT_K} GROUP BY a_id
+    ),
+    kb AS (
+        SELECT b_id, CAST(SUM(s) AS BIGINT) AS sum_b,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM (SELECT b_id, s, row_number() OVER (PARTITION BY b_id
+                  ORDER BY s DESC, a_id ASC) AS rk FROM pos)
+        WHERE rk <= {_BITEXT_K} GROUP BY b_id
+    ),
+    best AS (
+        SELECT a_id, b_id, s FROM (
+            SELECT a_id, b_id, s, row_number() OVER (PARTITION BY a_id
+                ORDER BY s DESC, b_id ASC) AS rk FROM pos)
+        WHERE rk = 1
+    )
+    SELECT best.a_id, best.b_id, s AS sim_x10000,
+           CAST((2 * n_a * n_b * s * 10000)
+                // GREATEST(sum_a * n_b + sum_b * n_a, 1) AS BIGINT)
+               AS margin_x10000
+    FROM best JOIN ka USING (a_id) JOIN kb USING (b_id)
+    WHERE (2 * n_a * n_b * s * 10000)
+          // GREATEST(sum_a * n_b + sum_b * n_a, 1) > 10000
+    """,
+)
+def q_mine_bitext(spark, sf):
+    # margin-based bitext mining (Artetxe & Schwenk 2019, the
+    # LASER/CCMatrix recipe): candidate translation pairs are source-lang
+    # docs matched to their best target-lang neighbor, scored by the
+    # RATIO margin — cos(x,y) over the mean of both directions' k-NN
+    # similarities — and kept when the margin clears 1.0 (the pair is
+    # closer than its neighborhoods' background). All arithmetic integer:
+    # sims land as ROUND(cos*10⁴) BIGINTs (the nll_i discipline), the
+    # margin is one exact rational 2·n_a·n_b·s·10⁴ / (sum_a·n_b+sum_b·n_a)
+    # floor-divided — handles short neighborhoods (< k) exactly, and the
+    # GREATEST(...,1) clamps the all-negative-sims degenerate away from
+    # ÷0 (lesson 29: clamp, don't guard).
+    #
+    # Scale: this is the exact/eval form — one sims relation feeds both
+    # k-NN censuses and the best-match ranks (WindowGroupLimit each). At
+    # CCMatrix scale the sims relation is ANN-generated (the IVF×PQ
+    # serving keys are the candidate generator); the margin math is
+    # unchanged — it only ever sees k rows per id.
+    d = T(spark, sf, "documents")
+    e = T(spark, sf, "embeddings")
+    pair = d.join(e, d.doc_id == e.vec_id)
+    a = pair.filter(F.col("lang") == _BITEXT_SRC).select(
+        F.col("doc_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = pair.filter(F.col("lang") == _BITEXT_TGT).select(
+        F.col("doc_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("va"), F.col("vb")) * 10000)
+            .cast("bigint")
+            .alias("s"),
+        )
+        .filter(F.col("s") > 0)
+        .persist()  # three consumers w/ different shapes; caller clearCache()s
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy("a_id").orderBy(F.col("s").desc(), F.col("b_id").asc())
+    wb = W.partitionBy("b_id").orderBy(F.col("s").desc(), F.col("a_id").asc())
+    ka = (
+        sims.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _BITEXT_K)
+        .groupBy("a_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("sum_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        )
+    )
+    kb = (
+        sims.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= _BITEXT_K)
+        .groupBy("b_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("sum_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        )
+    )
+    best = sims.withColumn("rk", F.row_number().over(wa)).filter(F.col("rk") == 1)
+    margin = F.expr(
+        "(2 * n_a * n_b * s * 10000)"
+        " div GREATEST(sum_a * n_b + sum_b * n_a, 1)"
+    ).cast("bigint")
+    return (
+        best.join(ka, "a_id")
+        .join(F.broadcast(kb), "b_id")
+        .select(
+            "a_id", "b_id", F.col("s").alias("sim_x10000"), margin.alias("margin_x10000")
+        )
+        .filter(F.col("margin_x10000") > 10000)
+    )

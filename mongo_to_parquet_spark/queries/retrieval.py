@@ -2461,3 +2461,60 @@ BENCH_ONLY = {
     "q_sim_topk_ivfpq_serve": q_sim_topk_ivfpq_serve,
     "q_sim_topk_ivfpq_refine_serve": q_sim_topk_ivfpq_refine_serve,
 }
+
+
+# ---------------------------------------------------------- phrase search --
+#: the fixed 2-term phrase (adjacent tokens, in order) — present in the
+#: fixtures (~7% of docs at sf0.01) so hits are non-trivial
+_PHRASE = ("spark", "join")
+
+
+@q(
+    "q_phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    t1 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[0]}'),
+    t2 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[1]}')
+    SELECT t1.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(t1.pos) AS BIGINT) AS first_pos
+    FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    GROUP BY t1.doc_id
+    """,
+)
+def q_phrase_search(spark, sf):
+    # exact phrase query over a POSITIONAL index — the retrieval feature
+    # the bag-of-words inverted index (q_inverted_index) cannot answer:
+    # docs where the phrase's tokens are ADJACENT in order, with hit count
+    # and first position (1-based). Each term's posting list is filtered
+    # at the scan, then a self-equi-join on (doc_id, pos+1) finds
+    # adjacency — the classic positional-index merge, as a join.
+    #
+    # Scale: the term filters reach the scan, so only the two posting
+    # lists (corpus-frequency-sized, not corpus-sized) are ever
+    # materialized; the adjacency join keys on (doc_id, pos) — exactly
+    # what a positional index shards by. N-term phrases chain N-1 of
+    # these joins, each narrowing the candidate set.
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    t1 = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
+    t2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        t1.join(
+            t2,
+            (t1.doc_id == t2.doc_id2) & (t2.pos2 == t1.pos + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )

@@ -1971,3 +1971,120 @@ def test_mrr_matches_naive_python(spark, sf_dir):
     [r] = queries()["q_eval_mrr"](spark, sf_dir).collect()
     assert (r["n_probes"], r["n_hit"], r["mrr_x2520"]) == (len(_EVAL_PROBES), n_hit, mrr)
     assert r["mrr_x2520"] <= 2520 * r["n_hit"]
+
+
+def test_phrase_search_matches_naive_python(spark, sf_dir):
+    """q_phrase_search vs a python scan for adjacent ('spark','join')
+    token pairs: per-doc hit count and 1-based first position."""
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        hits = [
+            i + 1
+            for i, (x, y) in enumerate(zip(toks, toks[1:]))
+            if x == "spark" and y == "join"
+        ]
+        if hits:
+            expected[r["doc_id"]] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in queries()["q_phrase_search"](spark, sf_dir).collect()
+    }
+    assert got == expected and expected
+
+
+def test_shuffle_epoch_is_md5_permutation(spark, sf_dir):
+    """q_shuffle_epoch vs a python md5 sort: the two-level bucketed rank
+    must equal the plain global sort, each epoch must be a bijection on
+    doc_ids, and the two epochs must order the corpus differently."""
+    import hashlib
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expected = {}
+    for ep in (0, 1):
+        keyed = sorted(
+            (hashlib.md5(f"ep{ep}:{i}".encode()).hexdigest(), i) for i in ids
+        )
+        for rk, (skey, i) in enumerate(keyed, start=1):
+            expected[(ep, i)] = (skey, rk)
+    got = {
+        (r["epoch"], r["doc_id"]): (r["skey"], r["rank"])
+        for r in queries()["q_shuffle_epoch"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    order0 = [i for (ep, i), (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1]) if ep == 0]
+    order1 = [i for (ep, i), (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1]) if ep == 1]
+    assert sorted(order0) == sorted(order1) == sorted(ids)  # bijections
+    assert order0 != order1  # epochs genuinely reshuffle
+
+
+def test_mine_bitext_matches_naive_python(spark, sf_dir):
+    """q_mine_bitext vs a from-scratch python miner: en->fr best match
+    by rounded-integer cosine, ratio margin over both directions' k=4
+    neighborhoods, keep margin > 1.0. Also pins that every kept pair's
+    sim clears its own neighborhood averages."""
+    import math
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    d = {r["doc_id"]: r["lang"] for r in load_table(spark, sf_dir, "documents").collect()}
+    e = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    A = sorted(i for i, l in d.items() if l == "en" and i in e)
+    B = sorted(i for i, l in d.items() if l == "fr" and i in e)
+
+    def cos(u, v):
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return sum(x * y for x, y in zip(u, v)) / (nu * nv)
+
+    s = {}
+    for ai in A:
+        for bi in B:
+            si = round(cos(e[ai], e[bi]) * 10000)
+            if si > 0:
+                s[(ai, bi)] = si
+    ka, kb = {}, {}
+    for ai in A:
+        row = sorted(((s[(ai, bi)], -bi) for bi in B if (ai, bi) in s), reverse=True)[:4]
+        if row:
+            ka[ai] = (sum(v for v, _ in row), len(row))
+    for bi in B:
+        col = sorted(((s[(ai, bi)], -ai) for ai in A if (ai, bi) in s), reverse=True)[:4]
+        if col:
+            kb[bi] = (sum(v for v, _ in col), len(col))
+    expected = {}
+    for ai in A:
+        cands = sorted(((s[(ai, bi)], -bi) for bi in B if (ai, bi) in s), reverse=True)
+        if not cands:
+            continue
+        si, nbi = cands[0]
+        bi = -nbi
+        sum_a, n_a = ka[ai]
+        sum_b, n_b = kb[bi]
+        m = (2 * n_a * n_b * si * 10000) // max(sum_a * n_b + sum_b * n_a, 1)
+        if m > 10000:
+            expected[(ai, bi)] = (si, m)
+    got = {
+        (r["a_id"], r["b_id"]): (r["sim_x10000"], r["margin_x10000"])
+        for r in queries()["q_mine_bitext"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()  # the query persists its sims relation
+    assert got == expected and expected
+    for (ai, bi), (si, m) in got.items():
+        sum_a, n_a = ka[ai]
+        sum_b, n_b = kb[bi]
+        assert 2 * si >= sum_a // n_a + sum_b // n_b  # clears the background

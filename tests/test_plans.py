@@ -882,3 +882,29 @@ def test_pack_greedy_one_shuffle_arrow_grouped(spark, sf_dir):
     df = QS["q_pack_greedy"](spark, sf_dir)
     assert checks.count_nodes(df, "Exchange") == 1
     assert checks.count_nodes(df, "FlatMapGroupsInPandas") == 1
+
+
+def test_phrase_search_filters_before_join(spark, sf_dir):
+    # only the two term posting lists reach the adjacency join — the
+    # filters sit under it, never a corpus-wide positional self-join
+    df = QS["q_phrase_search"](spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "spark" in plan and "join" in plan  # term literals pushed into Filters
+    assert checks.count_nodes(df, "SortMergeJoin") + checks.count_nodes(
+        df, "BroadcastHashJoin"
+    ) == 1
+
+
+def test_shuffle_epoch_no_single_task_sort(spark, sf_dir):
+    # the scale-safe two-level rank: every window partitions by
+    # (epoch, bucket) or by epoch over the 256-row census — no global
+    # unpartitioned Sort of the corpus
+    plan = checks.formatted_plan(QS["q_shuffle_epoch"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mine_bitext_group_limits_knn_windows(spark, sf_dir):
+    # the k-NN censuses keep k rows per id BEFORE the shuffle
+    df = QS["q_mine_bitext"](spark, sf_dir)
+    assert checks.count_nodes(df, "WindowGroupLimit") >= 2
+    spark.catalog.clearCache()
