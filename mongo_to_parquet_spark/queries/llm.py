@@ -3606,3 +3606,168 @@ def q_mine_bitext(spark, sf):
         )
         .filter(F.col("margin_x10000") > 10000)
     )
+
+
+# one packing definition gates both keys — the q_dedup_incremental
+# derivation trick applied to the packer (the greedy oracle is embedded
+# verbatim, so a parameter change there re-gates this report too)
+@q(
+    "q_pack_eff",
+    f"""
+    WITH g AS ({ORACLE["q_pack_greedy"]}),
+    bins AS (
+        SELECT shard, bin_id, CAST(SUM(n_tok) AS BIGINT) AS fill
+        FROM g GROUP BY shard, bin_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM g
+    ),
+    bstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(GREATEST({_PACK_L} - fill, 0)) AS BIGINT) AS padding_tokens,
+               CAST(SUM(LEAST(fill, {_PACK_L})) AS BIGINT) AS used
+        FROM bins
+    ),
+    cstat AS (
+        SELECT CAST(SUM((st + {_PACK_L - 1}) // {_PACK_L}) AS BIGINT) AS n_seqs_concat
+        FROM (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS st FROM g GROUP BY shard)
+    )
+    SELECT n_docs, n_tokens, n_bins, padding_tokens,
+           CAST(used * 10000 // (n_bins * {_PACK_L}) AS BIGINT) AS greedy_eff_bp,
+           n_seqs_concat,
+           CAST(n_tokens * 10000 // (n_seqs_concat * {_PACK_L}) AS BIGINT)
+               AS concat_eff_bp
+    FROM tot CROSS JOIN bstat CROSS JOIN cstat
+    """,
+)
+def q_pack_eff(spark, sf):
+    # the packing-efficiency report that DECIDES between the two recipes:
+    # greedy no-split wastes (L - fill) padding per bin (oversized loners
+    # clamp to 0 — their overflow is train-time truncation, not padding),
+    # concat-and-split wastes only each shard's final partial sequence.
+    # greedy_eff_bp vs concat_eff_bp is the padding-vs-boundary-crossing
+    # tradeoff in one row of basis points — all integer floor-div.
+    #
+    # Scale: bin fills come from the greedy packer's output (one Arrow
+    # pass — the expensive input is computed once; corpus totals and the
+    # concat seq counts derive from the SAME pre-pack token relation, so
+    # the packer is the only non-map stage). Output is one row.
+    g = QUERIES["q_pack_greedy"](spark, sf)
+    bins = g.groupBy("shard", "bin_id").agg(F.sum("n_tok").alias("fill"))
+    bstat = bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.greatest(F.lit(_PACK_L) - F.col("fill"), F.lit(0)))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.sum(F.least(F.col("fill"), F.lit(_PACK_L))).cast("bigint").alias("used"),
+    )
+    # totals and the concat recipe's seq counts need no bin ids — derive
+    # them from the pre-pack token relation, not a second Arrow pass
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    base = d.select(
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    cstat = (
+        base.groupBy("shard")
+        .agg(F.sum("n_tok").cast("bigint").alias("st"))
+        .agg(
+            F.sum(F.expr(f"(st + {_PACK_L - 1}) div {_PACK_L}"))
+            .cast("bigint")
+            .alias("n_seqs_concat")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(bstat))
+        .crossJoin(F.broadcast(cstat))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_bins",
+            "padding_tokens",
+            F.expr(f"(used * 10000) div (n_bins * {_PACK_L})")
+            .cast("bigint")
+            .alias("greedy_eff_bp"),
+            "n_seqs_concat",
+            F.expr(f"(n_tokens * 10000) div (n_seqs_concat * {_PACK_L})")
+            .cast("bigint")
+            .alias("concat_eff_bp"),
+        )
+    )
+
+
+#: sliding-window chunking: window of _CHUNK_L tokens advancing by
+#: _CHUNK_STRIDE (overlap = L - stride), the standard RAG chunker shape
+_CHUNK_STRIDE = 24
+
+
+@q(
+    "q_chunk_overlap",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(CASE WHEN n <= {_CHUNK_L} THEN 1
+                              ELSE 1 + (n - {_CHUNK_L} + {_CHUNK_STRIDE - 1})
+                                       // {_CHUNK_STRIDE} END)) AS i
+          FROM nz)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_pos,
+           CAST(least({_CHUNK_L}, n - i * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+           array_to_string(
+               toks[i * {_CHUNK_STRIDE} + 1
+                    : least(n, i * {_CHUNK_STRIDE} + {_CHUNK_L})], ' '
+           ) AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_overlap(spark, sf):
+    # sliding-window chunking WITH OVERLAP — the standard RAG chunker
+    # (fixed window W, stride S < W, overlap W−S tokens so no retrieval
+    # boundary splits a span of context): windows start at 0, S, 2S, …
+    # and sliding stops once a window reaches the end of the doc, so the
+    # final chunk is never fully contained in its predecessor
+    # (n_chunks = 1 if n ≤ W else 1 + ceil((n−W)/S)). Same map-only shape
+    # as q_chunk_fixed: split → explode(sequence) → slice, zero shuffle.
+    #
+    # Scale: map-only at scan speed; output is ~n/S rows per doc (a
+    # W/S ≈ 1.33× amplification over the disjoint chunker — the price of
+    # overlap, visible in the row counts, paid nowhere else).
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.expr(
+        f"CASE WHEN size(toks) <= {_CHUNK_L} THEN 1"
+        f" ELSE 1 + (size(toks) - {_CHUNK_L} + {_CHUNK_STRIDE - 1})"
+        f" div {_CHUNK_STRIDE} END"
+    )
+    c = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("i"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        (F.col("i") * _CHUNK_STRIDE + 1).cast("long").alias("start_pos"),
+        F.least(
+            F.lit(_CHUNK_L), F.col("n") - F.col("i") * _CHUNK_STRIDE
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(
+            f"array_join(slice(toks, i * {_CHUNK_STRIDE} + 1, {_CHUNK_L}), ' ')"
+        ).alias("chunk_text"),
+    )

@@ -507,3 +507,77 @@ def test_pack_greedy_matches_naive_python(spark, sf_dir):
     for sh, bs in per_shard.items():
         assert bs == set(range(max(bs) + 1))  # contiguous bin ids
         assert max(bs) >= 1  # multi-bin shards or the op is untested
+
+
+def test_pack_eff_matches_naive_python(spark, sf_dir):
+    """q_pack_eff vs a python recompute over the same greedy replay used
+    by test_pack_greedy, plus the recipe-comparison invariant: concat
+    (which only wastes each shard's final partial sequence) can never be
+    less efficient than greedy no-split packing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shards = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        n = len([w for w in r["text"].split(" ") if w])
+        if n:
+            shards.setdefault(r["doc_id"] % 8, []).append(n)
+    fills = {}
+    n_docs = n_tokens = 0
+    for sh, ns in shards.items():
+        fill, b = 0, 0
+        for n in ns:
+            if fill > 0 and fill + n > 128:
+                b, fill = b + 1, 0
+            fill += n
+            fills[(sh, b)] = fill
+            n_docs += 1
+            n_tokens += n
+    n_bins = len(fills)
+    padding = sum(max(128 - f, 0) for f in fills.values())
+    used = sum(min(f, 128) for f in fills.values())
+    n_seqs = sum((sum(ns) + 127) // 128 for ns in shards.values())
+    [r] = QS["q_pack_eff"](spark, sf_dir).collect()
+    assert (
+        r["n_docs"], r["n_tokens"], r["n_bins"], r["padding_tokens"],
+        r["greedy_eff_bp"], r["n_seqs_concat"], r["concat_eff_bp"],
+    ) == (
+        n_docs, n_tokens, n_bins, padding,
+        used * 10000 // (n_bins * 128), n_seqs,
+        n_tokens * 10000 // (n_seqs * 128),
+    )
+    assert r["concat_eff_bp"] >= r["greedy_eff_bp"]
+    assert r["padding_tokens"] + r["n_tokens"] >= r["n_bins"] * 128  # bins full or padded
+
+
+def test_chunk_overlap_matches_naive_python(spark, sf_dir):
+    """q_chunk_overlap vs a python sliding-window splitter (W=32, S=24),
+    plus the overlap invariants: consecutive chunks overlap by exactly
+    W−S tokens, the final chunk reaches the end of the doc, and no chunk
+    is fully contained in its predecessor."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    W, S = 32, 24
+    expected = {}
+    for r in docs:
+        toks = [w for w in r["text"].split(" ") if w]
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= W else 1 + -(-(n - W) // S)
+        for i in range(n_chunks):
+            part = toks[i * S : i * S + W]
+            expected[(r["doc_id"], i)] = (i * S + 1, len(part), " ".join(part))
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_pos"], r["n_tokens"], r["chunk_text"])
+        for r in QS["q_chunk_overlap"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    by_doc = {}
+    for (d, i), (sp, nt, _) in got.items():
+        by_doc.setdefault(d, {})[i] = (sp, nt)
+    assert any(len(c) > 1 for c in by_doc.values())  # multi-chunk docs exist
+    for d, chunks in by_doc.items():
+        last = max(chunks)
+        for i in range(last):
+            sp, nt = chunks[i]
+            sp2, nt2 = chunks[i + 1]
+            assert sp + nt - sp2 == W - S  # exact overlap between neighbors
+            assert sp2 + nt2 > sp + nt     # successor extends coverage

@@ -106,6 +106,16 @@ PROBES = {
     "q_chunk_fixed": ["documents"],
     "q_pack_concat": ["documents"],
     "q_pack_greedy": ["documents"],
+    # phrase search: postings grow ×m (the per-replica token suffix never
+    # matches the phrase, so hit density is invariant); epoch shuffle:
+    # pure map + bucketed rank, rows ×m. NOT probed: q_mine_bitext — its
+    # exact form is deliberately all-pairs (the eval twin of the
+    # ANN-candidate path, like q_link_fs vs SNM): en×fr sims grow m²
+    # under replication BY CONSTRUCTION, so the probe would measure the
+    # documented exact-twin shape, not a hazard; the scale route is
+    # ANN-generated candidates (see the key's docstring).
+    "q_phrase_search": ["documents"],
+    "q_shuffle_epoch": ["documents"],
 }
 
 #: per-table key columns to offset per replica
