@@ -1419,3 +1419,59 @@ def q_partition_bounds(spark, sf):
     return spark.createDataFrame(
         rows, "bound_idx bigint, target_rank bigint, boundary bigint"
     ).orderBy("bound_idx")
+
+
+# the bounds oracle is embedded verbatim (the q_dedup_incremental
+# derivation trick): one boundary definition gates plan AND layout
+@q(
+    "q_partition_apply",
+    f"""
+    WITH bounds AS ({ORACLE["q_partition_bounds"]}),
+    census AS (
+        SELECT l_orderkey AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    assigned AS (
+        SELECT c.v, c.cnt, CAST(COUNT(b.boundary) AS BIGINT) AS bucket
+        FROM census c LEFT JOIN bounds b ON b.boundary <= c.v
+        GROUP BY c.v, c.cnt
+    )
+    SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q_partition_apply(spark, sf):
+    # APPLY the equi-depth plan — the layout half q_partition_bounds
+    # plans for: every row is assigned bucket = |{boundaries ≤ key}| (a
+    # key equal to a boundary opens the next bucket, matching the
+    # "smallest key reaching the target rank" boundary definition), and
+    # the output is the per-bucket balance audit (n_rows, [lo, hi]) a
+    # sorted-export job publishes next to its files. Closes the
+    # plan→apply loop the way bpe_train→bpe_apply does.
+    #
+    # Scale: the 15 boundaries are a driver-sized pick (the census
+    # exception) folded into a map-side codegen'd array filter — bucket
+    # assignment costs ZERO joins and ZERO shuffles beyond the census
+    # aggregate itself; the audit is a 16-group aggregate. This is
+    # exactly what repartitionByRange does with SAMPLED bounds — here
+    # the bounds are exact and reproducible.
+    bounds = [
+        int(r["boundary"])
+        for r in q_partition_bounds(spark, sf).collect()  # 15-row driver pick
+    ]
+    li = T(spark, sf, "lineitem")
+    census = li.groupBy(F.col("l_orderkey").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: b <= F.col("v"))).cast("bigint")
+    return (
+        census.select(bucket.alias("bucket"), "v", "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.min("v").cast("bigint").alias("lo"),
+            F.max("v").cast("bigint").alias("hi"),
+        )
+    )

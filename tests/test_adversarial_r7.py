@@ -149,3 +149,90 @@ def test_chunk_and_pack_degenerate_docs(spark, tmp_path):
     for r in greedy.values():
         bins.setdefault((r["shard"], r["bin_id"]), []).append(r["doc_id"])
     assert bins[(greedy[6]["shard"], greedy[6]["bin_id"])] == [6]  # loner bin
+
+
+def test_mine_bitext_degenerate_lang_layouts(spark, tmp_path):
+    """Degenerate bitext inputs: a corpus with NO target-lang docs must
+    yield zero pairs from BOTH engines (empty-side cross join); then a
+    1×1 corpus (one en, one fr doc) — the margin denominator collapses
+    to the pair's own similarity twice, so margin == 1.0 exactly, which
+    the strict > 10000 filter drops in BOTH engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(7)
+
+    def write(langs):
+        n = len(langs)
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["t"] * n,
+                "lang": langs,
+                "source": ["s"] * n,
+                "n_chars": [1] * n,
+            }
+        ).to_parquet(f"{d}/documents.parquet")
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [rng.rand(8).astype("float32") for _ in range(n)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        )
+        pq.write_table(emb, f"{d}/embeddings.parquet")
+
+    write(["en", "en", "de"])  # no fr at all
+    got = QS["q_mine_bitext"](spark, d).collect()
+    spark.catalog.clearCache()
+    want = _duck(d, ["documents", "embeddings"]).execute(OS["q_mine_bitext"]).fetchall()
+    assert got == [] and want == []
+
+    write(["en", "fr"])  # 1x1: margin exactly 1.0, strictly-greater drops it
+    got = QS["q_mine_bitext"](spark, d).collect()
+    spark.catalog.clearCache()
+    want = _duck(d, ["documents", "embeddings"]).execute(OS["q_mine_bitext"]).fetchall()
+    assert _rows(got) == _rows(want) == []
+
+
+def test_shuffle_epoch_single_doc(spark, tmp_path):
+    """A 1-doc corpus: each epoch is the identity permutation (rank 1),
+    identically in both engines — the bucket-offset path must not lose
+    the row when 255 of 256 buckets are empty."""
+    d = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": [42], "text": ["solo"], "lang": ["en"],
+         "source": ["s"], "n_chars": [4]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = sorted(
+        (r["epoch"], r["doc_id"], r["rank"])
+        for r in QS["q_shuffle_epoch"](spark, d).collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[3])
+        for r in _duck(d, ["documents"]).execute(OS["q_shuffle_epoch"]).fetchall()
+    )
+    assert got == [(0, 42, 1), (1, 42, 1)] and want == got
+
+
+def test_partition_apply_all_identical_keys(spark, tmp_path):
+    """All rows share ONE key ⇒ all 15 boundaries collapse onto it ⇒
+    every row lands in the last bucket (bucket 15), identically in both
+    engines — the tie-run behavior of bucket = |{boundaries ≤ key}|."""
+    d = str(tmp_path)
+    pd.DataFrame(
+        {"l_orderkey": [7] * 40, "l_partkey": range(40), "l_suppkey": [1] * 40,
+         "l_quantity": [1.0] * 40, "l_extendedprice": [1.0] * 40,
+         "l_discount": [0.0] * 40, "l_tax": [0.0] * 40,
+         "l_returnflag": ["N"] * 40, "l_linestatus": ["O"] * 40}
+    ).to_parquet(f"{d}/lineitem.parquet")
+    got = QS["q_partition_apply"](spark, d).collect()
+    spark.catalog.clearCache()  # q_partition_bounds persists its census
+    want = _duck(d, ["lineitem"]).execute(OS["q_partition_apply"]).fetchall()
+    assert _rows(got) == _rows(want)
+    assert len(got) == 1 and got[0]["bucket"] == 15 and got[0]["n_rows"] == 40

@@ -2088,3 +2088,52 @@ def test_mine_bitext_matches_naive_python(spark, sf_dir):
         sum_a, n_a = ka[ai]
         sum_b, n_b = kb[bi]
         assert 2 * si >= sum_a // n_a + sum_b // n_b  # clears the background
+
+
+def test_partition_apply_balances_and_tiles(spark, sf_dir):
+    """q_partition_apply vs a python replay of bucket = |{boundaries <=
+    key}| over exact type-1 boundaries, plus the layout invariants:
+    buckets are contiguous 0..N-1, their [lo, hi] ranges tile the key
+    domain disjointly in order, row counts sum to the corpus, and every
+    bucket is within one max-key-multiplicity of the equi-depth target."""
+    from collections import Counter
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    keys = [
+        r["l_orderkey"]
+        for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    ]
+    n, counts = len(keys), Counter(keys)
+    vs = sorted(counts)
+    # type-1 boundaries: smallest key whose cumulative count reaches target
+    cum, bcum = 0, []
+    for v in vs:
+        cum += counts[v]
+        bcum.append((v, cum))
+    bounds = []
+    for i in range(1, 16):
+        t = (i * n + 15) // 16
+        bounds.append(next(v for v, c in bcum if c >= t))
+    expected = {}
+    for v in vs:
+        b = sum(1 for x in bounds if x <= v)
+        if b not in expected:
+            expected[b] = [0, v, v]
+        expected[b][0] += counts[v]
+        expected[b][2] = v
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in queries()["q_partition_apply"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()  # q_partition_bounds persists its census
+    assert got == {b: tuple(v) for b, v in expected.items()}
+    assert set(got) == set(range(16))
+    ordered = [got[b] for b in range(16)]
+    assert sum(r for r, _, _ in ordered) == n
+    for (_, _, hi), (_, lo, _) in zip(ordered, ordered[1:]):
+        assert hi < lo  # disjoint, ordered ranges
+    target, slack = n // 16, max(counts.values())
+    for r, _, _ in ordered:
+        assert abs(r - target) <= slack + 1

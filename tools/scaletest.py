@@ -116,6 +116,9 @@ PROBES = {
     # ANN-generated candidates (see the key's docstring).
     "q_phrase_search": ["documents"],
     "q_shuffle_epoch": ["documents"],
+    # bounds→layout composition: key census ×m, probe passes + the
+    # 16-group audit constant
+    "q_partition_apply": ["lineitem"],
 }
 
 #: per-table key columns to offset per replica
