@@ -3771,3 +3771,125 @@ def q_chunk_overlap(spark, sf):
             f"array_join(slice(toks, i * {_CHUNK_STRIDE} + 1, {_CHUNK_L}), ' ')"
         ).alias("chunk_text"),
     )
+
+
+@q(
+    "q_assembly_pipeline",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, text, t,
+               CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_tok
+        FROM d
+    ),
+    gated AS (
+        SELECT * FROM tok WHERE doc_id % 97 <> 0 AND n_tok >= 5
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, CAST(i AS INT),
+                                          CAST(i AS INT) + 4),
+                               ' ') AS g
+        FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+        UNION ALL
+        SELECT doc_id, text AS g FROM d WHERE len(t) < 5
+    ),
+    evg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN evg USING (g)),
+    surv AS (
+        SELECT g.doc_id, g.doc_id % {_PACK_SHARDS} AS shard, g.n_tok
+        FROM gated g JOIN keep USING (doc_id)
+        WHERE g.doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    s AS (
+        SELECT shard, doc_id, n_tok,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM surv
+    ),
+    pack AS (
+        SELECT shard, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT nxt.shard, nxt.rn, nxt.doc_id, nxt.n_tok,
+               CASE WHEN p.fill + nxt.n_tok <= {_PACK_L}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill + nxt.n_tok <= {_PACK_L}
+                    THEN p.fill + nxt.n_tok ELSE nxt.n_tok END
+        FROM pack p JOIN s nxt ON nxt.shard = p.shard AND nxt.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM pack GROUP BY shard, bin_id
+    """,
+)
+def q_assembly_pipeline(spark, sf):
+    # the END-TO-END training-data assembly in one declared statement —
+    # what a user of this engine actually runs nightly: quality gate
+    # (n_tok >= 5, eval split held out) → exact dedup (min-id keeper per
+    # text) → decontamination (drop any doc sharing a 5-gram with the
+    # eval split — the q_decontaminate_doc convention verbatim) → greedy
+    # sequence packing of the survivors → per-(shard, bin) manifest.
+    # Composes the four stages' existing definitions; each stage is also
+    # a standalone oracled key, so a semantics change anywhere re-gates
+    # both the part and the whole.
+    #
+    # Scale: gate+dedup = one hash aggregate on text; decontamination =
+    # one broadcast join against the eval gram artifact (eval sets are
+    # megabytes); packing = one shuffle by shard into the Arrow pass.
+    # Nothing here exceeds the costliest standalone stage — the chain
+    # adds no extra corpus scans (the gram explode reuses the gated
+    # projection).
+    d = T(spark, sf, "documents")
+    raw = F.split("text", " ")
+    tok = d.select(
+        "doc_id",
+        "text",
+        F.size(F.filter(raw, lambda x: x != "")).cast("long").alias("n_tok"),
+    )
+    gated = tok.filter((F.col("doc_id") % 97 != 0) & (F.col("n_tok") >= 5))
+    keep = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    grams = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("g")
+    )
+    evg = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    cont = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(evg), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    surv = (
+        gated.join(keep, "doc_id", "left_semi")
+        .join(cont, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+            "n_tok",
+        )
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tok"]:
+            if fill > 0 and fill + t > _PACK_L:
+                b += 1
+                fill = 0
+            bins.append(b)
+            fill += t
+        pdf["bin_id"] = bins
+        return pdf[["shard", "doc_id", "n_tok", "bin_id"]]
+
+    packed = surv.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tok bigint, bin_id bigint"
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

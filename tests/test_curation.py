@@ -581,3 +581,54 @@ def test_chunk_overlap_matches_naive_python(spark, sf_dir):
             sp2, nt2 = chunks[i + 1]
             assert sp + nt - sp2 == W - S  # exact overlap between neighbors
             assert sp2 + nt2 > sp + nt     # successor extends coverage
+
+
+def test_assembly_pipeline_matches_naive_python(spark, sf_dir):
+    """q_assembly_pipeline vs a python replay of all four stages (gate →
+    exact dedup → 5-gram decontamination → greedy pack), plus the bin
+    invariant: every bin fits L=128 unless it holds a single oversized
+    doc."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def grams(text):
+        t = text.split(" ")
+        if len(t) < 5:
+            return {text}
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    n_tok = {d: len([w for w in t.split(" ") if w]) for d, t in docs.items()}
+    gated = {d for d in docs if d % 97 != 0 and n_tok[d] >= 5}
+    # keeper = smallest doc_id per distinct text among gated docs
+    by_text = {}
+    for d in sorted(gated):
+        by_text.setdefault(docs[d], d)
+    keep = set(by_text.values())
+    evg = set().union(*(grams(docs[d]) for d in docs if d % 97 == 0)) if any(
+        d % 97 == 0 for d in docs
+    ) else set()
+    surv = sorted(
+        d for d in gated
+        if d in keep and not (grams(docs[d]) & evg)
+    )
+    expected = {}
+    fills = {}
+    for d in surv:
+        sh = d % 8
+        fill, b = fills.get(sh, (0, 0))
+        if fill > 0 and fill + n_tok[d] > 128:
+            b, fill = b + 1, 0
+        fill += n_tok[d]
+        fills[sh] = (fill, b)
+        key = (sh, b)
+        nd, nt = expected.get(key, (0, 0))
+        expected[key] = (nd + 1, nt + n_tok[d])
+    got = {
+        (r["shard"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in QS["q_assembly_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == expected and expected
+    for (sh, b), (nd, nt) in got.items():
+        assert nt <= 128 or nd == 1

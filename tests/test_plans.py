@@ -130,6 +130,10 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
         "q_udf_grouped_arrow",  # grouped-map applyInArrow
         "q_freq_tokens",        # Misra-Gries partial summaries (mapInPandas,
                                 # vectorized value_counts fold — operators/freq.py)
+        "q_pack_greedy",        # greedy no-split packing: order-dependent fold,
+                                # shard-parallel applyInPandas BY DESIGN
+        "q_pack_eff",           # consumes q_pack_greedy's output
+        "q_assembly_pipeline",  # composed pipeline ending in the greedy pack
     }
     for key, fn in sorted(queries().items()):
         plan = checks.formatted_plan(fn(spark, sf_dir))
