@@ -1149,3 +1149,64 @@ def test_stream_pack_matches_batch_and_replays(spark, sf_dir, tmp_path):
         (r["shard"], r["doc_id"], r["n_tok"], r["bin_id"])
         for r in sp.read_assignments(spark, state).collect()
     ) == want
+
+
+def test_stream_mix_converges_to_batch_weights(spark, sf_dir, tmp_path):
+    """Streaming mixture weights: after draining the corpus in 4
+    micro-batches (any split — counts are a commutative monoid), the
+    committed weights table equals q_mix_temperature over the whole
+    corpus; mid-stream snapshots always sum to <= 10000 bp; replay is a
+    no-op and a torn last batch is recommitted identically."""
+    import os
+
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import mix as sm
+
+    src = str(tmp_path / "docs_src")
+    load_table(spark, sf_dir, "documents").select("source", "text").repartition(
+        4
+    ).write.parquet(src)
+
+    state = str(tmp_path / "state")
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sm.stream_mix(stream, state, ck)
+        q.awaitTermination(300)
+
+    run(str(tmp_path / "ck1"))
+    want = sorted(
+        (r["source"], r["n_docs"], r["n_tokens"], r["raw_bp"], r["temp_bp"])
+        for r in LLM_Q["q_mix_temperature"](spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r["source"], r["n_docs"], r["n_tokens"], r["raw_bp"], r["temp_bp"])
+        for r in sm.read_weights(spark, state).collect()
+    )
+    assert len(want) > 1 and got == want
+    # every committed snapshot is a valid weights table
+    for b in sm._committed(state):
+        rows = spark.read.parquet(
+            os.path.join(state, "weights", f"batch={b}")
+        ).collect()
+        assert sum(r["raw_bp"] for r in rows) <= 10000
+        assert sum(r["temp_bp"] for r in rows) <= 10000
+
+    run(str(tmp_path / "ck2"))  # replay: markers skip every batch
+    assert sorted(
+        (r["source"], r["n_docs"], r["n_tokens"], r["raw_bp"], r["temp_bp"])
+        for r in sm.read_weights(spark, state).collect()
+    ) == want
+
+    last = max(sm._committed(state))
+    os.remove(os.path.join(state, "ledger", str(last)))
+    run(str(tmp_path / "ck3"))  # torn batch recommitted
+    assert sorted(
+        (r["source"], r["n_docs"], r["n_tokens"], r["raw_bp"], r["temp_bp"])
+        for r in sm.read_weights(spark, state).collect()
+    ) == want
