@@ -3893,3 +3893,287 @@ def q_assembly_pipeline(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+@q(
+    "q_assembly_report",
+    """
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, text, t,
+               CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_tok
+        FROM d
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 97 <> 0),
+    gated AS (SELECT * FROM train WHERE n_tok >= 5),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, CAST(i AS INT),
+                                          CAST(i AS INT) + 4),
+                               ' ') AS g
+        FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+        UNION ALL
+        SELECT doc_id, text AS g FROM d WHERE len(t) < 5
+    ),
+    evg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN evg USING (g)),
+    surv AS (
+        SELECT g.doc_id, g.n_tok FROM gated g JOIN keep USING (doc_id)
+        WHERE g.doc_id NOT IN (SELECT doc_id FROM cont)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_input,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE doc_id % 97 = 0)
+               AS n_eval_heldout,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM train) - 
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) AS n_gate_dropped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) -
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep) AS n_dup_dropped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gated g JOIN keep USING (doc_id)
+            WHERE g.doc_id IN (SELECT doc_id FROM cont)) AS n_contaminated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_survivors,
+           (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM surv)
+               AS n_tokens_out
+    """,
+)
+def q_assembly_report(spark, sf):
+    # the assembly FUNNEL — the per-stage loss accounting published next
+    # to every q_assembly_pipeline run (where did the corpus go?):
+    # held-out eval docs, gate drops, duplicate drops, contamination
+    # drops, survivors, and the surviving token mass. Definitions are
+    # the pipeline's verbatim (same gate, keeper, gram convention), so
+    # n_survivors always equals the packed doc count and the funnel
+    # terms telescope: input = eval + gate + dup + contaminated +
+    # survivors (pinned in tests).
+    #
+    # Scale: the same single-pass relations as the pipeline, reduced to
+    # seven global counts — every term partial-combines; output is one
+    # row.
+    d = T(spark, sf, "documents")
+    raw = F.split("text", " ")
+    tok = d.select(
+        "doc_id",
+        "text",
+        F.size(F.filter(raw, lambda x: x != "")).cast("long").alias("n_tok"),
+    )
+    train = tok.filter(F.col("doc_id") % 97 != 0)
+    gated = train.filter(F.col("n_tok") >= 5)
+    keep = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    grams = d.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("g"))
+    evg = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    cont = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(evg), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = gated.join(keep, "doc_id", "left_semi")
+    contaminated = kept.join(cont, "doc_id", "left_semi")
+    surv = kept.join(cont, "doc_id", "left_anti")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    n_input = cnt(tok, "n_input")
+    n_eval = cnt(tok.filter(F.col("doc_id") % 97 == 0), "n_eval_heldout")
+    n_train = cnt(train, "c_train")
+    n_gated = cnt(gated, "c_gated")
+    n_keep = cnt(keep, "c_keep")
+    n_cont = cnt(contaminated, "n_contaminated")
+    s = surv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens_out"),
+    )
+    out = (
+        n_input.crossJoin(F.broadcast(n_eval))
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(n_gated))
+        .crossJoin(F.broadcast(n_keep))
+        .crossJoin(F.broadcast(n_cont))
+        .crossJoin(F.broadcast(s))
+    )
+    return out.select(
+        "n_input",
+        "n_eval_heldout",
+        (F.col("c_train") - F.col("c_gated")).cast("bigint").alias("n_gate_dropped"),
+        (F.col("c_gated") - F.col("c_keep")).cast("bigint").alias("n_dup_dropped"),
+        "n_contaminated",
+        "n_survivors",
+        "n_tokens_out",
+    )
+
+
+@q(
+    "q_mine_bitext_ivf",
+    f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rk = 1
+    ),
+    a AS (
+        SELECT a_id, va, cell FROM (
+            SELECT e.vec_id AS a_id, e.embedding AS va, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(c.cvec AS DOUBLE[])) DESC,
+                                c.cell ASC) AS rk
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+            CROSS JOIN cents c
+            WHERE d.lang = '{_BITEXT_SRC}')
+        WHERE rk <= 4
+    ),
+    b AS (
+        SELECT s.vec_id AS b_id, s.embedding AS vb, s.cell
+        FROM assigned s JOIN documents d ON d.doc_id = s.vec_id
+        WHERE d.lang = '{_BITEXT_TGT}'
+    ),
+    pos AS (
+        SELECT a_id, b_id, s FROM (
+            SELECT a_id, b_id,
+                   CAST(ROUND(list_cosine_similarity(CAST(va AS DOUBLE[]),
+                                                     CAST(vb AS DOUBLE[])) * 10000)
+                        AS BIGINT) AS s
+            FROM a JOIN b USING (cell))
+        WHERE s > 0
+    ),
+    ka AS (
+        SELECT a_id, CAST(SUM(s) AS BIGINT) AS sum_a,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM (SELECT a_id, s, row_number() OVER (PARTITION BY a_id
+                  ORDER BY s DESC, b_id ASC) AS rk FROM pos)
+        WHERE rk <= {_BITEXT_K} GROUP BY a_id
+    ),
+    kb AS (
+        SELECT b_id, CAST(SUM(s) AS BIGINT) AS sum_b,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM (SELECT b_id, s, row_number() OVER (PARTITION BY b_id
+                  ORDER BY s DESC, a_id ASC) AS rk FROM pos)
+        WHERE rk <= {_BITEXT_K} GROUP BY b_id
+    ),
+    best AS (
+        SELECT a_id, b_id, s FROM (
+            SELECT a_id, b_id, s, row_number() OVER (PARTITION BY a_id
+                ORDER BY s DESC, b_id ASC) AS rk FROM pos)
+        WHERE rk = 1
+    )
+    SELECT best.a_id, best.b_id, s AS sim_x10000,
+           CAST((2 * n_a * n_b * s * 10000)
+                // GREATEST(sum_a * n_b + sum_b * n_a, 1) AS BIGINT)
+               AS margin_x10000
+    FROM best JOIN ka USING (a_id) JOIN kb USING (b_id)
+    WHERE (2 * n_a * n_b * s * 10000)
+          // GREATEST(sum_a * n_b + sum_b * n_a, 1) > 10000
+    """,
+)
+def q_mine_bitext_ivf(spark, sf):
+    # the SCALE PATH q_mine_bitext's docstring promises: candidate pairs
+    # come from a shared IVF coarse quantizer (same deterministic
+    # lowest-id centroids as q_sim_topk_ivf) instead of the full en×fr
+    # cross — a source doc only meets target docs in ITS OWN cell, so
+    # candidate volume is bounded by per-cell population and the margin
+    # math (identical integer formulas, neighborhoods now candidate-
+    # restricted) never sees an all-pairs relation. The whole approximate
+    # pipeline stays oracle-checkable because every stage is
+    # deterministic (the q_sim_topk_ivf argument).
+    #
+    # Scale: cell assignment is one broadcast-centroid map pass; the
+    # candidate join keys on cell — at CCMatrix scale n_cells grows with
+    # the corpus, holding cell populations (and so per-doc candidate
+    # counts) constant. The exact key remains the recall reference.
+    from mongo_to_parquet_spark.operators.similarity import (
+        _assign_cells,
+        _centroids,
+    )
+
+    from mongo_to_parquet_spark.functions.vector import dot
+
+    emb = T(spark, sf, "embeddings")
+    d = T(spark, sf, "documents")
+    cents = F.broadcast(_centroids(emb, 16, "vec_id", "embedding"))
+    assigned = _assign_cells(emb, cents, "vec_id", "embedding")
+    langs = d.select(F.col("doc_id").alias("vec_id"), "lang")
+    from pyspark.sql import Window as W0
+
+    # source docs PROBE their 4 nearest cells (the ivf_topk n_probe
+    # semantics); target docs sit in their 1 assigned cell
+    a = (
+        emb.join(langs.filter(F.col("lang") == _BITEXT_SRC), "vec_id")
+        .crossJoin(cents)
+        .withColumn("score", dot(F.col("embedding"), F.col("cvec")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W0.partitionBy("vec_id").orderBy(
+                    F.col("score").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 4)
+        .select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "cell")
+    )
+    b = assigned.join(langs.filter(F.col("lang") == _BITEXT_TGT), "vec_id").select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "cell"
+    )
+    sims = (
+        a.join(b, "cell")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("va"), F.col("vb")) * 10000)
+            .cast("bigint")
+            .alias("s"),
+        )
+        .filter(F.col("s") > 0)
+        .persist()  # three consumers w/ different shapes; caller clearCache()s
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy("a_id").orderBy(F.col("s").desc(), F.col("b_id").asc())
+    wb = W.partitionBy("b_id").orderBy(F.col("s").desc(), F.col("a_id").asc())
+    ka = (
+        sims.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= _BITEXT_K)
+        .groupBy("a_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("sum_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        )
+    )
+    kb = (
+        sims.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= _BITEXT_K)
+        .groupBy("b_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("sum_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        )
+    )
+    best = sims.withColumn("rk", F.row_number().over(wa)).filter(F.col("rk") == 1)
+    margin = F.expr(
+        "(2 * n_a * n_b * s * 10000)"
+        " div GREATEST(sum_a * n_b + sum_b * n_a, 1)"
+    ).cast("bigint")
+    return (
+        best.join(ka, "a_id")
+        .join(F.broadcast(kb), "b_id")
+        .select(
+            "a_id", "b_id", F.col("s").alias("sim_x10000"), margin.alias("margin_x10000")
+        )
+        .filter(F.col("margin_x10000") > 10000)
+    )

@@ -632,3 +632,25 @@ def test_assembly_pipeline_matches_naive_python(spark, sf_dir):
     assert got == expected and expected
     for (sh, b), (nd, nt) in got.items():
         assert nt <= 128 or nd == 1
+
+
+def test_assembly_report_telescopes_and_matches_pipeline(spark, sf_dir):
+    """The funnel terms must telescope (input = eval + gate + dup +
+    contaminated + survivors) and agree with q_assembly_pipeline's packed
+    output (same doc count and token mass — the report and the pipeline
+    share stage definitions verbatim)."""
+    [r] = QS["q_assembly_report"](spark, sf_dir).collect()
+    assert (
+        r["n_input"]
+        == r["n_eval_heldout"] + r["n_gate_dropped"] + r["n_dup_dropped"]
+        + r["n_contaminated"] + r["n_survivors"]
+    )
+    packed = QS["q_assembly_pipeline"](spark, sf_dir).collect()
+    assert sum(p["n_docs"] for p in packed) == r["n_survivors"]
+    assert sum(p["n_tokens"] for p in packed) == r["n_tokens_out"]
+    # the fixture must exercise every stage or the funnel is untested
+    assert r["n_eval_heldout"] > 0 and r["n_survivors"] > 0
+    # contamination is seeded in every fixture; exact dupes only appear
+    # at sf >= 0.01, so require the union, not each stage
+    assert r["n_contaminated"] > 0
+    assert r["n_dup_dropped"] >= 0 and r["n_gate_dropped"] >= 0

@@ -2137,3 +2137,30 @@ def test_partition_apply_balances_and_tiles(spark, sf_dir):
     target, slack = n // 16, max(counts.values())
     for r, _, _ in ordered:
         assert abs(r - target) <= slack + 1
+
+
+def test_mine_bitext_ivf_recall_and_sim_identity(spark, sf_dir):
+    """The IVF-candidate miner vs the exact miner: on any pair BOTH
+    emit, the integer sims and margins' sim component must be identical
+    (same arithmetic, different candidate sets), and pair recall must
+    clear 40% even on this worst-case fixture — the embeddings are
+    near-orthogonal random vectors, so cells carry almost no semantic
+    signal; real clustered embeddings sit far higher. n_probe=4 of 16
+    cells matches the q_sim_topk_ivf serving knob."""
+    from mongo_to_parquet_spark.queries import queries
+
+    QSL = queries()
+    ex = {
+        (r["a_id"], r["b_id"]): r["sim_x10000"]
+        for r in QSL["q_mine_bitext"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    iv = {
+        (r["a_id"], r["b_id"]): r["sim_x10000"]
+        for r in QSL["q_mine_bitext_ivf"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    common = set(ex) & set(iv)
+    assert ex and iv
+    assert all(ex[k] == iv[k] for k in common)
+    assert len(common) / len(ex) >= 0.4

@@ -113,7 +113,12 @@ PROBES = {
     # ANN-candidate path, like q_link_fs vs SNM): en×fr sims grow m²
     # under replication BY CONSTRUCTION, so the probe would measure the
     # documented exact-twin shape, not a hazard; the scale route is
-    # ANN-generated candidates (see the key's docstring).
+    # ANN-generated candidates (see the key's docstring). Also NOT
+    # probed: q_mine_bitext_ivf — the fixture pins n_cells=16 for oracle
+    # determinism, so replicated growth packs ×m vectors into the same
+    # 16 cells (per-cell pairs m²); at scale n_cells grows with the
+    # corpus, holding cell populations constant — probing the fixed-knob
+    # fixture would measure the knob, not the design.
     "q_phrase_search": ["documents"],
     "q_shuffle_epoch": ["documents"],
     # bounds→layout composition: key census ×m, probe passes + the
