@@ -3357,11 +3357,18 @@ def _bpe_curve_sql(k: int = _BPE_TRAIN_K) -> str:
     aggregate over an existing CTE. Generated with k+1 so w_k exists;
     the dangling p/m CTEs of the extra step are never referenced and
     DuckDB does not evaluate unreferenced CTEs."""
+    # COALESCE: a census with no multi-char words sums to NULL, but the
+    # honest total is the single-char constant alone; HAVING: point i
+    # exists only if merge i actually happened (m_i non-empty) — training
+    # can run dry before k, and the Spark loop stops there too (the
+    # degenerate-corpus review caught both: Spark crashed on int(None)
+    # while DuckDB emitted k+1 NULL rows)
     counts = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS n_merges,"
-        f" CAST(SUM(wc * len(list_filter(string_split(sym, '·'),"
-        f" x -> x <> ''))) AS BIGINT) + (SELECT o FROM ones)"
+        f" COALESCE(CAST(SUM(wc * len(list_filter(string_split(sym, '·'),"
+        f" x -> x <> ''))) AS BIGINT), 0) + (SELECT o FROM ones)"
         f" AS total_subwords FROM w{i}"
+        + (f"\n    HAVING (SELECT COUNT(*) FROM m{i}) = 1" if i > 0 else "")
         for i in range(0, k + 1)
     )
     return (
@@ -3414,7 +3421,9 @@ def q_bpe_curve(spark, sf):
                 * F.size(F.filter(F.split("sym", "·"), lambda t: t != ""))
             ).alias("t")
         ).collect()[0]["t"]
-        return int(n) + ones
+        # empty census (no multi-char words) sums to NULL — the total is
+        # the single-char constant alone
+        return int(n or 0) + ones
 
     rows = [(0, total(census))]
     for rank, x, y, _, _ in merges:

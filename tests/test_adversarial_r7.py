@@ -236,3 +236,35 @@ def test_partition_apply_all_identical_keys(spark, tmp_path):
     want = _duck(d, ["lineitem"]).execute(OS["q_partition_apply"]).fetchall()
     assert _rows(got) == _rows(want)
     assert len(got) == 1 and got[0]["bucket"] == 15 and got[0]["n_rows"] == 40
+
+
+def test_bpe_curve_degenerate_corpora(spark, tmp_path):
+    """Degenerate BPE-curve inputs found by this review: a token-less
+    corpus (Spark crashed on int(None) while DuckDB emitted k+1 NULL
+    rows), an only-single-char corpus (total = the constant alone), and
+    a corpus whose training runs DRY before k merges (both engines must
+    truncate the curve at the last real merge)."""
+    cases = {
+        "tokenless": (["", "  ", ""], [(0, 0)]),
+        "singles": (["a b c", "x y", "z"], [(0, 6)]),
+        "dry2": (["ab ab ab", "cd cd"], [(0, 10), (1, 7), (2, 5)]),
+    }
+    for name, (texts, want) in cases.items():
+        d = str(tmp_path / name)
+        import os
+
+        os.makedirs(d)
+        pd.DataFrame(
+            {"doc_id": range(1, len(texts) + 1), "text": texts,
+             "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+             "n_chars": [len(t) for t in texts]}
+        ).to_parquet(f"{d}/documents.parquet")
+        got = sorted(
+            (r["n_merges"], r["total_subwords"])
+            for r in QS["q_bpe_curve"](spark, d).collect()
+        )
+        spark.catalog.clearCache()  # the curve persists its census
+        duck = sorted(
+            tuple(r) for r in _duck(d, ["documents"]).execute(OS["q_bpe_curve"]).fetchall()
+        )
+        assert got == duck == want, name
