@@ -124,6 +124,15 @@ PROBES = {
     # bounds→layout composition: key census ×m, probe passes + the
     # 16-group audit constant
     "q_partition_apply": ["lineitem"],
+    # overlap chunker: same map-only shape as q_chunk_fixed, rows ×m;
+    # pack efficiency: the greedy pass + censuses, all ×m. NOT probed:
+    # q_assembly_pipeline / q_assembly_report — they embed the exact-gram
+    # decontamination stage, which fails the replica density invariant
+    # the same way q_decontaminate does (grams survive replication, so
+    # contamination grows superlinearly — a denser benchmark, not a
+    # bigger corpus).
+    "q_chunk_overlap": ["documents"],
+    "q_pack_eff": ["documents"],
 }
 
 #: per-table key columns to offset per replica
