@@ -4177,3 +4177,52 @@ def q_mine_bitext_ivf(spark, sf):
         )
         .filter(F.col("margin_x10000") > 10000)
     )
+
+
+@q(
+    "q_text_normalize",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(len(list_filter(string_split(norm, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens_norm,
+           md5(norm) AS norm_hash
+    FROM n
+    """,
+)
+def q_text_normalize(spark, sf):
+    # text normalization — the FIRST pass of every crawl pipeline, run
+    # before langid/dedup/quality so those stages see canonical bytes:
+    # lowercase, non-alphanumeric → space, whitespace collapse, trim;
+    # emits before/after char counts (the cleaning loss signal) and the
+    # md5 of the normalized text — the key exact dedup actually wants
+    # (superficial variants collapse to one hash). Conservative ASCII
+    # character classes so the regex semantics are identical in Java and
+    # RE2; no locale-dependent folding.
+    #
+    # Scale: pure map-side codegen'd regexp chain — zero shuffle, the
+    # normalizer rides the scan like the chunkers.
+    d = T(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(F.filter(F.split(norm, " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )

@@ -268,3 +268,49 @@ def test_bpe_curve_degenerate_corpora(spark, tmp_path):
             tuple(r) for r in _duck(d, ["documents"]).execute(OS["q_bpe_curve"]).fetchall()
         )
         assert got == duck == want, name
+
+
+def test_text_normalize_messy_inputs(spark, tmp_path):
+    """The normalizer on inputs the fixtures never contain: mixed case,
+    punctuation runs, tabs/newlines, unicode (lowered then swept by the
+    ASCII class), leading/trailing junk, and an empty string — both
+    engines and a python replay must agree, and superficial variants of
+    the same sentence must collapse to ONE norm_hash."""
+    import hashlib
+    import re
+
+    texts = {
+        1: "Hello, World!!",
+        2: "hello world",
+        3: "  hello\t\nWORLD  ",
+        4: "h3llo.. w0rld",
+        5: "Crème brûlée & π ≈ 3.14159",
+        6: "",
+        7: "!!!???",
+    }
+    d = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()),
+         "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+         "n_chars": [len(t) for t in texts.values()]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_chars_raw"], r["n_chars_norm"],
+                      r["n_tokens_norm"], r["norm_hash"])
+        for r in QS["q_text_normalize"](spark, d).collect()
+    }
+    want_duck = {
+        r[0]: tuple(r[1:])
+        for r in _duck(d, ["documents"]).execute(OS["q_text_normalize"]).fetchall()
+    }
+    assert got == want_duck
+    for doc_id, text in texts.items():
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        toks = [t for t in norm.split(" ") if t]
+        assert got[doc_id] == (
+            len(text), len(norm), len(toks),
+            hashlib.md5(norm.encode()).hexdigest(),
+        ), doc_id
+    # variants 1/2/3 are the same sentence after normalization
+    assert got[1][3] == got[2][3] == got[3][3]
+    assert got[6][3] == got[7][3]  # both normalize to the empty string

@@ -133,6 +133,7 @@ PROBES = {
     # bigger corpus).
     "q_chunk_overlap": ["documents"],
     "q_pack_eff": ["documents"],
+    "q_text_normalize": ["documents"],  # pure map regexp chain, rows ×m
 }
 
 #: per-table key columns to offset per replica
