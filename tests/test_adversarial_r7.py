@@ -314,3 +314,31 @@ def test_text_normalize_messy_inputs(spark, tmp_path):
     # variants 1/2/3 are the same sentence after normalization
     assert got[1][3] == got[2][3] == got[3][3]
     assert got[6][3] == got[7][3]  # both normalize to the empty string
+
+
+def test_eval_mrr_no_relevant_anywhere(spark, tmp_path):
+    """Every vector gets a UNIQUE label ⇒ no probe has any relevant
+    candidate ⇒ first_rk = 0 for all, n_hit = 0, mrr = 0 — the COALESCE
+    branch both engines must take identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(3)
+    n = 30
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [rng.rand(8).astype("float32") for _ in range(n)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(range(n), pa.int32()),  # all distinct
+        }
+    )
+    pq.write_table(emb, f"{d}/embeddings.parquet")
+    [got] = QS["q_eval_mrr"](spark, d).collect()
+    [want] = _duck(d, ["embeddings"]).execute(OS["q_eval_mrr"]).fetchall()
+    assert (got["n_probes"], got["n_hit"], got["mrr_x2520"]) == (4, 0, 0)
+    assert tuple(got) == want
