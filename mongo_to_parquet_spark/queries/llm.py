@@ -4226,3 +4226,154 @@ def q_text_normalize(spark, sf):
         .alias("n_tokens_norm"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+@q(
+    "q_lsh_tuning",
+    f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM base, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+        UNION
+        SELECT doc_id, text FROM base WHERE len(toks) < 3
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS id1, b.doc AS id2, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    exact AS (
+        SELECT id1, id2,
+               (ni * 10000) // (s1.sz + s2.sz - ni) AS j_bp
+        FROM inter
+        JOIN sizes s1 ON s1.doc = id1
+        JOIN sizes s2 ON s2.doc = id2
+    ),
+    hs AS (
+        SELECT doc, s,
+               CAST(concat('0x', substr(md5(concat('mh1:', s)), 1, 12)) AS BIGINT)
+                   AS h1,
+               CAST(concat('0x', substr(md5(concat('mh2:', s)), 1, 12)) AS BIGINT)
+                   AS h2
+        FROM sh
+    ),
+    idx AS (SELECT CAST(unnest(range({_MH_N})) AS BIGINT) AS i),
+    sig AS (
+        SELECT doc, i, MIN((h1 + i * h2) % {_MH_P}) AS mh
+        FROM hs CROSS JOIN idx GROUP BY doc, i
+    ),
+    bands AS (
+        SELECT doc, i // {_MH_N // _MH_BANDS} AS band,
+               array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), '-') AS sigstr
+        FROM sig GROUP BY doc, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id1, b.doc AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sigstr = b.sigstr AND a.doc < b.doc
+    )
+    SELECT CAST(j_bp // 1000 AS BIGINT) AS sim_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_captured,
+           CAST(SUM(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS capture_bp
+    FROM exact e LEFT JOIN cand c ON e.id1 = c.id1 AND e.id2 = c.id2
+    GROUP BY sim_bin
+    """,
+)
+def q_lsh_tuning(spark, sf):
+    # the LSH BANDING S-CURVE, measured — the report you tune (bands,
+    # rows) with: exact trigram-Jaccard pairs binned by similarity
+    # (integer basis points, floor 0.1) against the fraction the 4×4
+    # banded-MinHash buckets actually capture. Theory says capture =
+    # 1−(1−s^r)^b; this key gives the EMPIRICAL curve on your corpus
+    # with the exact hash family the pipeline runs (same shingles, same
+    # md5 Kirsch–Mitzenmacher signatures as q_dedup_minhash_md5 — the
+    # definitions are embedded verbatim so a parameter change re-gates
+    # the curve). High bins must capture ~everything, low bins ~nothing;
+    # the transition band tells you whether τ sits on the safe side.
+    #
+    # Scale: the exact side is the q_dedup_ngram explode-join (its
+    # 100 TB route is the prefix-filtered twin); the band side is the
+    # linear banded pipeline. The curve is a diagnostic you run on a
+    # SAMPLE at scale — capture rates are ratios, so a uniform sample
+    # estimates them unbiasedly.
+    d = T(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("id1"), "s")
+    sb = sh.select(F.col("doc").alias("id2"), F.col("s").alias("s2"))
+    inter = (
+        sa.join(sb, (F.col("s") == F.col("s2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("sz").alias("sz2"))
+    exact = (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.expr("(ni * 10000) div (sz1 + sz2 - ni)").cast("bigint").alias("j_bp"),
+        )
+    )
+    hs = sh.select(
+        "doc",
+        "s",
+        F.conv(F.substring(F.md5(F.concat(F.lit("mh1:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("mh2:"), F.col("s"))), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h2"),
+    )
+    idx = F.array(*[F.lit(i) for i in range(_MH_N)])
+    sig = (
+        hs.select("doc", "h1", "h2", F.explode(idx).alias("i"))
+        .groupBy("doc", "i")
+        .agg(F.min((F.col("h1") + F.col("i") * F.col("h2")) % _MH_P).alias("mh"))
+    )
+    bands = sig.groupBy(
+        "doc", F.expr(f"i div {_MH_N // _MH_BANDS}").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            "-",
+        ).alias("sigstr")
+    )
+    ca = bands.select(F.col("doc").alias("id1"), "band", "sigstr")
+    cb = bands.select(F.col("doc").alias("id2"), "band", "sigstr")
+    cand = (
+        ca.join(cb, ["band", "sigstr"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id1", "id2"], "left")
+        .groupBy(F.expr("j_bp div 1000").cast("bigint").alias("sim_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_captured"),
+        )
+        .select(
+            "sim_bin",
+            "n_pairs",
+            "n_captured",
+            F.expr("(n_captured * 10000) div n_pairs").cast("bigint").alias("capture_bp"),
+        )
+    )

@@ -2164,3 +2164,59 @@ def test_mine_bitext_ivf_recall_and_sim_identity(spark, sf_dir):
     assert ex and iv
     assert all(ex[k] == iv[k] for k in common)
     assert len(common) / len(ex) >= 0.4
+
+
+def test_lsh_tuning_matches_naive_python(spark, sf_dir):
+    """q_lsh_tuning vs a from-scratch python replay: exact trigram
+    Jaccard per shingle-sharing pair, the same md5 Kirsch-Mitzenmacher
+    MinHash family, 4x4 banding, per-bin capture counts. Plus the
+    S-curve property the report exists for: near-duplicates are captured
+    ~always, background pairs ~never."""
+    import hashlib
+    from itertools import combinations
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def sset(text):
+        t = text.split(" ")
+        if len(t) < 3:
+            return {text}
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    P, N, R = 4294967311, 16, 4
+    sh = {r["doc_id"]: sset(r["text"]) for r in docs}
+
+    def h(prefix, s):
+        return int(hashlib.md5(f"{prefix}{s}".encode()).hexdigest()[:12], 16)
+
+    bands = {}
+    for d, ss in sh.items():
+        hs = [(h("mh1:", s), h("mh2:", s)) for s in ss]
+        sig = [min((h1 + i * h2) % P for h1, h2 in hs) for i in range(N)]
+        bands[d] = {
+            (b, "-".join(str(v) for v in sig[b * R : (b + 1) * R]))
+            for b in range(N // R)
+        }
+    expected = {}
+    for d1, d2 in combinations(sorted(sh), 2):
+        ni = len(sh[d1] & sh[d2])
+        if ni == 0:
+            continue
+        j_bp = ni * 10000 // (len(sh[d1]) + len(sh[d2]) - ni)
+        b = j_bp // 1000
+        hit = 1 if bands[d1] & bands[d2] else 0
+        n, c = expected.get(b, (0, 0))
+        expected[b] = (n + 1, c + hit)
+    got = {
+        r["sim_bin"]: (r["n_pairs"], r["n_captured"], r["capture_bp"])
+        for r in queries()["q_lsh_tuning"](spark, sf_dir).collect()
+    }
+    assert got == {
+        b: (n, c, c * 10000 // n) for b, (n, c) in expected.items()
+    }
+    lo, hi = min(got), max(got)
+    assert hi >= 9 and got[hi][2] >= 9000   # near-dups: captured
+    assert lo == 0 and got[lo][2] <= 500    # background: pruned
