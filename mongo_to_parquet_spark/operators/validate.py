@@ -311,10 +311,18 @@ def exact_kth_smallest(
     """
     c = F.col(col)
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # count only rows that can land in a bucket: a NULL value never
+    # passes between(), so counting it in n would make high ranks die
+    # mid-refinement ('rank not found in census') instead of failing the
+    # range check here (round-7 advice). NULL-value (and NULL-weight)
+    # rows are excluded from the ranked multiset, consistently with the
+    # census sums below.
     row = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.sum(w).alias("n")
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.sum(F.when(c.isNotNull(), w)).alias("n"),
     ).collect()[0]
-    lo, hi, n = row["lo"], row["hi"], row["n"]
+    lo, hi, n = row["lo"], row["hi"], row["n"] or 0
     if n == 0 or not 1 <= k <= n:
         raise ValueError(f"rank {k} out of range for {n} rows")
     base = 0  # values known < lo from previous rounds
@@ -365,10 +373,14 @@ def exact_ranks_smallest(
     """
     c = F.col(col)
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # NULL-value rows are excluded from n for the same reason as in
+    # exact_kth_smallest: they can never land in a bucket census
     row = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.sum(w).alias("n")
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.sum(F.when(c.isNotNull(), w)).alias("n"),
     ).collect()[0]
-    glo, ghi, n = row["lo"], row["hi"], row["n"]
+    glo, ghi, n = row["lo"], row["hi"], row["n"] or 0
     bad = [k for k in ks if n == 0 or not 1 <= k <= n]
     if bad:
         raise ValueError(f"ranks {bad} out of range for {n} rows")

@@ -54,7 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
-        assert not overlap, f"duplicate query keys: {overlap}"
+        if overlap:  # raise, not assert: must survive python -O
+            raise ValueError(f"duplicate query keys across modules: {overlap}")
         out.update(m.QUERIES)
     return out
 
@@ -65,7 +66,8 @@ def oracle_sql() -> dict[str, str]:
         out.update(m.ORACLE)
     qk = queries().keys()
     stray = out.keys() - qk
-    assert not stray, f"oracle without query: {stray}"
+    if stray:
+        raise ValueError(f"oracle without query: {stray}")
     return out
 
 
@@ -79,10 +81,12 @@ def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extra = getattr(m, "BENCH_ONLY", None)
         if extra:
             overlap = out.keys() & extra.keys()
-            assert not overlap, f"duplicate bench-only keys: {overlap}"
+            if overlap:
+                raise ValueError(f"duplicate bench-only keys: {overlap}")
             out.update(extra)
     # a bench-only key colliding with a DECLARED key would silently
     # shadow the oracle-gated implementation in bench.py's merged dict
     shadow = out.keys() & queries().keys()
-    assert not shadow, f"bench-only keys shadow declared queries: {shadow}"
+    if shadow:
+        raise ValueError(f"bench-only keys shadow declared queries: {shadow}")
     return out

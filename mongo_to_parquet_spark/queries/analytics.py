@@ -25,21 +25,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.sources.catalog import load_table as T
+from mongo_to_parquet_spark.queries._registry import make_registry
 
-QUERIES = {}
-ORACLE = {}
-
-
-def q(key: str, sql: str | None = None):
-    def deco(fn):
-        # a repeated key would silently SHADOW the earlier query while
-        # its oracle kept gating the new one (round-7 near-miss)
-        assert key not in QUERIES, f"duplicate query key: {key}"
-        QUERIES[key] = fn
-        if sql is not None:
-            ORACLE[key] = sql
-        return fn
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # ------------------------------------------------- association rules ------

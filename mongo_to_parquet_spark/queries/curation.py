@@ -21,21 +21,9 @@ from pyspark.sql import functions as F
 from mongo_to_parquet_spark.functions import vector
 from mongo_to_parquet_spark.operators import text
 from mongo_to_parquet_spark.sources.catalog import load_table as T
+from mongo_to_parquet_spark.queries._registry import make_registry
 
-QUERIES = {}
-ORACLE = {}
-
-
-def q(key: str, sql: str | None = None):
-    def deco(fn):
-        # a repeated key would silently SHADOW the earlier query while
-        # its oracle kept gating the new one (round-7 near-miss)
-        assert key not in QUERIES, f"duplicate query key: {key}"
-        QUERIES[key] = fn
-        if sql is not None:
-            ORACLE[key] = sql
-        return fn
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # ------------------------------------------------------- semantic dedup ----
@@ -895,51 +883,60 @@ def _bpe_train_merges(spark, sf, k: int = _BPE_TRAIN_K):
         .persist()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, k + 1):
-        top = (
-            census.select(F.split("sym", "·").alias("s"), "wc")
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " i -> struct(s[i-1] AS x, s[i] AS y))"
-                    )
-                ).alias("p"),
-                "wc",
+    # try/finally around the whole loop: the TAIL census of the
+    # persist-chain must not outlive the call. Relying on the caller's
+    # clearCache() (bench.py does, parity.py and library consumers don't)
+    # leaks one cached census per invocation in a long-lived session
+    # (round-7 verdict finding #1). The finally sees whichever census is
+    # current when the loop exits — normally, early, or by exception.
+    try:
+        for rank in range(1, k + 1):
+            top = (
+                census.select(F.split("sym", "·").alias("s"), "wc")
+                .filter(F.size("s") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s) - 1),"
+                            " i -> struct(s[i-1] AS x, s[i] AS y))"
+                        )
+                    ).alias("p"),
+                    "wc",
+                )
+                .groupBy("p.x", "p.y")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .collect()
-        )
-        if not top:  # census fully merged to single symbols — stop early
-            break
-        x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
-        merges.append((rank, x, y, x + y, int(cnt)))
-        if rank == k:
-            break  # last iteration's rewrite is never observed
-        s = F.split("sym", "·")
-        fold = F.aggregate(
-            F.slice(s, F.lit(2), F.size(s) - 1),
-            F.element_at(s, 1),
-            lambda acc, el: F.when(
-                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
-                & (el == F.lit(y)),
-                F.concat(acc, F.lit(y)),
-            ).otherwise(F.concat(acc, F.lit("·"), el)),
-        )
-        # persist each rewritten census and drop its parent: without
-        # this, iteration i's pair count replays ALL i-1 interpreted
-        # string folds from the base census (lazy lineage), so the loop
-        # is quadratic in k in fold work — measured 10.4 -> 4.3s at
-        # sf0.1 (best-of-3, idle box). The perf-lessons persist rule:
-        # iterations keep their own materialization.
-        prev = census
-        census = prev.select(fold.alias("sym"), "wc").persist()
-        census.count()  # materialize before releasing the parent
-        prev.unpersist()
+            if not top:  # census fully merged to single symbols — stop early
+                break
+            x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
+            merges.append((rank, x, y, x + y, int(cnt)))
+            if rank == k:
+                break  # last iteration's rewrite is never observed
+            s = F.split("sym", "·")
+            fold = F.aggregate(
+                F.slice(s, F.lit(2), F.size(s) - 1),
+                F.element_at(s, 1),
+                lambda acc, el: F.when(
+                    (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                    & (el == F.lit(y)),
+                    F.concat(acc, F.lit(y)),
+                ).otherwise(F.concat(acc, F.lit("·"), el)),
+            )
+            # persist each rewritten census and drop its parent: without
+            # this, iteration i's pair count replays ALL i-1 interpreted
+            # string folds from the base census (lazy lineage), so the loop
+            # is quadratic in k in fold work — measured 10.4 -> 4.3s at
+            # sf0.1 (best-of-3, idle box). The perf-lessons persist rule:
+            # iterations keep their own materialization.
+            prev = census
+            census = prev.select(fold.alias("sym"), "wc").persist()
+            census.count()  # materialize before releasing the parent
+            prev.unpersist()
+    finally:
+        census.unpersist()
     return merges
 
 
@@ -975,17 +972,23 @@ def q_bpe_train(spark, sf):
 def _bpe_pipeline_sql(k: int = _BPE_TRAIN_K) -> str:
     """Train-then-apply composed in ONE statement: the k-merge training
     chain (_bpe_train_ctes) feeds a corpus-wide APPLY whose replace chain
-    takes the merge pairs as CORRELATED COLUMNS (m_i cross-joined 1-row
-    relations), then per-language subword accounting. Assumes the corpus
-    yields k mergeable pairs (any non-degenerate corpus; early-stop
-    corpora are q_bpe_train's department)."""
+    takes the merge pairs as CORRELATED COLUMNS (m_i 1-row relations),
+    then per-language subword accounting. Each m_i joins as LEFT JOIN ON
+    TRUE with the pair strings COALESCEd to a never-matching chr(0)
+    sentinel, so a corpus whose training runs DRY before k merges keeps
+    its document rows and the dead replace steps become no-ops — exactly
+    the Spark side's early-stopping truncation (_bpe_train_merges stops,
+    bpe_apply_cols folds in only the real merges). A CROSS JOIN here
+    would yield ZERO oracle rows on degenerate corpora (round-7 advice;
+    the q_bpe_curve HAVING guard fixed the same hazard)."""
     merged = "regexp_replace(w, '(.)', '\\1·', 'g')"
     for i in range(1, k + 1):
         merged = (
-            f"replace({merged}, m{i}.x || '·' || m{i}.y, m{i}.x || m{i}.y)"
+            f"replace({merged}, COALESCE(m{i}.x || '·' || m{i}.y, chr(1)),"
+            f" COALESCE(m{i}.x || m{i}.y, chr(1)))"
         )
     subword = f"len(list_filter(string_split({merged}, '·'), x -> x <> ''))"
-    crosses = " ".join(f"CROSS JOIN m{i}" for i in range(1, k + 1))
+    crosses = " ".join(f"LEFT JOIN m{i} ON TRUE" for i in range(1, k + 1))
     return (
         _bpe_train_ctes(k)
         + f""",
@@ -3420,7 +3423,7 @@ def q_bpe_curve(spark, sf):
         .select(spelled.alias("sym"))
         .groupBy("sym")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .persist()  # k+1 curve aggregates; caller clearCache()s
+        .persist()  # k+1 curve aggregates; tail unpersisted in finally
     )
 
     def total(cdf):
@@ -3434,24 +3437,30 @@ def q_bpe_curve(spark, sf):
         # the single-char constant alone
         return int(n or 0) + ones
 
-    rows = [(0, total(census))]
-    for rank, x, y, _, _ in merges:
-        s = F.split("sym", "·")
-        fold = F.aggregate(
-            F.slice(s, F.lit(2), F.size(s) - 1),
-            F.element_at(s, 1),
-            lambda acc, el: F.when(
-                (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
-                & (el == F.lit(y)),
-                F.concat(acc, F.lit(y)),
-            ).otherwise(F.concat(acc, F.lit("·"), el)),
-        )
-        # persist-chain like _bpe_train_merges: each curve point's
-        # aggregate must not replay every earlier fold from the base
-        prev = census
-        census = prev.select(fold.alias("sym"), "wc").persist()
-        rows.append((rank, total(census)))
-        prev.unpersist()
+    # try/finally: the tail census must not outlive the call — every
+    # curve point is collected eagerly (total()), so nothing returned
+    # depends on the cache (round-7 verdict finding #1)
+    try:
+        rows = [(0, total(census))]
+        for rank, x, y, _, _ in merges:
+            s = F.split("sym", "·")
+            fold = F.aggregate(
+                F.slice(s, F.lit(2), F.size(s) - 1),
+                F.element_at(s, 1),
+                lambda acc, el: F.when(
+                    (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                    & (el == F.lit(y)),
+                    F.concat(acc, F.lit(y)),
+                ).otherwise(F.concat(acc, F.lit("·"), el)),
+            )
+            # persist-chain like _bpe_train_merges: each curve point's
+            # aggregate must not replay every earlier fold from the base
+            prev = census
+            census = prev.select(fold.alias("sym"), "wc").persist()
+            rows.append((rank, total(census)))
+            prev.unpersist()
+    finally:
+        census.unpersist()
     return spark.createDataFrame(
         rows, "n_merges bigint, total_subwords bigint"
     ).orderBy("n_merges")

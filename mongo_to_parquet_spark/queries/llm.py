@@ -20,21 +20,9 @@ from mongo_to_parquet_spark.functions.textfns import (
 from mongo_to_parquet_spark.functions.vector import cosine, norm
 from mongo_to_parquet_spark.operators import dedup, freq, similarity, text
 from mongo_to_parquet_spark.sources.catalog import load_table as T
+from mongo_to_parquet_spark.queries._registry import make_registry
 
-QUERIES = {}
-ORACLE = {}
-
-
-def q(key, sql=None):
-    def deco(fn):
-        # a repeated key would silently SHADOW the earlier query while
-        # its oracle kept gating the new one (round-7 near-miss)
-        assert key not in QUERIES, f"duplicate query key: {key}"
-        QUERIES[key] = fn
-        if sql is not None:
-            ORACLE[key] = sql
-        return fn
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # ----------------------------------------------------------------- dedup ---
@@ -3121,6 +3109,37 @@ _URL_SYN_SQL = """CASE doc_id % 4
 _URL_HEAD = "^[A-Za-z]+://[^/]*"
 
 
+def canon_url_col(name: str):
+    """The URL-canonicalizer expression chain over string column ``name``
+    (shared by q_dedup_url and the adversarial unit test so the tested
+    chain IS the shipped chain). The mid-string tracking rule is ANCHORED
+    to its [?&] delimiter (keeping the delimiter via backreference) so it
+    can't eat the tail of an unrelated param whose name merely CONTAINS
+    'ref'/'utm_x' ('?href=abc&id=2' must stay distinct per href value —
+    round-7 advice). It runs TWICE because one global pass can't match
+    params made adjacent by a prior removal (matches never overlap in the
+    original string: '?utm_a=1&utm_b=2&id=3' → pass1 '?utm_b=2&id=3' →
+    pass2 '?id=3'); the tail rule then owns the last param."""
+    head = F.regexp_extract(F.col(name), _URL_HEAD, 0)
+    canon = F.concat(
+        F.lower(head),
+        F.expr(
+            f"substring({name}, length(regexp_extract({name}, '{_URL_HEAD}', 0)) + 1)"
+        ),
+    )
+    for pat, rep in (
+        ("^http://", "https://"),
+        ("^https://www\\.", "https://"),
+        ("#.*$", ""),
+        ("([?&])(utm_[a-z]+|ref)=[^&#]*&", "$1"),
+        ("([?&])(utm_[a-z]+|ref)=[^&#]*&", "$1"),
+        ("[?&](utm_[a-z]+|ref)=[^&#]*$", ""),
+        ("/+$", ""),
+    ):
+        canon = F.regexp_replace(canon, pat, rep)
+    return canon
+
+
 @q(
     "q_dedup_url",
     f"""
@@ -3128,13 +3147,14 @@ _URL_HEAD = "^[A-Za-z]+://[^/]*"
     c AS (
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
                    lower(regexp_extract(u, '{_URL_HEAD}'))
                      || substr(u, len(regexp_extract(u, '{_URL_HEAD}')) + 1),
                    '^http://', 'https://'),
                    '^https://www\\.', 'https://'),
                    '#.*$', ''),
-                   '(utm_[a-z]+|ref)=[^&#]*&', '', 'g'),
+                   '([?&])(utm_[a-z]+|ref)=[^&#]*&', '\\1', 'g'),
+                   '([?&])(utm_[a-z]+|ref)=[^&#]*&', '\\1', 'g'),
                    '[?&](utm_[a-z]+|ref)=[^&#]*$', ''),
                    '/+$', '') AS canon_url
         FROM u
@@ -3173,20 +3193,9 @@ def q_dedup_url(spark, sf):
        CAST(div(doc_id, 7) AS STRING), '?id=', CAST(doc_id AS STRING))
  END"""
     )
-    head = F.regexp_extract(F.col("u"), _URL_HEAD, 0)
-    canon = F.concat(F.lower(head), F.expr(f"substring(u, length(regexp_extract(u, '{_URL_HEAD}', 0)) + 1)"))
-    for pat, rep in (
-        ("^http://", "https://"),
-        ("^https://www\\.", "https://"),
-        ("#.*$", ""),
-        ("(utm_[a-z]+|ref)=[^&#]*&", ""),
-        ("[?&](utm_[a-z]+|ref)=[^&#]*$", ""),
-        ("/+$", ""),
-    ):
-        canon = F.regexp_replace(canon, pat, rep)
     return (
         d.select("doc_id", syn.alias("u"))
-        .select("doc_id", canon.alias("canon_url"))
+        .select("doc_id", canon_url_col("u").alias("canon_url"))
         .groupBy("canon_url")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

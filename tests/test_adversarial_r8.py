@@ -1,0 +1,66 @@
+"""Round-8 adversarial self-review tests (SURVEY §7 standing discipline):
+degenerate inputs the driver fixtures can't produce, run through the
+DECLARED query fn against the DuckDB oracle on throwaway parquet dirs —
+the parity-harness shape pointed at hostile corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from mongo_to_parquet_spark.queries import oracle_sql, queries
+
+QS = queries()
+OS = oracle_sql()
+
+
+def _duck(tmpdir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmpdir}/{t}.parquet'")
+    return con
+
+
+def _docs(tmpdir, texts, langs=None):
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": langs or ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{tmpdir}/documents.parquet")
+
+
+def test_bpe_pipeline_early_stopping_corpora(spark, tmp_path):
+    """Corpora whose BPE training runs DRY before k=8 merges (round-7
+    advice): the oracle's CROSS JOIN over m_1..m_8 used to yield ZERO
+    rows when any m_i was empty while the Spark side kept emitting
+    per-language rows. With LEFT JOIN + chr(1)-sentinel replaces, both
+    engines truncate at the last real merge identically."""
+    import os
+
+    cases = {
+        # 2 merges then dry: ab,cd fully merged → m3..m8 empty
+        "dry2": (["ab ab ab", "cd cd"], {"en": (2, 5, 5)}),
+        # zero merges possible: only single-char words
+        "singles": (["a b c", "x y"], {"en": (2, 5, 5)}),
+        # token-less corpus: no words at all, apply must still count docs
+        "tokenless": (["", "  "], {"en": (2, 0, 0)}),
+    }
+    for name, (texts, want) in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _docs(d, texts)
+        got = {
+            r["lang"]: (r["n_docs"], r["n_words"], r["n_subwords"])
+            for r in QS["q_bpe_pipeline"](spark, d).collect()
+        }
+        duck = {
+            r[0]: (r[1], r[2], r[3])
+            for r in _duck(d, ["documents"])
+            .execute(OS["q_bpe_pipeline"])
+            .fetchall()
+        }
+        assert got == duck == want, name

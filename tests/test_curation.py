@@ -390,6 +390,110 @@ def test_dedup_url_matches_urllib_canonicalization(spark, sf_dir):
     assert got == expected and expected
 
 
+def test_bpe_keys_leave_cache_empty(spark, sf_dir):
+    """The BPE persist-chain keys must unpersist their tail census inside
+    the call (try/finally): relying on the caller's clearCache() leaks one
+    cached census per invocation in a long-lived session — bench.py clears
+    the cache, parity.py and library consumers don't (round-7 verdict
+    finding #1)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for key in ("q_bpe_train", "q_bpe_pipeline", "q_bpe_curve"):
+        QS[key](spark, sf_dir).collect()
+        assert cm.isEmpty(), f"{key} left persisted relations behind"
+
+
+def test_dedup_url_adversarial_param_names(spark, sf_dir, tmp_path):
+    """Round-7 advice: the tracking-param rule must be anchored to a [?&]
+    delimiter, so params whose NAMES merely contain 'ref'/'utm_x' (href,
+    xref) survive and distinct values stay distinct. Three-way check on
+    adversarial URLs the fixture synth can't produce: the shipped Spark
+    chain (canon_url_col — the exact expression q_dedup_url uses), the
+    shipped DuckDB oracle chain (u-CTE swapped for the adversarial rows),
+    and a urllib.parse replay all agree."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    import duckdb
+    import pandas as pd
+
+    from mongo_to_parquet_spark.queries import llm
+
+    urls = [
+        "https://example.com/a?href=abc&id=2",
+        "https://example.com/a?href=xyz&id=2",
+        "https://example.com/a?xref=1&id=2",
+        "https://example.com/a?utm_a=1&utm_b=2&id=3",
+        "https://example.com/a?utm_a=1&utm_b=2&ref=x&id=3",
+        "https://example.com/a?ref=rss&href=abc",
+        "https://example.com/a?id=3&utm_x=9",
+        "https://example.com/a?utm_a=1&utm_b=2",
+        "https://example.com/a?ref=only",
+        "http://www.example.com/a?utm_x=1",
+        "https://example.com/a/",
+        "HTTP://WWW.EXAMPLE.COM/A/",
+        "https://example.com/a#frag?utm_x=1",
+        "https://example.com/a?id=3",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(urls)), "u": urls})
+
+    def canon(u):
+        s = urlsplit(u)
+        host = s.netloc.lower()
+        host = host[4:] if host.startswith("www.") else host
+        q = "&".join(
+            f"{k}={v}"
+            for k, v in parse_qsl(s.query, keep_blank_values=True)
+            if not (k.startswith("utm_") or k == "ref")
+        )
+        return "https://" + host + s.path.rstrip("/") + (f"?{q}" if q else "")
+
+    expected_canon = {i: canon(u) for i, u in enumerate(urls)}
+    # the advice's headline hazard: distinct href values must NOT collapse
+    assert expected_canon[0] != expected_canon[1]
+
+    sdf = spark.createDataFrame(pdf)
+    got_spark = {
+        r["doc_id"]: r["c"]
+        for r in sdf.select("doc_id", llm.canon_url_col("u").alias("c")).collect()
+    }
+    assert got_spark == expected_canon
+
+    # grouped dup output: Spark chain == DuckDB oracle chain == urllib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, c in expected_canon.items():
+        groups[c].append(i)
+    expected_groups = {
+        c: (len(v), min(v)) for c, v in groups.items() if len(v) >= 2
+    }
+    assert expected_groups  # the adversarial set must exercise grouping
+
+    target = f"SELECT doc_id, {llm._URL_SYN_SQL} AS u FROM documents"
+    sql = llm.ORACLE["q_dedup_url"]
+    assert target in sql, "oracle u-CTE drifted from _URL_SYN_SQL"
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    got_duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            sql.replace(target, "SELECT doc_id, u FROM adv")
+        ).fetchall()
+    }
+    got_spark_groups = {
+        r["canon_url"]: (r["n_docs"], r["keeper_doc_id"])
+        for r in sdf.select("doc_id", llm.canon_url_col("u").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    }
+    assert got_duck == expected_groups == got_spark_groups
+
+
 def test_mix_temperature_matches_python_and_flattens(spark, sf_dir):
     """q_mix_temperature vs a python replay (same IEEE sqrt + floor-div),
     plus the property that makes temperature sampling useful: the

@@ -1399,6 +1399,43 @@ def test_exact_kth_smallest_matches_sort(spark):
         exact_kth_smallest(df, "c", 2)
 
 
+def test_exact_kth_smallest_excludes_nulls(spark):
+    """NULL values can never land in a bucket census (between() drops
+    them), so they must not be counted in n either: rank-k is over the
+    NON-NULL multiset, and a rank past it fails the up-front range check
+    instead of dying mid-refinement (round-7 advice). Same contract for
+    the multi-rank variant and for weighted probes."""
+    import pytest as _pytest
+
+    from mongo_to_parquet_spark.operators.validate import (
+        exact_kth_smallest,
+        exact_ranks_smallest,
+    )
+
+    vals = [10, None, 3, None, 7, 5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    nn = sorted(v for v in vals if v is not None)  # [3, 5, 7, 10]
+    for k, want in enumerate(nn, start=1):
+        assert exact_kth_smallest(df, "c", k, buckets=4) == want
+    # rank 5 exists only if NULLs were (wrongly) counted
+    with _pytest.raises(ValueError):
+        exact_kth_smallest(df, "c", len(nn) + 1, buckets=4)
+    assert exact_ranks_smallest(df, "c", [1, 4], buckets=4) == {1: 3, 4: 10}
+    with _pytest.raises(ValueError):
+        exact_ranks_smallest(df, "c", [5], buckets=4)
+    # weighted: NULL-value rows contribute nothing even with a weight
+    wdf = spark.createDataFrame(
+        [(3, 2), (None, 100), (7, 1)], "v long, w long"
+    )
+    assert exact_kth_smallest(wdf, "v", 3, buckets=4, weight_col="w") == 7
+    with _pytest.raises(ValueError):
+        exact_kth_smallest(wdf, "v", 4, buckets=4, weight_col="w")
+    # all-NULL column: loud range failure, not a census assertion
+    ndf = spark.createDataFrame([(None,), (None,)], "c long")
+    with _pytest.raises(ValueError):
+        exact_kth_smallest(ndf, "c", 1, buckets=4)
+
+
 def test_exact_kth_smallest_beyond_double_precision(spark):
     """Bucket indices must be computed in int64: values near bucket
     boundaries in a > 2^53 range silently mis-bucket through double
