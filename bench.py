@@ -108,6 +108,7 @@ HEADLINE = [
     "q_bpe_train",          # full k-merge tokenizer training (census loop)
     "q_chunk_fixed",        # map-only token-window chunking (scan-speed)
     "q_pack_greedy",        # T5-style no-split packing, Arrow grouped-map
+    "q_pack_bfd",           # best-fit-decreasing packing, same grouped-map shape
     "q_assembly_pipeline",  # gate->dedup->decontaminate->pack, composed
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a

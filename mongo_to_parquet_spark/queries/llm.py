@@ -3401,6 +3401,104 @@ def q_pack_greedy(spark, sf):
     )
 
 
+@q(
+    "q_pack_bfd",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT shard, doc_id, n_tok,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tok DESC, doc_id) AS rn
+        FROM t WHERE n_tok > 0
+    ),
+    pack AS (
+        SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id,
+               [n_tok] AS fills
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT nxt.shard, nxt.rn, nxt.doc_id, nxt.n_tok,
+               CASE WHEN u.best IS NULL THEN CAST(len(p.fills) AS BIGINT)
+                    ELSE u.best - 1 END,
+               CASE WHEN u.best IS NULL THEN list_append(p.fills, nxt.n_tok)
+                    ELSE list_transform(generate_series(1, len(p.fills)),
+                           j -> CASE WHEN j = u.best
+                                     THEN p.fills[CAST(j AS INT)] + nxt.n_tok
+                                     ELSE p.fills[CAST(j AS INT)] END) END
+        FROM pack p JOIN s nxt ON nxt.shard = p.shard AND nxt.rn = p.rn + 1,
+             LATERAL (SELECT list_min(list_filter(
+                        list_transform(generate_series(1, len(p.fills)),
+                          j -> CASE WHEN p.fills[CAST(j AS INT)] + nxt.n_tok
+                                         <= {_PACK_L}
+                                    THEN ({_PACK_L} - p.fills[CAST(j AS INT)])
+                                         * 4096 + j END),
+                        x -> x IS NOT NULL)) % 4096 AS best) u
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tok, bin_id FROM pack
+    """,
+)
+def q_pack_bfd(spark, sf):
+    # best-fit-decreasing NO-SPLIT packing — the third standard recipe
+    # beside concat-and-split (q_pack_concat) and first-fit greedy
+    # (q_pack_greedy): within each shard, docs sorted by (n_tok DESC,
+    # doc_id) are each placed into the FULLEST open bin that still fits
+    # (ties -> lowest bin_id); no fit opens a new bin. BFD is the classic
+    # bin-packing heuristic (11/9·OPT+6/9 guarantee, Dosa 2007) and the
+    # usual upgrade when greedy's padding loss matters; q_pack_eff
+    # reports all three recipes side by side. Same applyInPandas shape as
+    # q_pack_greedy: the placement recurrence is order-dependent within a
+    # shard, shard-parallel across the cluster. Oracle = a recursive CTE
+    # advancing every shard one doc per step, carrying the open-bin fill
+    # vector as a list column; the best-fit argmax is encoded
+    # (L - fill)*4096 + bin so list_min picks (max fill, then lowest bin)
+    # exactly like the Python loop's strict `>` scan.
+    #
+    # Scale: one shuffle by shard, then a linear Arrow pass per shard;
+    # open-bin state is bounded by bins-per-shard (shard ~ one training
+    # file; the 4096 encode bound is asserted). Oversized docs (n_tok > L)
+    # can never fit an open bin, so each gets a bin alone — the same
+    # truncation path as greedy. Sorting desc first means big docs claim
+    # bins early and small docs backfill — the padding win over greedy.
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        for t in pdf["n_tok"]:
+            best, best_fill = -1, -1
+            for j, f in enumerate(fills):
+                # strict > keeps the LOWEST bin on fill ties, matching
+                # the oracle's +j tie encode
+                if f + t <= _PACK_L and f > best_fill:
+                    best, best_fill = j, f
+            if best < 0:
+                bins.append(len(fills))
+                fills.append(int(t))
+            else:
+                bins.append(best)
+                fills[best] += int(t)
+        assert len(fills) < 4096, "bin count exceeds the oracle's tie encode"
+        pdf["bin_id"] = bins
+        return pdf[["shard", "doc_id", "n_tok", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tok bigint, bin_id bigint"
+    )
+
+
 # ------------------------------------------------------- epoch shuffling ---
 #: epochs to materialize and the hash-prefix bucket fan-out for the
 #: scale-safe global rank (two hex chars = 256 near-uniform buckets)
@@ -3617,9 +3715,9 @@ def q_mine_bitext(spark, sf):
     )
 
 
-# one packing definition gates both keys — the q_dedup_incremental
-# derivation trick applied to the packer (the greedy oracle is embedded
-# verbatim, so a parameter change there re-gates this report too)
+# one packing definition gates all three keys — the q_dedup_incremental
+# derivation trick applied to the packers (the greedy and BFD oracles are
+# embedded verbatim, so a parameter change there re-gates this report too)
 @q(
     "q_pack_eff",
     f"""
@@ -3642,22 +3740,39 @@ def q_mine_bitext(spark, sf):
     cstat AS (
         SELECT CAST(SUM((st + {_PACK_L - 1}) // {_PACK_L}) AS BIGINT) AS n_seqs_concat
         FROM (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS st FROM g GROUP BY shard)
+    ),
+    b AS ({{BFD}}),
+    bbins AS (
+        SELECT shard, bin_id, CAST(SUM(n_tok) AS BIGINT) AS fill
+        FROM b GROUP BY shard, bin_id
+    ),
+    bfstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_bfd,
+               CAST(SUM(LEAST(fill, {_PACK_L})) AS BIGINT) AS used_bfd
+        FROM bbins
     )
     SELECT n_docs, n_tokens, n_bins, padding_tokens,
            CAST(used * 10000 // (n_bins * {_PACK_L}) AS BIGINT) AS greedy_eff_bp,
            n_seqs_concat,
            CAST(n_tokens * 10000 // (n_seqs_concat * {_PACK_L}) AS BIGINT)
-               AS concat_eff_bp
-    FROM tot CROSS JOIN bstat CROSS JOIN cstat
-    """,
+               AS concat_eff_bp,
+           n_bins_bfd,
+           CAST(used_bfd * 10000 // (n_bins_bfd * {_PACK_L}) AS BIGINT)
+               AS bfd_eff_bp
+    FROM tot CROSS JOIN bstat CROSS JOIN cstat CROSS JOIN bfstat
+    """.replace("{BFD}", ORACLE["q_pack_bfd"]),
 )
 def q_pack_eff(spark, sf):
-    # the packing-efficiency report that DECIDES between the two recipes:
-    # greedy no-split wastes (L - fill) padding per bin (oversized loners
-    # clamp to 0 — their overflow is train-time truncation, not padding),
-    # concat-and-split wastes only each shard's final partial sequence.
-    # greedy_eff_bp vs concat_eff_bp is the padding-vs-boundary-crossing
+    # the packing-efficiency report that DECIDES between the three
+    # recipes: greedy no-split wastes (L - fill) padding per bin
+    # (oversized loners clamp to 0 — their overflow is train-time
+    # truncation, not padding), best-fit-decreasing (q_pack_bfd) trades
+    # doc-order preservation for tighter bins, concat-and-split wastes
+    # only each shard's final partial sequence. greedy_eff_bp vs
+    # bfd_eff_bp vs concat_eff_bp is the padding-vs-order-vs-boundary
     # tradeoff in one row of basis points — all integer floor-div.
+    # tests/test_curation.py pins eff(bfd) >= eff(greedy), the BFD
+    # guarantee this report exists to confirm per-corpus.
     #
     # Scale: bin fills come from the greedy packer's output (one Arrow
     # pass — the expensive input is computed once; corpus totals and the
@@ -3693,9 +3808,21 @@ def q_pack_eff(spark, sf):
             .alias("n_seqs_concat")
         )
     )
+    bbins = (
+        QUERIES["q_pack_bfd"](spark, sf)
+        .groupBy("shard", "bin_id")
+        .agg(F.sum("n_tok").alias("fill"))
+    )
+    bfstat = bbins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_bfd"),
+        F.sum(F.least(F.col("fill"), F.lit(_PACK_L)))
+        .cast("bigint")
+        .alias("used_bfd"),
+    )
     return (
         tot.crossJoin(F.broadcast(bstat))
         .crossJoin(F.broadcast(cstat))
+        .crossJoin(F.broadcast(bfstat))
         .select(
             "n_docs",
             "n_tokens",
@@ -3708,6 +3835,10 @@ def q_pack_eff(spark, sf):
             F.expr(f"(n_tokens * 10000) div (n_seqs_concat * {_PACK_L})")
             .cast("bigint")
             .alias("concat_eff_bp"),
+            "n_bins_bfd",
+            F.expr(f"(used_bfd * 10000) div (n_bins_bfd * {_PACK_L})")
+            .cast("bigint")
+            .alias("bfd_eff_bp"),
         )
     )
 
@@ -4237,11 +4368,27 @@ def q_text_normalize(spark, sf):
     )
 
 
-@q(
-    "q_lsh_tuning",
-    f"""
+def _lsh_sample_bound(sample_frac: float) -> int:
+    """Content-addressed doc-sample threshold for q_lsh_tuning: a doc is
+    IN the sample iff the first 48 bits of md5('lsht:' || doc_id) fall
+    below frac·2^48. Content addressing (not rand()) makes the sample a
+    pure function of doc_id, so the Spark side and any oracle built with
+    the same frac select the IDENTICAL doc set — the S-curve's capture
+    ratios stay engine-exact under sampling."""
+    return int(sample_frac * (1 << 48))
+
+
+def _lsh_tuning_sql(sample_frac: float = 1.0) -> str:
+    where = ""
+    if sample_frac < 1.0:
+        where = (
+            "\n                  WHERE CAST(concat('0x', substr(md5(concat("
+            "'lsht:', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)"
+            f" < {_lsh_sample_bound(sample_frac)}"
+        )
+    return f"""
     WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-                  FROM documents),
+                  FROM documents{where}),
     sh AS (
         SELECT DISTINCT doc_id AS doc,
                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
@@ -4293,9 +4440,11 @@ def q_text_normalize(spark, sf):
                 // COUNT(*) AS BIGINT) AS capture_bp
     FROM exact e LEFT JOIN cand c ON e.id1 = c.id1 AND e.id2 = c.id2
     GROUP BY sim_bin
-    """,
-)
-def q_lsh_tuning(spark, sf):
+    """
+
+
+@q("q_lsh_tuning", _lsh_tuning_sql())
+def q_lsh_tuning(spark, sf, sample_frac: float = 1.0):
     # the LSH BANDING S-CURVE, measured — the report you tune (bands,
     # rows) with: exact trigram-Jaccard pairs binned by similarity
     # (integer basis points, floor 0.1) against the fraction the 4×4
@@ -4311,8 +4460,28 @@ def q_lsh_tuning(spark, sf):
     # 100 TB route is the prefix-filtered twin); the band side is the
     # linear banded pipeline. The curve is a diagnostic you run on a
     # SAMPLE at scale — capture rates are ratios, so a uniform sample
-    # estimates them unbiasedly.
+    # estimates them unbiasedly — and that mode is the sample_frac
+    # parameter (round-7 verdict #5): a content-addressed md5 threshold
+    # on doc_id (_lsh_sample_bound) keeps the sampled-in set a pure
+    # function of the data, so _lsh_tuning_sql(sample_frac) builds the
+    # matching oracle and the sampled curve stays engine-exact
+    # (tests/test_dedup.py::test_lsh_tuning_sample_frac). Sampling DOCS
+    # (not pairs) shrinks the exact side's candidate volume
+    # quadratically: frac² of the pairs for frac of the docs.
     d = T(spark, sf, "documents")
+    if sample_frac < 1.0:
+        d = d.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lsht:"), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            < F.lit(_lsh_sample_bound(sample_frac))
+        )
     sh = d.select(
         F.col("doc_id").alias("doc"),
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),

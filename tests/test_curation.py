@@ -613,6 +613,53 @@ def test_pack_greedy_matches_naive_python(spark, sf_dir):
         assert max(bs) >= 1  # multi-bin shards or the op is untested
 
 
+def test_pack_bfd_matches_naive_python(spark, sf_dir):
+    """q_pack_bfd vs an independent python best-fit-decreasing packer,
+    plus the BFD invariants: bins within a shard are contiguous from 0,
+    every bin fits L=128 unless it holds a single oversized doc, and no
+    two open bins could have been merged at placement time (the doc that
+    OPENED each later bin did not fit any earlier bin then)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    shards = {}
+    for r in docs:
+        n = len([w for w in r["text"].split(" ") if w])
+        if n == 0:
+            continue
+        shards.setdefault(r["doc_id"] % 8, []).append((r["doc_id"], n))
+    expected = {}
+    for sh, ds in shards.items():
+        fills = []
+        for doc_id, n in sorted(ds, key=lambda t: (-t[1], t[0])):
+            best, best_fill = -1, -1
+            for j, f in enumerate(fills):
+                if f + n <= 128 and f > best_fill:
+                    best, best_fill = j, f
+            if best < 0:
+                expected[doc_id] = (sh, n, len(fills))
+                fills.append(n)
+            else:
+                expected[doc_id] = (sh, n, best)
+                fills[best] += n
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["bin_id"])
+        for r in QS["q_pack_bfd"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for sh, n, b in got.values():
+        fills[(sh, b)].append(n)
+    for (sh, b), ns in fills.items():
+        assert sum(ns) <= 128 or len(ns) == 1  # only an oversized loner overflows
+    per_shard = defaultdict(set)
+    for sh, _, b in got.values():
+        per_shard[sh].add(b)
+    for sh, bs in per_shard.items():
+        assert bs == set(range(max(bs) + 1))  # contiguous bin ids
+        assert max(bs) >= 1  # multi-bin shards or the op is untested
+
+
 def test_pack_eff_matches_naive_python(spark, sf_dir):
     """q_pack_eff vs a python recompute over the same greedy replay used
     by test_pack_greedy, plus the recipe-comparison invariant: concat
@@ -639,16 +686,36 @@ def test_pack_eff_matches_naive_python(spark, sf_dir):
     padding = sum(max(128 - f, 0) for f in fills.values())
     used = sum(min(f, 128) for f in fills.values())
     n_seqs = sum((sum(ns) + 127) // 128 for ns in shards.values())
+    bfd_fills = []
+    for sh, ns in shards.items():
+        sh_fills = []
+        for n in sorted(ns, reverse=True):  # n_tok desc; doc order irrelevant
+            best, best_fill = -1, -1
+            for j, f in enumerate(sh_fills):
+                if f + n <= 128 and f > best_fill:
+                    best, best_fill = j, f
+            if best < 0:
+                sh_fills.append(n)
+            else:
+                sh_fills[best] += n
+        bfd_fills.extend(sh_fills)
+    n_bins_bfd = len(bfd_fills)
+    used_bfd = sum(min(f, 128) for f in bfd_fills)
     [r] = QS["q_pack_eff"](spark, sf_dir).collect()
     assert (
         r["n_docs"], r["n_tokens"], r["n_bins"], r["padding_tokens"],
         r["greedy_eff_bp"], r["n_seqs_concat"], r["concat_eff_bp"],
+        r["n_bins_bfd"], r["bfd_eff_bp"],
     ) == (
         n_docs, n_tokens, n_bins, padding,
         used * 10000 // (n_bins * 128), n_seqs,
         n_tokens * 10000 // (n_seqs * 128),
+        n_bins_bfd, used_bfd * 10000 // (n_bins_bfd * 128),
     )
     assert r["concat_eff_bp"] >= r["greedy_eff_bp"]
+    # the BFD guarantee the three-way report exists to confirm: best-fit
+    # over size-sorted docs never packs worse than arrival-order greedy
+    assert r["bfd_eff_bp"] >= r["greedy_eff_bp"]
     assert r["padding_tokens"] + r["n_tokens"] >= r["n_bins"] * 128  # bins full or padded
 
 

@@ -2257,3 +2257,36 @@ def test_lsh_tuning_matches_naive_python(spark, sf_dir):
     lo, hi = min(got), max(got)
     assert hi >= 9 and got[hi][2] >= 9000   # near-dups: captured
     assert lo == 0 and got[lo][2] <= 500    # background: pruned
+
+
+def test_lsh_tuning_sample_frac(spark, sf_dir):
+    """q_lsh_tuning's documented 100 TB mode as an executable parameter
+    (round-7 verdict #5): sample_frac=0.5 content-addresses a doc subset
+    via md5('lsht:'||doc_id), and BOTH engines — the Spark fn and the
+    oracle built by _lsh_tuning_sql(0.5) — select the identical subset,
+    so the sampled S-curve is engine-exact, and its exact-pair volume is
+    strictly below the full run's (the quadratic shrink the knob buys)."""
+    import duckdb
+
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.queries.llm import _lsh_tuning_sql
+
+    got = {
+        r["sim_bin"]: (r["n_pairs"], r["n_captured"], r["capture_bp"])
+        for r in queries()["q_lsh_tuning"](spark, sf_dir, sample_frac=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        int(b): (int(n), int(c), int(bp))
+        for b, n, c, bp in con.execute(_lsh_tuning_sql(0.5)).fetchall()
+    }
+    assert got == want and got
+    full_pairs = sum(
+        r["n_pairs"]
+        for r in queries()["q_lsh_tuning"](spark, sf_dir).collect()
+    )
+    assert 0 < sum(n for n, _, _ in got.values()) < full_pairs

@@ -132,7 +132,8 @@ def test_no_row_python_anywhere_arrow_only_where_declared(spark, sf_dir):
                                 # vectorized value_counts fold — operators/freq.py)
         "q_pack_greedy",        # greedy no-split packing: order-dependent fold,
                                 # shard-parallel applyInPandas BY DESIGN
-        "q_pack_eff",           # consumes q_pack_greedy's output
+        "q_pack_bfd",           # best-fit-decreasing: same shard-local fold shape
+        "q_pack_eff",           # consumes q_pack_greedy's + q_pack_bfd's output
         "q_assembly_pipeline",  # composed pipeline ending in the greedy pack
     }
     for key, fn in sorted(queries().items()):
@@ -884,6 +885,15 @@ def test_pack_greedy_one_shuffle_arrow_grouped(spark, sf_dir):
     # greedy packing = ONE exchange by shard into the Arrow-batched
     # grouped-map pass; the token counting stays JVM-side before it
     df = QS["q_pack_greedy"](spark, sf_dir)
+    assert checks.count_nodes(df, "Exchange") == 1
+    assert checks.count_nodes(df, "FlatMapGroupsInPandas") == 1
+
+
+def test_pack_bfd_one_shuffle_arrow_grouped(spark, sf_dir):
+    # BFD packing keeps q_pack_greedy's physical shape: ONE exchange by
+    # shard into the Arrow-batched grouped-map pass (the desc sort is
+    # pandas-local inside the shard task, never a plan-level Sort)
+    df = QS["q_pack_bfd"](spark, sf_dir)
     assert checks.count_nodes(df, "Exchange") == 1
     assert checks.count_nodes(df, "FlatMapGroupsInPandas") == 1
 
