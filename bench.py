@@ -103,9 +103,12 @@ HEADLINE = [
     "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
     "q_select_dsir",        # DSIR importance selection over hashed bigrams
     "q_dedup_url",          # map-side URL canonicalization, one shuffle
+    "q_text_langid_ngram",  # hashed char-trigram linear classifier, train+eval
     "q_decontaminate_doc",  # broadcast-eval n-gram screening
     "q_partition_bounds",   # shared-round multi-rank boundary probes
     "q_bpe_train",          # full k-merge tokenizer training (census loop)
+    "q_unigram_train",      # unigram-LM tokenizer: seed + 2 Viterbi-EM rounds
+    "q_unigram_pipeline",   # unigram train->apply composed (census + 1 corpus pass)
     "q_chunk_fixed",        # map-only token-window chunking (scan-speed)
     "q_pack_greedy",        # T5-style no-split packing, Arrow grouped-map
     "q_pack_bfd",           # best-fit-decreasing packing, same grouped-map shape

@@ -3464,3 +3464,419 @@ def q_bpe_curve(spark, sf):
     return spark.createDataFrame(
         rows, "n_merges bigint, total_subwords bigint"
     ).orderBy("n_merges")
+
+
+# ------------------------------------------- unigram-LM tokenizer (Kudo) ---
+#: max piece length, seed/keep sizes for multi-char pieces, EM rounds
+_UNI_LMAX = 4
+_UNI_SEED = 60
+_UNI_KEEP = 40
+_UNI_ITERS = 2
+#: word-length cap: words longer than this are excluded from the census
+#: AND from the apply-side accounting in BOTH engines (fixture max ~20)
+_UNI_WMAX = 32
+#: score base: a segmentation's score is k·BIG − Σ(cnt_i + 1) over its k
+#: pieces, so minimizing = (fewest pieces, then highest total piece
+#: frequency) in ONE integer — the engine-exact Viterbi objective. BIG is
+#: a power of two so score/BIG stays exact under double division; the +1
+#: Laplace term keeps Σ(cnt_i+1) ≥ 1 so the piece count recovers as
+#: ceil(score/BIG) with no boundary ambiguity. Bounds: len ≤ 32 pieces ×
+#: 2^36 ≈ 2^41 ≪ 2^52 (exact-double range); needs Σ(cnt+1) < 2^36, i.e.
+#: piece counts ≲ 2^31 — raise BIG (headroom to ~2^46) for larger corpora.
+_UNI_BIG = 1 << 36
+
+
+def _uni_dp_sql(word: str, vm: str) -> str:
+    """DuckDB Viterbi DP fold: returns a BIGINT list dp where dp[p+1] is
+    the best segmentation score of word[1..p] (dp[1] = 0). Candidate at
+    position i, piece length L: dp[i−L] + BIG − (cnt(piece)+1); absent
+    pieces give NULL (null-skipped by least in both engines). The fold's
+    init list rides as the prepended first element (list_reduce has no
+    init parameter)."""
+    cands = ", ".join(
+        f"CASE WHEN el[1] >= {L} THEN acc[CAST(el[1] AS INT) - {L - 1}]"
+        f" + {_UNI_BIG} - (map_extract({vm}, substr({word},"
+        f" CAST(el[1] AS INT) - {L - 1}, {L}))[1] + 1) END"
+        for L in range(1, _UNI_LMAX + 1)
+    )
+    return (
+        "list_reduce(list_prepend(CAST([0] AS BIGINT[]),"
+        f" list_transform(generate_series(1, len({word})),"
+        " x -> [CAST(x AS BIGINT)])),"
+        f" (acc, el) -> list_append(acc, least({cands})))"
+    )
+
+
+def _uni_match_sql(word: str, vm: str, dp: str, L: int) -> str:
+    p = "CAST(acc[1] AS BIGINT)"
+    return (
+        f"{p} >= {L} AND {dp}[CAST({p} AS INT) + 1]"
+        f" = {dp}[CAST({p} AS INT) - {L} + 1] + {_UNI_BIG}"
+        f" - (map_extract({vm}, substr({word},"
+        f" CAST({p} AS INT) - {L} + 1, {L}))[1] + 1)"
+    )
+
+
+def _uni_pieces_sql(word: str, vm: str, dp: str) -> str:
+    """DuckDB backtrace fold: walks the DP table end→start, recomputing
+    the candidate equality at each position and taking the SMALLEST
+    matching piece length (the deterministic tie rule both engines
+    share), accumulating pieces left-to-right. The accumulator is a
+    VARCHAR list whose first slot carries the current position.
+
+    The fold runs EXACTLY k times, where k = ceil(dp_n/BIG) is the piece
+    count recovered from the DP score — never length-of-word times with
+    an identity branch for the exhausted tail: DuckDB 1.0.0's
+    list_reduce reuses the FIRST row's result for later rows in the same
+    vector when the lambda can return ``acc`` unchanged (reproduced in
+    tests/test_adversarial_r8.py), so every iteration must build a fresh
+    list. The Spark twin iterates k times too (_uni_pieces_col)."""
+    p = "CAST(acc[1] AS BIGINT)"
+    lsel = " ".join(
+        f"WHEN {_uni_match_sql(word, vm, dp, L)} THEN {L}"
+        for L in range(1, _UNI_LMAX + 1)
+    )
+    piece = " ".join(
+        f"WHEN {_uni_match_sql(word, vm, dp, L)}"
+        f" THEN substr({word}, CAST({p} AS INT) - {L} + 1, {L})"
+        for L in range(1, _UNI_LMAX + 1)
+    )
+    k = f"({dp}[CAST(len({word}) AS INT) + 1] + {_UNI_BIG - 1}) // {_UNI_BIG}"
+    return (
+        f"list_reduce(list_prepend([CAST(len({word}) AS VARCHAR)],"
+        f" list_transform(generate_series(1, {k}),"
+        " x -> [CAST(x AS VARCHAR)])),"
+        f" (acc, el) -> list_concat("
+        f"[CAST({p} - (CASE {lsel} END) AS VARCHAR), CASE {piece} END],"
+        " acc[2:]))[2:]"
+    )
+
+
+def _unigram_ctes(iters: int = _UNI_ITERS) -> str:
+    """Chained-CTE WITH block for the full unigram trainer (lesson 27):
+    w0 = word census; sing/seed = character + top-substring seed vocab;
+    then per EM round t: m_t (vocab as a 1-row MAP) → d_t (per-census-
+    word Viterbi DP) → seg_t (backtraced pieces) → u_t (usage counts) →
+    v_t (all single chars + top multis by usage). Shared by
+    q_unigram_train (emits v_T) and q_unigram_pipeline (applies v_T to
+    the corpus)."""
+    lens = ", ".join(str(L) for L in range(2, _UNI_LMAX + 1))
+    sql = f"""
+    WITH w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' AND len(w) <= {_UNI_WMAX} GROUP BY w
+    ),
+    sing AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS piece,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM w0, UNNEST(generate_series(1, len(w))) AS ti(i)
+        GROUP BY piece
+    ),
+    seed AS (
+        SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+            SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece, wc
+            FROM w0, UNNEST([{lens}]) AS tl(L),
+                 UNNEST(generate_series(1, len(w) - L + 1)) AS ti(i)
+            WHERE len(w) >= L
+        ) GROUP BY piece
+        ORDER BY cnt DESC, piece ASC LIMIT {_UNI_SEED}
+    ),
+    v0 AS (SELECT * FROM sing UNION ALL SELECT * FROM seed)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    m{t} AS (SELECT MAP(list(piece ORDER BY piece),
+                        list(cnt ORDER BY piece)) AS vm FROM v{t - 1}),
+    d{t} AS (SELECT w, wc, vm, {_uni_dp_sql("w", "vm")} AS dp
+             FROM w0 CROSS JOIN m{t}),
+    seg{t} AS (SELECT unnest({_uni_pieces_sql("w", "vm", "dp")}) AS piece,
+                      wc
+               FROM d{t}),
+    u{t} AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+             FROM seg{t} GROUP BY piece),
+    v{t} AS (
+        SELECT s.piece, COALESCE(u.cnt, 0) AS cnt
+        FROM sing s LEFT JOIN u{t} u ON s.piece = u.piece
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM u{t} WHERE len(piece) >= 2
+            ORDER BY cnt DESC, piece ASC LIMIT {_UNI_KEEP})
+    )"""
+    return sql
+
+
+def _uni_cost_col(word, vm, start, L: int):
+    """Spark twin of the oracle's cost term: BIG − (cnt(piece)+1);
+    NULL when the piece is not in the vocab map."""
+    return F.lit(_UNI_BIG) - (
+        F.element_at(vm, word.substr(start.cast("int"), F.lit(L).cast("int")))
+        + F.lit(1)
+    )
+
+
+def _uni_dp_col(word, vm):
+    def step(acc, i):
+        cands = [
+            F.when(
+                i >= L,
+                F.element_at(acc, (i - (L - 1)).cast("int"))
+                + _uni_cost_col(word, vm, i - (L - 1), L),
+            )
+            for L in range(1, _UNI_LMAX + 1)
+        ]
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+
+
+def _uni_pieces_col(word, vm, dp):
+    def match(p, L: int):
+        return (p >= L) & (
+            F.element_at(dp, (p + 1).cast("int"))
+            == F.element_at(dp, (p - L + 1).cast("int"))
+            + _uni_cost_col(word, vm, p - L + 1, L)
+        )
+
+    def step(acc, _):
+        p = F.element_at(acc, 1).cast("long")
+        l = F.when(match(p, 1), 1)
+        for L in range(2, _UNI_LMAX + 1):
+            l = l.when(match(p, L), L)
+        l = l.cast("long")
+        piece = word.substr((p - l + 1).cast("int"), l.cast("int"))
+        return F.concat(
+            F.array((p - l).cast("string"), piece),
+            F.slice(acc, F.lit(2), F.size(acc) - 1),
+        )
+
+    # exactly k iterations (k = piece count from the DP score), matching
+    # the oracle fold step for step — see _uni_pieces_sql on why neither
+    # side may carry an identity branch
+    k = F.floor(
+        (
+            F.element_at(dp, (F.length(word) + 1).cast("int"))
+            + F.lit(_UNI_BIG - 1)
+        )
+        / F.lit(_UNI_BIG)
+    ).cast("long")
+    bt = F.aggregate(
+        F.sequence(F.lit(1), k),
+        F.array(F.length(word).cast("string")),
+        step,
+    )
+    return F.slice(bt, F.lit(2), F.size(bt) - 1)
+
+
+def _uni_census(spark, sf):
+    d = T(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _UNI_WMAX))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+
+
+def _uni_vm_lit(vocab: dict[str, int]):
+    """The trained vocab as a LITERAL map column (the kmeans
+    bind-as-driver-literals discipline): pieces are data but enter the
+    plan through F.lit, never string interpolation (lesson 32). An empty
+    vocab (token-less corpus) yields a NULL map — every lookup NULLs and
+    downstream stages emit zero rows, matching the oracle."""
+    if not vocab:
+        return F.lit(None).cast("map<string,bigint>")
+    return F.create_map(
+        *[F.lit(x) for p, c in sorted(vocab.items()) for x in (p, c)]
+    )
+
+
+def _unigram_train_vocab(spark, sf) -> tuple[dict[str, int], list[str]]:
+    """The iterative trainer: census → seed collect → EM rounds of
+    (Viterbi-segment the census under the current vocab → usage count →
+    prune). Returns (final vocab, single-char pieces).
+
+    Every collect is VOCABULARY-bounded (≤ alphabet + SEED rows — the
+    q_bpe_train bounded-driver-pick discipline), and each round's vocab
+    re-enters the plan as literals, so round t's plan never replays
+    round t−1's segmentation through lazy lineage — the first cut of
+    this trainer was one static unrolled DAG and planned 34 corpus scans
+    at 2 rounds (~5^N subtree growth, lesson 9). The census persists for
+    the duration of the call (try/finally, the round-7 leak rule)."""
+    census = _uni_census(spark, sf).persist()
+    try:
+        sing_rows = (
+            census.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                    )
+                ).alias("piece"),
+                "wc",
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .collect()
+        )
+        seed_rows = (
+            census.select(
+                F.explode(
+                    F.expr(
+                        f"flatten(transform(sequence(2, {_UNI_LMAX}), L ->"
+                        " CASE WHEN length(w) >= L THEN transform("
+                        "sequence(1, length(w) - L + 1), i -> substring(w, i, L))"
+                        " ELSE cast(array() AS array<string>) END))"
+                    )
+                ).alias("piece"),
+                "wc",
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(_UNI_SEED)
+            .collect()
+        )
+        sing = [r["piece"] for r in sing_rows]
+        vocab = {r["piece"]: r["cnt"] for r in sing_rows}
+        vocab.update({r["piece"]: r["cnt"] for r in seed_rows})
+        for _ in range(_UNI_ITERS):
+            vm = _uni_vm_lit(vocab)
+            d = census.select(
+                "w", "wc", vm.alias("vm"), _uni_dp_col(F.col("w"), vm).alias("dp")
+            )
+            usage_rows = (
+                d.select(
+                    F.explode(
+                        _uni_pieces_col(F.col("w"), F.col("vm"), F.col("dp"))
+                    ).alias("piece"),
+                    "wc",
+                )
+                .groupBy("piece")
+                .agg(F.sum("wc").cast("long").alias("cnt"))
+                .collect()
+            )
+            usage = {r["piece"]: r["cnt"] for r in usage_rows}
+            vocab = {ch: usage.get(ch, 0) for ch in sing}
+            vocab.update(
+                dict(
+                    sorted(
+                        ((p, c) for p, c in usage.items() if len(p) >= 2),
+                        key=lambda kv: (-kv[1], kv[0]),
+                    )[:_UNI_KEEP]
+                )
+            )
+    finally:
+        census.unpersist()
+    return vocab, sing
+
+
+@q(
+    "q_unigram_train",
+    _unigram_ctes() + f"\n    SELECT piece, cnt FROM v{_UNI_ITERS}",
+)
+def q_unigram_train(spark, sf):
+    # unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018) —
+    # the tokenizer family beside BPE (q_bpe_train): seed a substring
+    # vocabulary from the word census, then EM rounds of (Viterbi-segment
+    # every census word under the current vocab → recount piece usage →
+    # prune to the top pieces), emitting the final (piece, cnt) table
+    # that q_unigram_pipeline applies. Deviation from Kudo's soft-EM,
+    # documented: the E-step is VITERBI (hard) assignment and the
+    # objective is the integer lexicographic pair (fewest pieces, then
+    # highest total piece frequency) encoded as k·BIG − Σ(cnt+1) — real-
+    # valued log-likelihoods would make every argmax engine-divergent
+    # (lesson 17/29: the hazard is divergence), while this trainer's
+    # every decision — DP minima, backtrace tie-breaks (smallest piece
+    # length), seed/prune top-k cuts — is exact integer arithmetic both
+    # engines replay bit-identically. Oracle = the same seed→EM chain as
+    # unrolled CTEs with the vocab riding as a 1-row MAP and the DP /
+    # backtrace as list_reduce folds (_unigram_ctes), the q_bpe_train
+    # discipline applied to a DP-shaped trainer.
+    #
+    # Scale: ONE corpus scan builds the census (persisted for the call,
+    # released in finally); every EM round is census-sized (distinct
+    # words × frequency — the same trick that makes q_bpe_train
+    # corpus-scale: iterations never touch the corpus), the vocab rides
+    # as ~100 plan literals, and the only shuffles are vocabulary-sized
+    # usage counts. Driver picks are vocabulary-BOUNDED collects per
+    # round (the q_bpe_train discipline) — binding each round's vocab as
+    # literals is also what keeps the plan linear in rounds (lesson 9:
+    # the static unrolled DAG planned 34 corpus scans at 2 rounds).
+    vocab, _ = _unigram_train_vocab(spark, sf)
+    return spark.createDataFrame(
+        sorted(vocab.items()), "piece string, cnt bigint"
+    )
+
+
+@q(
+    "q_unigram_pipeline",
+    _unigram_ctes()
+    + f""",
+    mf AS (SELECT MAP(list(piece ORDER BY piece),
+                      list(cnt ORDER BY piece)) AS vm FROM v{_UNI_ITERS}),
+    words AS (
+        SELECT lang, doc_id, w FROM (
+            SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        WHERE w <> '' AND len(w) <= {_UNI_WMAX}
+    ),
+    app AS (
+        SELECT lang, doc_id,
+               (dp[CAST(len(w) AS INT) + 1] + {_UNI_BIG - 1}) // {_UNI_BIG}
+                   AS k
+        FROM (SELECT lang, doc_id, w, {_uni_dp_sql("w", "vm")} AS dp
+              FROM words CROSS JOIN mf)
+    )
+    SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(k) AS BIGINT) AS n_subwords
+    FROM app GROUP BY lang
+    """,
+)
+def q_unigram_pipeline(spark, sf):
+    # the COMPOSED unigram pipeline — train on the corpus, then Viterbi-
+    # tokenize the SAME corpus with the trained vocab, reporting
+    # per-language word vs subword counts (q_bpe_pipeline's report for
+    # the second tokenizer family, so the two are directly comparable).
+    # The subword count per word falls out of the DP score WITHOUT a
+    # backtrace: score = k·BIG − Σ(cnt+1) with 1 ≤ Σ(cnt+1) < BIG, so
+    # k = ceil(score/BIG) exactly — the apply side is a map-only DP fold
+    # per word occurrence plus one aggregation. Docs whose every word is
+    # empty or over the length cap drop out of the accounting in BOTH
+    # engines (n_docs counts docs with ≥ 1 counted word).
+    #
+    # Scale: training as in q_unigram_train (census-sized); apply is one
+    # corpus scan with the final vocab broadcast as a map — no backtrace
+    # allocation, no shuffle before the per-language rollup. Precondition
+    # shared by both engines: apply text is the training corpus (or a
+    # subset), so every character is in the vocab and no DP cell is NULL.
+    vocab, _ = _unigram_train_vocab(spark, sf)
+    vm = _uni_vm_lit(vocab)
+    d = T(spark, sf, "documents")
+    words = d.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= _UNI_WMAX))
+    scored = words.select(
+        "lang",
+        "doc_id",
+        F.floor(
+            (
+                F.element_at(
+                    _uni_dp_col(F.col("w"), vm),
+                    (F.length("w") + 1).cast("int"),
+                )
+                + F.lit(_UNI_BIG - 1)
+            )
+            / F.lit(_UNI_BIG)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("k").cast("bigint").alias("n_subwords"),
+    )

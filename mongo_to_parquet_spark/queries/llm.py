@@ -316,6 +316,115 @@ def q_text_langid(spark, sf):
     return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
+#: hashed-feature space for the n-gram language classifier
+_LID_BUCKETS = 1024
+_LID_SCALE = 1_000_000
+
+
+@q(
+    "q_text_langid_ngram",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, '_' || lower(w) || '_' AS p FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        WHERE w <> ''
+    ),
+    tri AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(concat('lid:',
+                   substr(p, CAST(i AS INT), 3))), 1, 12)) AS BIGINT)
+                   % {_LID_BUCKETS} AS b
+        FROM tok, UNNEST(generate_series(1, len(p) - 2)) AS t(i)
+    ),
+    w AS (SELECT lang AS mlang, b, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tri GROUP BY lang, b),
+    tot AS (SELECT mlang, CAST(SUM(cnt) AS BIGINT) AS t FROM w GROUP BY mlang),
+    wt AS (SELECT mlang, b, cnt * {_LID_SCALE} // t AS wgt
+           FROM w JOIN tot USING (mlang)),
+    df AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS dc
+           FROM tri GROUP BY doc_id, lang, b),
+    sc AS (SELECT doc_id, lang, mlang, CAST(SUM(dc * wgt) AS BIGINT) AS score
+           FROM df JOIN wt USING (b) GROUP BY doc_id, lang, mlang),
+    pick AS (SELECT doc_id, lang, mlang AS lang_pred,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, mlang ASC) AS rn
+             FROM sc)
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick WHERE rn = 1 GROUP BY lang, lang_pred
+    """,
+)
+def q_text_langid_ngram(spark, sf):
+    # hashed char-n-gram LINEAR language classifier (the fasttext-style
+    # public construction: hashing-trick features × a per-class weight
+    # table), trained and evaluated in one statement — the upgrade over
+    # q_text_langid's five hand-picked stopword lists. Features: padded
+    # lowercase char trigrams ('_'||w||'_', so every non-empty word
+    # contributes) hashed into {_LID_BUCKETS} buckets via md5 hex→int
+    # (lesson 18). Weights: per-language bucket frequency in integer
+    # parts-per-million (cnt·SCALE // total — floor div, engine-exact);
+    # score(doc, lang) = Σ_b doc_cnt_b · w_lang_b, argmax tie-broken
+    # (score desc, lang asc): Spark takes min(struct(−score, lang)) in
+    # one aggregate, the oracle the equivalent row_number pick. Output is
+    # the confusion matrix (lang, lang_pred, n_docs);
+    # tests/test_operators.py pins accuracy ≥ the stopword baseline.
+    #
+    # Scale: ONE trigram pass feeds both the model (lang×1024 keys — the
+    # weight table broadcasts at any corpus size) and the per-doc
+    # features; scoring is a broadcast join + two corpus-linear
+    # aggregations keyed by doc. Products are bounded: wgt ≤ 1e6 and
+    # per-doc counts ≤ n_chars, far inside int64 (lesson 17).
+    d = T(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("_"), F.lower("w"), F.lit("_")).alias("p"),
+        )
+    )
+    tri = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("lid:"), F.col("g"))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % _LID_BUCKETS
+        ).alias("b"),
+    )
+    w = tri.groupBy(F.col("lang").alias("mlang"), "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = w.groupBy("mlang").agg(F.sum("cnt").cast("long").alias("t"))
+    wt = w.join(F.broadcast(tot), "mlang").select(
+        "mlang", "b", F.expr(f"(cnt * {_LID_SCALE}) div t").alias("wgt")
+    )
+    df = tri.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("dc")
+    )
+    sc = (
+        df.join(F.broadcast(wt), "b")
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.sum(F.col("dc") * F.col("wgt")).cast("long").alias("score"))
+    )
+    pick = sc.groupBy("doc_id", "lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("mlang"))).alias("m")
+    )
+    return pick.groupBy(
+        "lang", F.col("m.mlang").alias("lang_pred")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
 @q(
     "q_text_pack",
     """

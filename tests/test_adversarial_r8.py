@@ -64,3 +64,40 @@ def test_bpe_pipeline_early_stopping_corpora(spark, tmp_path):
             .fetchall()
         }
         assert got == duck == want, name
+
+
+def test_unigram_degenerate_corpora(spark, tmp_path):
+    """Lesson-28 sweep for the unigram tokenizer keys: corpora the
+    fixtures never produce, run through the DECLARED query fns against
+    their oracles. Cases: token-less docs (empty census: train and
+    pipeline emit ZERO rows in both engines — unlike q_bpe_pipeline,
+    zero-word docs drop out of the unigram accounting by contract),
+    single-char-only words (empty seed: vocab = characters, k = word
+    length), a word beyond the 32-char cap (excluded from census AND
+    apply in both engines), and a two-word 'spark'/'customer' corpus —
+    the exact shape that reproduced DuckDB 1.0.0's list_reduce
+    row-result reuse when the backtrace lambda had an identity branch
+    (the fold now runs exactly k piece steps; see _uni_pieces_sql)."""
+    import os
+
+    long_w = "x" * 33
+    cases = {
+        "tokenless": ["", "  "],
+        "singles": ["a b c", "x y"],
+        "capped": [f"{long_w} abc abc", "abc ab"],
+        "sparkcust": ["spark customer spark", "customer spark park cust"],
+    }
+    for name, texts in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _docs(d, texts)
+        con = _duck(d, ["documents"])
+        for key in ("q_unigram_train", "q_unigram_pipeline"):
+            got = sorted(tuple(r) for r in QS[key](spark, d).collect())
+            want = sorted(tuple(r) for r in con.execute(OS[key]).fetchall())
+            assert got == want, (name, key, got, want)
+        if name == "tokenless":
+            assert not QS["q_unigram_train"](spark, d).collect()
+        if name == "capped":
+            pieces = {r["piece"] for r in QS["q_unigram_train"](spark, d).collect()}
+            assert "x" not in pieces  # the 33-char word never enters the census

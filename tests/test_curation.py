@@ -825,3 +825,138 @@ def test_assembly_report_telescopes_and_matches_pipeline(spark, sf_dir):
     # at sf >= 0.01, so require the union, not each stage
     assert r["n_contaminated"] > 0
     assert r["n_dup_dropped"] >= 0 and r["n_gate_dropped"] >= 0
+
+
+def _uni_viterbi(w, vocab):
+    """Independent python replay of the unigram Viterbi: minimize
+    k·BIG − Σ(cnt+1), backtrace smallest piece length on ties."""
+    BIG = 1 << 36
+    n = len(w)
+    dp = [0] + [None] * n
+    for i in range(1, n + 1):
+        best = None
+        for L in (1, 2, 3, 4):
+            if i >= L and dp[i - L] is not None:
+                c = vocab.get(w[i - L : i])
+                if c is not None:
+                    cand = dp[i - L] + BIG - (c + 1)
+                    if best is None or cand < best:
+                        best = cand
+        dp[i] = best
+    pieces, p = [], n
+    while p > 0:
+        for L in (1, 2, 3, 4):
+            c = vocab.get(w[p - L : p]) if p >= L else None
+            if (
+                c is not None
+                and dp[p - L] is not None
+                and dp[p] == dp[p - L] + BIG - (c + 1)
+            ):
+                pieces.append(w[p - L : p])
+                p -= L
+                break
+    return list(reversed(pieces))
+
+
+def _uni_train_replay(census):
+    """Independent python replay of the unigram trainer (seed → 2 × EM)."""
+    from collections import Counter
+
+    sing, multi = Counter(), Counter()
+    for w, wc in census.items():
+        for ch in w:
+            sing[ch] += wc
+        for L in (2, 3, 4):
+            for i in range(len(w) - L + 1):
+                multi[w[i : i + L]] += wc
+    seed = dict(sorted(multi.items(), key=lambda kv: (-kv[1], kv[0]))[:60])
+    vocab = {**dict(sing), **seed}
+    for _ in range(2):
+        usage = Counter()
+        for w, wc in census.items():
+            for pc in _uni_viterbi(w, vocab):
+                usage[pc] += wc
+        vocab = {ch: usage.get(ch, 0) for ch in sing}
+        vocab.update(
+            dict(
+                sorted(
+                    ((p, c) for p, c in usage.items() if len(p) >= 2),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:40]
+            )
+        )
+    return vocab
+
+
+def _uni_census_replay(spark, sf_dir):
+    from collections import Counter
+
+    census = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if w and len(w) <= 32:
+                census[w] += 1
+    return census
+
+
+def test_unigram_train_matches_naive_python(spark, sf_dir):
+    """q_unigram_train vs a from-scratch python trainer (census → char +
+    top-60 substring seed → two Viterbi-EM rounds with top-40 pruning),
+    plus the vocab invariants: every census character survives as a
+    single-char piece, and multi-char pieces carry positive usage."""
+    vocab = _uni_train_replay(_uni_census_replay(spark, sf_dir))
+    got = {
+        r["piece"]: r["cnt"]
+        for r in QS["q_unigram_train"](spark, sf_dir).collect()
+    }
+    assert got == vocab and got
+    multis = {p: c for p, c in got.items() if len(p) >= 2}
+    assert multis and all(c >= 1 for c in multis.values())
+    chars = {ch for w in _uni_census_replay(spark, sf_dir) for ch in w}
+    assert chars == {p for p in got if len(p) == 1}
+
+
+def test_unigram_pipeline_matches_python_replay(spark, sf_dir):
+    """The composed unigram train→apply key vs a python replay: the
+    trained vocab (pinned canonical by test_unigram_train) applied via
+    the same Viterbi, accumulated per lang; plus each word is >= 1
+    subword and subwords never exceed characters."""
+    from collections import defaultdict
+
+    vocab = _uni_train_replay(_uni_census_replay(spark, sf_dir))
+    expected = defaultdict(lambda: [set(), 0, 0])
+    rows = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    ).collect()
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w and len(w) <= 32]
+        if not ws:
+            continue
+        e = expected[r["lang"]]
+        e[0].add(r["doc_id"])
+        e[1] += len(ws)
+        e[2] += sum(len(_uni_viterbi(w, vocab)) for w in ws)
+    got = {
+        r["lang"]: [r["n_docs"], r["n_words"], r["n_subwords"]]
+        for r in QS["q_unigram_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == {k: [len(s), nw, ns] for k, (s, nw, ns) in expected.items()}
+    for n_docs, n_words, n_subwords in got.values():
+        assert n_words <= n_subwords  # each word >= 1 piece
+
+
+def test_unigram_beats_char_segmentation(spark, sf_dir):
+    """The trained tokenizer must actually compress: total subwords under
+    the unigram vocab strictly below total characters-in-words (the
+    char-fallback segmentation every vocab contains), and the two
+    tokenizer families should land in the same compression regime."""
+    uni = {r["lang"]: r for r in QS["q_unigram_pipeline"](spark, sf_dir).collect()}
+    bpe = {r["lang"]: r for r in QS["q_bpe_pipeline"](spark, sf_dir).collect()}
+    chars = {}
+    for r in load_table(spark, sf_dir, "documents").select("lang", "text").collect():
+        ws = [w for w in r["text"].split(" ") if w and len(w) <= 32]
+        chars[r["lang"]] = chars.get(r["lang"], 0) + sum(len(w) for w in ws)
+    for lang, row in uni.items():
+        assert row["n_subwords"] < chars[lang]  # strictly better than chars
+        # same regime as BPE on the shared corpus: within 2x of each other
+        assert row["n_subwords"] <= 2 * bpe[lang]["n_subwords"]

@@ -2290,3 +2290,58 @@ def test_lsh_tuning_sample_frac(spark, sf_dir):
         for r in queries()["q_lsh_tuning"](spark, sf_dir).collect()
     )
     assert 0 < sum(n for n, _, _ in got.values()) < full_pairs
+
+
+def test_langid_ngram_learns_real_language_signal(spark, tmp_path):
+    """q_text_langid_ngram accuracy pin. The driver fixture's text is the
+    SAME synthetic vocabulary for every lang label (no learnable signal —
+    all classifiers sit at chance there), so the discriminative pin runs
+    on a synthesized genuinely-multilingual corpus (lesson 21): five
+    languages with distinct character statistics. The trained hashed
+    n-gram model must (a) match its DuckDB oracle on this corpus too,
+    (b) be near-perfect, and (c) beat or match the stopword baseline."""
+    import duckdb
+    import pandas as pd
+
+    from mongo_to_parquet_spark.queries import oracle_sql, queries
+
+    lex = {
+        "de": "der die und das ist ein nicht mit sich auf für werden schön "
+              "straße müller zeitung gemütlich wissenschaft".split(),
+        "en": "the and of to is in that it was for with quick brown fox "
+              "jumps through knowledge morning".split(),
+        "es": "el la de que los una por con para como señor niño corazón "
+              "mañana ciudad desarrollo trabajo".split(),
+        "fr": "le la les et des une dans pour avec être château très "
+              "toujours développement connaissance".split(),
+        "zh": "的 是 了 在 我 中国 人民 你好 学习 知识 工作 城市 发展 早上 朋友".split(),
+    }
+    rows = []
+    i = 0
+    for lang, words in sorted(lex.items()):
+        for d in range(40):
+            text = " ".join(words[(d + j) % len(words)] for j in range(12))
+            i += 1
+            rows.append((i, text, lang, "s", len(text)))
+    dirp = str(tmp_path / "langs")
+    import os
+
+    os.makedirs(dirp)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{dirp}/documents.parquet")
+
+    QS_, OS_ = queries(), oracle_sql()
+    conf = QS_["q_text_langid_ngram"](spark, dirp).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{dirp}/documents.parquet'"
+    )
+    want = sorted(con.execute(OS_["q_text_langid_ngram"]).fetchall())
+    assert sorted((r["lang"], r["lang_pred"], r["n_docs"]) for r in conf) == want
+    n = sum(r["n_docs"] for r in conf)
+    ok = sum(r["n_docs"] for r in conf if r["lang"] == r["lang_pred"])
+    assert n == 200 and ok / n >= 0.95, (ok, n)
+    base = QS_["q_text_langid"](spark, dirp).collect()
+    base_ok = sum(1 for r in base if r["lang"] == r["lang_pred"])
+    assert ok / n >= base_ok / len(base)
