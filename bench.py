@@ -108,6 +108,7 @@ HEADLINE = [
     "q_partition_bounds",   # shared-round multi-rank boundary probes
     "q_bpe_train",          # full k-merge tokenizer training (census loop)
     "q_unigram_train",      # unigram-LM tokenizer: seed + 2 Viterbi-EM rounds
+    "q_wordpiece_train",    # WordPiece: likelihood-score merges (census loop)
     "q_unigram_pipeline",   # unigram train->apply composed (census + 1 corpus pass)
     "q_chunk_fixed",        # map-only token-window chunking (scan-speed)
     "q_pack_greedy",        # T5-style no-split packing, Arrow grouped-map

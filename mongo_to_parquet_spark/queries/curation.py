@@ -981,6 +981,14 @@ def _bpe_pipeline_sql(k: int = _BPE_TRAIN_K) -> str:
     bpe_apply_cols folds in only the real merges). A CROSS JOIN here
     would yield ZERO oracle rows on degenerate corpora (round-7 advice;
     the q_bpe_curve HAVING guard fixed the same hazard)."""
+    return _bpe_train_ctes(k) + _merge_apply_sql(k)
+
+
+def _merge_apply_sql(k: int) -> str:
+    """The APPLY tail shared by q_bpe_pipeline and q_wordpiece_pipeline:
+    both trainers emit m_1..m_k 1-row merge relations, so one replace
+    chain + per-language accounting serves both families — the shared-CTE
+    discipline (twins cannot drift)."""
     merged = "regexp_replace(w, '(.)', '\\1·', 'g')"
     for i in range(1, k + 1):
         merged = (
@@ -989,9 +997,7 @@ def _bpe_pipeline_sql(k: int = _BPE_TRAIN_K) -> str:
         )
     subword = f"len(list_filter(string_split({merged}, '·'), x -> x <> ''))"
     crosses = " ".join(f"LEFT JOIN m{i} ON TRUE" for i in range(1, k + 1))
-    return (
-        _bpe_train_ctes(k)
-        + f""",
+    return f""",
     app AS (
         SELECT d.lang,
                len(list_filter(string_split(d.text, ' '), w -> w <> ''))
@@ -1006,7 +1012,6 @@ def _bpe_pipeline_sql(k: int = _BPE_TRAIN_K) -> str:
            CAST(SUM(n_subwords) AS BIGINT) AS n_subwords
     FROM app GROUP BY lang
     """
-    )
 
 
 @q("q_bpe_pipeline", _bpe_pipeline_sql())
@@ -3879,4 +3884,215 @@ def q_unigram_pipeline(spark, sf):
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum("k").cast("bigint").alias("n_subwords"),
+    )
+
+
+# ------------------------------------------ WordPiece tokenizer training ---
+_WP_TRAIN_K = 8
+#: integer score scale: WordPiece picks the pair maximizing
+#: cnt(xy)/(cnt(x)·cnt(y)); both engines compare cnt_xy·SCALE // (cx·cy)
+#: — exact floor-div, no rationals. Bounds (lesson 17): cnt_xy·SCALE needs
+#: cnt ≤ 9.2e9 and cx·cy ≤ 9.2e18 — fine to ~10^9 total symbols; promote
+#: to DECIMAL(38) beyond that.
+_WP_SCALE = 10**9
+
+
+def _wp_train_ctes(k: int = _WP_TRAIN_K) -> str:
+    """Chained-CTE WITH block for k unrolled WordPiece merge iterations —
+    the q_bpe_train chain with the argmax swapped to the likelihood score:
+    per iteration u_i (symbol counts with multiplicity) + p_i (pair
+    counts) → m_i (argmax of cnt·SCALE // (cx·cy), ties (x, y)) → w_i
+    (the same left-to-right non-overlapping rewrite fold). Every CTE
+    is AS MATERIALIZED: DuckDB inlines CTEs by default (lesson 9), and
+    this chain references w_{i-1} THREE times per iteration (u, p, w),
+    so the inlined expansion is 3^k document scans — the first run died
+    on fd exhaustion before it could be slow."""
+    sql = """
+    WITH w0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(generate_series(1, len(w)),
+                   i -> substr(w, CAST(i AS INT), 1)), '·') AS sym,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 GROUP BY sym
+    )"""
+    for i in range(1, k + 1):
+        sql += f""",
+    u{i} AS MATERIALIZED (
+        SELECT t AS s1, CAST(SUM(wc) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(sym, '·')) AS t, wc FROM w{i - 1})
+        GROUP BY t
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT s[CAST(i AS INT)] AS x, s[CAST(i AS INT) + 1] AS y,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (SELECT string_split(sym, '·') AS s, wc FROM w{i - 1}),
+             UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY x, y
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT x, y, cnt, cnt * {_WP_SCALE} // (ux.c * uy.c) AS score_x1e9
+        FROM p{i} JOIN u{i} ux ON ux.s1 = p{i}.x
+                  JOIN u{i} uy ON uy.s1 = p{i}.y
+        ORDER BY score_x1e9 DESC, x ASC, y ASC LIMIT 1
+    )"""
+        if i < k:
+            sql += f""",
+    w{i} AS MATERIALIZED (
+        SELECT list_reduce(string_split(w{i - 1}.sym, '·'), (acc, s) ->
+                   CASE WHEN regexp_extract(acc, '[^·]*$') = m{i}.x
+                             AND s = m{i}.y
+                        THEN acc || m{i}.y ELSE acc || '·' || s END) AS sym,
+               wc
+        FROM w{i - 1} CROSS JOIN m{i}
+    )"""
+    return sql
+
+
+def _wp_train_sql(k: int = _WP_TRAIN_K) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, x, y, x || y AS merged,"
+        f" cnt, score_x1e9 FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return _wp_train_ctes(k) + f"\n    SELECT * FROM ({union}) ORDER BY rank ASC"
+
+
+def _wp_train_merges(spark, sf, k: int = _WP_TRAIN_K):
+    """The iterative WordPiece loop (census → k × [symbol count + pair
+    count → 1-row score argmax collect → fold rewrite]); returns
+    [(rank, x, y, merged, cnt, score_x1e9)]. Shared by q_wordpiece_train
+    and q_wordpiece_pipeline. Same persist-chain + try/finally shape as
+    _bpe_train_merges (lesson 36 / round-7 leak rule)."""
+    d = T(spark, sf, "documents")
+    spelled = F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
+    )
+    census = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(spelled.alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int, int]] = []
+    try:
+        for rank in range(1, k + 1):
+            syms = (
+                census.select(
+                    F.explode(F.split("sym", "·")).alias("s1"), "wc"
+                )
+                .groupBy("s1")
+                .agg(F.sum("wc").alias("c"))
+            )
+            pairs = (
+                census.select(F.split("sym", "·").alias("s"), "wc")
+                .filter(F.size("s") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s) - 1),"
+                            " i -> struct(s[i-1] AS x, s[i] AS y))"
+                        )
+                    ).alias("p"),
+                    "wc",
+                )
+                .groupBy("p.x", "p.y")
+                .agg(F.sum("wc").alias("cnt"))
+            )
+            sx = syms.select(F.col("s1").alias("x"), F.col("c").alias("cx"))
+            sy = syms.select(F.col("s1").alias("y"), F.col("c").alias("cy"))
+            top = (
+                pairs.join(F.broadcast(sx), "x")
+                .join(F.broadcast(sy), "y")
+                .select(
+                    "x",
+                    "y",
+                    "cnt",
+                    F.expr(f"(cnt * {_WP_SCALE}) div (cx * cy)").alias(
+                        "score_x1e9"
+                    ),
+                )
+                .orderBy(F.desc("score_x1e9"), F.asc("x"), F.asc("y"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            x, y = top[0]["x"], top[0]["y"]
+            merges.append(
+                (rank, x, y, x + y, int(top[0]["cnt"]), int(top[0]["score_x1e9"]))
+            )
+            if rank == k:
+                break
+            s = F.split("sym", "·")
+            fold = F.aggregate(
+                F.slice(s, F.lit(2), F.size(s) - 1),
+                F.element_at(s, 1),
+                lambda acc, el: F.when(
+                    (F.regexp_extract(acc, "[^·]*$", 0) == F.lit(x))
+                    & (el == F.lit(y)),
+                    F.concat(acc, F.lit(y)),
+                ).otherwise(F.concat(acc, F.lit("·"), el)),
+            )
+            prev = census
+            census = prev.select(fold.alias("sym"), "wc").persist()
+            census.count()
+            prev.unpersist()
+    finally:
+        census.unpersist()
+    return merges
+
+
+@q("q_wordpiece_train", _wp_train_sql())
+def q_wordpiece_train(spark, sf):
+    # WordPiece tokenizer training (Schuster & Nakajima 2012 — the BERT
+    # tokenizer family), completing the trainer TRIAD beside q_bpe_train
+    # and q_unigram_train: the loop is BPE's (census → k × [pair stats →
+    # argmax merge → rewrite]) but the merge choice maximizes the
+    # unigram-LM LIKELIHOOD GAIN cnt(xy)/(cnt(x)·cnt(y)) instead of raw
+    # frequency — rare-but-strongly-associated pairs merge first. Both
+    # engines compare the integer cnt·1e9 // (cx·cy) (floor-div exact;
+    # ties (score desc, x, y)) so the argmax sequence is engine-exact
+    # (lesson 17: a rational or float score would diverge). Oracle = k
+    # unrolled chained CTEs with per-iteration symbol-count relations.
+    #
+    # Scale: identical to q_bpe_train — ONE corpus scan builds the word
+    # census, every iteration is census-sized (pair count ≤ alphabet²
+    # shuffle keys + an alphabet-sized symbol count that BROADCASTS into
+    # the score join) + a 1-row argmax collect; persist-chain keeps fold
+    # work linear in k.
+    merges = _wp_train_merges(spark, sf)
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, x string, y string, merged string,"
+        " cnt bigint, score_x1e9 bigint",
+    ).orderBy("rank")
+
+
+@q("q_wordpiece_pipeline", _wp_train_ctes() + _merge_apply_sql(_WP_TRAIN_K))
+def q_wordpiece_pipeline(spark, sf):
+    # the COMPOSED WordPiece pipeline — train on the corpus, tokenize the
+    # SAME corpus with the trained merges, per-language word vs subword
+    # counts: the q_bpe_pipeline report for the third tokenizer family,
+    # so all three (BPE / unigram / WordPiece) are directly comparable on
+    # one corpus. Spark feeds _wp_train_merges into the SAME expression
+    # builder BPE applies with (bpe_apply_cols — merge folding is
+    # family-agnostic); the oracle appends the SAME apply tail
+    # (_merge_apply_sql) to the WordPiece train CTEs — one apply
+    # definition gates both families (the shared-CTE discipline).
+    #
+    # Scale: training as in q_wordpiece_train; apply is one map-only
+    # corpus pass with the merge table folded in as expression literals.
+    merges = _wp_train_merges(spark, sf)
+    n_words, n_subwords = bpe_apply_cols([(x, y) for _, x, y, _, _, _ in merges])
+    d = T(spark, sf, "documents")
+    return (
+        d.select("lang", n_words.alias("nw"), n_subwords.alias("ns"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("ns").cast("bigint").alias("n_subwords"),
+        )
     )

@@ -101,3 +101,99 @@ def test_unigram_degenerate_corpora(spark, tmp_path):
         if name == "capped":
             pieces = {r["piece"] for r in QS["q_unigram_train"](spark, d).collect()}
             assert "x" not in pieces  # the 33-char word never enters the census
+
+
+def test_pack_bfd_degenerate_corpora(spark, tmp_path):
+    """Lesson-28 sweep for q_pack_bfd/q_pack_eff: oversized docs (n_tok >
+    L=128 — bin alone, overflow is truncation not padding), exact-fit
+    boundaries (fill + t == L must fit), and a flood of size-1 docs
+    backfilling earlier bins — run through query vs oracle on throwaway
+    corpora."""
+    import os
+
+    w = lambda n: " ".join(["tok"] * n)  # noqa: E731
+    cases = {
+        # doc_ids chosen % 8 == 0 so everything lands in ONE shard and
+        # the placement order is fully exercised
+        "oversized": [w(200), w(100), w(28), w(128)],
+        "exactfit": [w(64), w(64), w(64), w(63), w(1)],
+        "backfill": [w(120)] + [w(1)] * 30,
+    }
+    for name, texts in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "doc_id": [8 * (i + 1) for i in range(len(texts))],
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(f"{d}/documents.parquet")
+        con = _duck(d, ["documents"])
+        for key in ("q_pack_bfd", "q_pack_eff"):
+            got = sorted(tuple(r) for r in QS[key](spark, d).collect())
+            want = sorted(tuple(r) for r in con.execute(OS[key]).fetchall())
+            assert got == want, (name, key, got, want)
+        if name == "oversized":
+            bins = {
+                r["doc_id"]: r["bin_id"] for r in QS["q_pack_bfd"](spark, d).collect()
+            }
+            # the 200-tok doc is alone in its bin; 100+28 and 128 pack tight
+            by_bin = {}
+            for did, b in bins.items():
+                by_bin.setdefault(b, []).append(did)
+            assert [8] in by_bin.values()  # oversized loner
+
+
+def test_langid_ngram_degenerate_corpora(spark, tmp_path):
+    """Lesson-28 sweep for q_text_langid_ngram: a single-language corpus
+    (argmax trivially that language), single-char words (padding keeps
+    them featureful: '_a_'), and a doc of only whitespace (no rows for
+    it) — query vs oracle on throwaway corpora."""
+    import os
+
+    cases = {
+        "onelang": (["aaa bbb aaa", "bbb aaa"], ["en", "en"]),
+        "tinywords": (["a b a", "b a b"], ["en", "de"]),
+        "blank": (["   ", "word word word"], ["fr", "es"]),
+    }
+    for name, (texts, langs) in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _docs(d, texts, langs)
+        con = _duck(d, ["documents"])
+        got = sorted(tuple(r) for r in QS["q_text_langid_ngram"](spark, d).collect())
+        want = sorted(tuple(r) for r in con.execute(OS["q_text_langid_ngram"]).fetchall())
+        assert got == want, (name, got, want)
+        if name == "onelang":
+            assert got == [("en", "en", 2)]
+        if name == "blank":
+            assert {g[0] for g in got} == {"es"}  # the blank doc emits nothing
+
+
+def test_wordpiece_pipeline_early_stopping_corpora(spark, tmp_path):
+    """The shared apply tail (_merge_apply_sql) must keep its
+    early-stopping behavior for the WordPiece family too: corpora whose
+    training runs dry before k merges truncate identically in both
+    engines (the LEFT JOIN + chr(1)-sentinel convention q_bpe_pipeline
+    was fixed with)."""
+    import os
+
+    cases = {
+        "dry2": ["ab ab ab", "cd cd"],
+        "singles": ["a b c", "x y"],
+        "tokenless": ["", "  "],
+    }
+    for name, texts in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _docs(d, texts)
+        con = _duck(d, ["documents"])
+        for key in ("q_wordpiece_train", "q_wordpiece_pipeline"):
+            got = sorted(tuple(r) for r in QS[key](spark, d).collect())
+            want = sorted(tuple(r) for r in con.execute(OS[key]).fetchall())
+            assert got == want, (name, key, got, want)

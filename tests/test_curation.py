@@ -398,7 +398,9 @@ def test_bpe_keys_leave_cache_empty(spark, sf_dir):
     finding #1)."""
     spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
-    for key in ("q_bpe_train", "q_bpe_pipeline", "q_bpe_curve"):
+    for key in ("q_bpe_train", "q_bpe_pipeline", "q_bpe_curve",
+                "q_wordpiece_train", "q_wordpiece_pipeline",
+                "q_unigram_train", "q_unigram_pipeline"):
         QS[key](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{key} left persisted relations behind"
 
@@ -960,3 +962,89 @@ def test_unigram_beats_char_segmentation(spark, sf_dir):
         assert row["n_subwords"] < chars[lang]  # strictly better than chars
         # same regime as BPE on the shared corpus: within 2x of each other
         assert row["n_subwords"] <= 2 * bpe[lang]["n_subwords"]
+
+
+def test_wordpiece_train_matches_naive_python(spark, sf_dir):
+    """q_wordpiece_train vs a from-scratch python WordPiece trainer
+    (Schuster & Nakajima 2012): same census/rewrite as the BPE replay but
+    the argmax is the integer likelihood score cnt(xy)*1e9 // (cx*cy),
+    ties (score desc, x, y). Rank-for-rank equality, plus the triad
+    property: the WordPiece merge sequence differs from BPE's (frequency
+    and association pick different pairs on this corpus)."""
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words = [w for r in docs for w in r["text"].split(" ") if len(w) >= 2]
+    census = Counter("·".join(w) for w in words)
+    expected = []
+    for rank in range(1, 9):
+        pc, sc = Counter(), Counter()
+        for sym, wc in census.items():
+            s = sym.split("·")
+            for t in s:
+                sc[t] += wc
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc
+        if not pc:
+            break
+        scored = [
+            (cnt * 10**9 // (sc[x] * sc[y]), x, y, cnt)
+            for (x, y), cnt in pc.items()
+        ]
+        # deterministic (score desc, x asc, y asc) argmax
+        score, x, y, cnt = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[0]
+        expected.append((rank, x, y, x + y, cnt, score))
+        if rank == 8:
+            break
+        nc = Counter()
+        for sym, wc in census.items():
+            s = sym.split("·")
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nc["·".join(out)] += wc
+        census = nc
+    got = [
+        (r["rank"], r["x"], r["y"], r["merged"], r["cnt"], r["score_x1e9"])
+        for r in QS["q_wordpiece_train"](spark, sf_dir).collect()
+    ]
+    assert got == expected and got
+    bpe = [(r["x"], r["y"]) for r in QS["q_bpe_train"](spark, sf_dir).collect()]
+    assert [(x, y) for _, x, y, _, _, _ in got] != bpe  # distinct families
+
+
+def test_wordpiece_pipeline_matches_python_replay(spark, sf_dir):
+    """The composed WordPiece train→apply vs a python replay — the
+    trained merges applied with the same replace-chain convention as the
+    BPE replay (one apply definition serves both families)."""
+    from collections import defaultdict
+
+    trained = QS["q_wordpiece_train"](spark, sf_dir).collect()
+    merges = [(r["x"], r["y"]) for r in trained]
+
+    def subwords(w):
+        s = "·".join(w)
+        for x, y in merges:
+            s = s.replace(f"{x}·{y}", f"{x}{y}")
+        return len([t for t in s.split("·") if t])
+
+    expected = defaultdict(lambda: [0, 0, 0])
+    rows = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    ).collect()
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        e = expected[r["lang"]]
+        e[0] += 1
+        e[1] += len(ws)
+        e[2] += sum(subwords(w) for w in ws)
+    got = {
+        r["lang"]: [r["n_docs"], r["n_words"], r["n_subwords"]]
+        for r in QS["q_wordpiece_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == dict(expected)

@@ -1,0 +1,173 @@
+"""Full-headline ×10 probe (round-7 verdict #6): run bench.py's ENTIRE
+headline suite back-to-back at sf0.1 and at a ×10 replica of it, in ONE
+session, and compare per-query wall time AND shuffle-byte deltas.
+
+Per-key scaletest probes validate operators in isolation; this run
+validates the COMPOSED suite — cross-query cache/GC interactions, heap
+pressure from one query's spill landing on the next, accumulated JVM
+state — the things per-key probes structurally cannot see.
+
+Growth model = tools/scaletest.py's (disjoint key spaces via
+KEY_STRIDE offsets; documents get per-replica token PREFIXES so
+near-dup/gram density stays constant — the lesson-15 invariant), with
+``part`` added to the offset tables so the TPC-H headline rows join
+replicated facts against a matching catalog.
+
+Protocol: one warmup pass of every key at sf0.001 (codegen/JIT), then
+ONE timed pass per (key, scale) — single-rep because the deliverable is
+the RATIO SHAPE per key (linear vs super-linear), not a steady-state
+number; shuffle bytes are deterministic per run and contention-immune
+(lesson 14), so they carry the verdict where wall clocks blur.
+
+Usage: python tools/headline_scale.py [out_json]
+Writes _scratch/headline_m10_results.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mongo_to_parquet_spark import get_spark  # noqa: E402
+from mongo_to_parquet_spark.queries import bench_only, queries  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+OUT = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "_scratch", "headline_m10")
+)
+KEY_STRIDE = 10**9
+MULT = 10
+
+OFFSETS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "events": ["user_id", "event_id"],
+    "embeddings": ["vec_id"],
+}
+STATIC = ["nation", "region"]
+
+
+def shuffle_bytes(spark) -> int:
+    import urllib.request
+
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl
+    if not ui:
+        return -1
+    url = f"{ui}/api/v1/applications/{sc.applicationId}/executors"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            rows = json.loads(r.read())
+        return sum(e.get("totalShuffleWrite", 0) for e in rows)
+    except Exception:
+        return -1
+
+
+def materialize(spark) -> str:
+    for t in STATIC:
+        dest = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(dest):
+            os.makedirs(OUT, exist_ok=True)
+            src = f"{BASE}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, dest)
+            else:
+                shutil.copy2(src, dest)
+    for t, cols in OFFSETS.items():
+        dest = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            continue
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        reps = []
+        for i in range(MULT):
+            r = base
+            for c in cols:
+                r = r.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
+            if t == "documents" and i > 0:
+                r = r.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda tok: F.concat(F.lit(f"r{i}·"), tok),
+                        ),
+                        " ",
+                    ),
+                )
+            reps.append(r)
+        u = reps[0]
+        for r in reps[1:]:
+            u = u.unionByName(r)
+        u.write.mode("overwrite").parquet(dest)
+    return OUT
+
+
+def main() -> None:
+    out_json = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(os.path.dirname(OUT), "headline_m10_results.json")
+    )
+    spark = get_spark("headline-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    from bench import HEADLINE  # noqa: E402  (repo-root bench.py)
+
+    qs = {**queries(), **bench_only()}
+    m10 = materialize(spark)
+    results: dict[str, dict] = {}
+    for key in HEADLINE:
+        qs[key](spark, WARM).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    for scale, d in (("sf01", BASE), ("m10", m10)):
+        for key in HEADLINE:
+            s0 = shuffle_bytes(spark)
+            t0 = time.perf_counter()
+            qs[key](spark, d).write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            sb = shuffle_bytes(spark) - s0
+            results.setdefault(key, {})[f"sec_{scale}"] = sec
+            results[key][f"shuf_{scale}"] = sb
+            spark.catalog.clearCache()
+    for key, r in results.items():
+        r["ratio"] = round(r["sec_m10"] / max(r["sec_sf01"], 1e-9), 2)
+        r["shuf_ratio"] = (
+            round(r["shuf_m10"] / r["shuf_sf01"], 2) if r["shuf_sf01"] > 0 else None
+        )
+    with open(out_json, "w") as f:
+        json.dump(
+            {
+                "mult": MULT,
+                "total_sec_sf01": round(
+                    sum(r["sec_sf01"] for r in results.values()), 1
+                ),
+                "total_sec_m10": round(
+                    sum(r["sec_m10"] for r in results.values()), 1
+                ),
+                "loadavg": os.getloadavg(),
+                "queries": results,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_json}")
+    for key, r in sorted(results.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(
+            f"{key:36s} {r['sec_sf01']:8.2f}s -> {r['sec_m10']:8.2f}s"
+            f"  x{r['ratio']:<6} shuf x{r['shuf_ratio']}"
+        )
+
+
+if __name__ == "__main__":
+    main()
