@@ -60,12 +60,22 @@ def jaccard_strategy(
     vocab_fits_bitset: bool,
     bitmask_max_docs: int = 200_000,
     explode_max_docs: int = 200_000,
+    candidate_pairs: int | None = None,
+    explode_max_pairs: int = 50_000_000,
 ) -> str:
     """Physical-strategy router for exact Jaccard (all paths exact):
 
     - ``"bitset"``: vocabulary ≤64 shingles AND corpus broadcastable.
-    - ``"explode"``: small corpus — all-token self-join is fine.
-    - ``"prefix"``: large corpus — prefix-filtered candidate join
+    - ``"explode"``: small corpus AND bounded join volume — the all-token
+      self-join materializes exactly ``candidate_pairs`` = Σ_t n_t² rows,
+      so doc count alone is NOT a safe criterion: the round-8 ×10
+      composed-suite probe caught a 50k-doc corpus with per-replica
+      boilerplate tokens where docs ≤ 200k admitted a ~4-billion-row
+      join (9+ min on 32 cores) that the prefix path handles in seconds.
+      When the caller provides the Σ n_t² census (one linear aggregation
+      — cheap insurance against a quadratic mistake), the explode path
+      also requires it ≤ ``explode_max_pairs``.
+    - ``"prefix"``: otherwise — prefix-filtered candidate join
       (AllPairs/PPJoin): only each doc's ``sz − ⌈t·sz⌉ + 1`` globally
       RAREST shingles participate in the pairing join, so hot boilerplate
       shingles (the explode-join's Σ n_t² quadratic hazard) never join;
@@ -73,7 +83,11 @@ def jaccard_strategy(
     """
     if vocab_fits_bitset and n_docs <= bitmask_max_docs:
         return "bitset"
-    return "explode" if n_docs <= explode_max_docs else "prefix"
+    if n_docs <= explode_max_docs and (
+        candidate_pairs is None or candidate_pairs <= explode_max_pairs
+    ):
+        return "explode"
+    return "prefix"
 
 
 def jaccard_pairs(
@@ -111,7 +125,11 @@ def jaccard_pairs(
     Parquet footer (``docs.count()`` is metadata-only on a scan) and the
     vocabulary probe is a ``limit(cap+1).collect()`` that short-circuits as
     soon as the cap is exceeded — the collected vocabulary doubles as the
-    bit dictionary, so the bitset path never shuffles to assign bits.
+    bit dictionary, so the bitset path never shuffles to assign bits. The
+    one non-metadata probe — the Σ n_t² join-volume census gating the
+    explode path — runs only when bitset is already ruled out and the doc
+    count alone would have picked explode (one linear aggregation vs a
+    potentially quadratic join: cheap insurance).
     """
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
     # fan_out BEFORE the shingle expression: a one-file corpus otherwise
@@ -127,8 +145,23 @@ def jaccard_pairs(
         )
         # empty vocab (empty/all-null corpus) is not bitset-able: create_map()
         # with zero entries has type map<void,void>, cannot be keyed by string
+        n_docs = docs.count()
+        fits = 0 < len(vocab_rows) <= cap
+        cand = None
+        if not (fits and n_docs <= bitmask_max_docs) and n_docs <= explode_max_docs:
+            # the explode path's exact join volume, Σ_t n_t²: one linear
+            # aggregation, only probed when explode is actually on the
+            # table — doc count alone let a hot-boilerplate corpus
+            # through to a ~4e9-row join (round-8 ×10 probe finding)
+            cand = (
+                base.select(F.explode("sh").alias("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.col("n") * F.col("n")).alias("c"))
+                .collect()[0]["c"]
+            )
         strategy = jaccard_strategy(
-            docs.count(), 0 < len(vocab_rows) <= cap, bitmask_max_docs, explode_max_docs
+            n_docs, fits, bitmask_max_docs, explode_max_docs, cand
         )
     else:
         vocab_rows = None

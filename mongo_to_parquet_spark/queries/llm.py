@@ -3581,25 +3581,33 @@ def q_pack_bfd(spark, sf):
     ).filter(F.col("n_tok") > 0)
 
     def pack(pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list[int] = []
+        # the per-doc best-fit scan is O(bins); a python inner loop made
+        # the whole shard pass quadratic-in-python at the ×10 probe
+        # (24.7× wall for 10× data, SCALE.md round 8) — the numpy argmax
+        # keeps the exact tie rule (first max = LOWEST bin on fill ties,
+        # matching the oracle's +j encode) at C speed. At deployment the
+        # real bound is the operator contract: shard count grows with
+        # the corpus, so bins-per-shard stays ~constant.
+        fills = np.empty(len(pdf), dtype=np.int64)
+        n_bins = 0
         bins: list[int] = []
-        for t in pdf["n_tok"]:
-            best, best_fill = -1, -1
-            for j, f in enumerate(fills):
-                # strict > keeps the LOWEST bin on fill ties, matching
-                # the oracle's +j tie encode
-                if f + t <= _PACK_L and f > best_fill:
-                    best, best_fill = j, f
-            if best < 0:
-                bins.append(len(fills))
-                fills.append(int(t))
-            else:
+        for t in pdf["n_tok"].to_numpy():
+            cand = fills[:n_bins] + t <= _PACK_L
+            if n_bins and cand.any():
+                masked = np.where(cand, fills[:n_bins], -1)
+                best = int(np.argmax(masked))
                 bins.append(best)
-                fills[best] += int(t)
-        assert len(fills) < 4096, "bin count exceeds the oracle's tie encode"
+                fills[best] += t
+            else:
+                bins.append(n_bins)
+                fills[n_bins] = t
+                n_bins += 1
+        assert n_bins < 4096, "bin count exceeds the oracle's tie encode"
         pdf["bin_id"] = bins
         return pdf[["shard", "doc_id", "n_tok", "bin_id"]]
 

@@ -220,6 +220,13 @@ def test_jaccard_strategy_routes_by_corpus_size():
     # a >broadcastable corpus can't take bitset even with a tiny vocab
     assert dedup.jaccard_strategy(500_000, True) == "prefix"
     assert dedup.jaccard_strategy(10**9, False) == "prefix"
+    # the round-8 ×10 finding: doc count alone is not a safe explode
+    # criterion — a hot-boilerplate corpus under the doc cap must route
+    # prefix when its exact join volume Σ n_t² exceeds the pair bound
+    assert dedup.jaccard_strategy(50_000, False, candidate_pairs=4 * 10**9) == "prefix"
+    assert dedup.jaccard_strategy(50_000, False, candidate_pairs=10**6) == "explode"
+    # the census never overrides bitset (vocab fits, corpus broadcastable)
+    assert dedup.jaccard_strategy(50_000, True, candidate_pairs=4 * 10**9) == "bitset"
 
 
 def test_jaccard_prefix_path_is_exact(spark, sf_dir):
