@@ -55,6 +55,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (correctness baseline for fuzzy dedup)
 # --------------------------------------------------------------------------
+#: widest exact-Jaccard bitset: 8 × 64-bit mask words. Beyond this the
+#: broadcast pair loop's per-pair popcount cost stops paying for the
+#: shuffles it avoids — route prefix instead.
+_BITSET_MAX_VOCAB = 512
+
+
 def jaccard_strategy(
     n_docs: int,
     vocab_fits_bitset: bool,
@@ -65,7 +71,9 @@ def jaccard_strategy(
 ) -> str:
     """Physical-strategy router for exact Jaccard (all paths exact):
 
-    - ``"bitset"``: vocabulary ≤64 shingles AND corpus broadcastable.
+    - ``"bitset"``: vocabulary fits the mask (≤ _BITSET_MAX_VOCAB = 512
+      shingles, i.e. ≤ 8 int64 words; one scalar long when ≤ 64) AND the
+      corpus is broadcastable.
     - ``"explode"``: small corpus AND bounded join volume — the all-token
       self-join materializes exactly ``candidate_pairs`` = Σ_t n_t² rows,
       so doc count alone is NOT a safe criterion: the round-8 ×10
@@ -96,7 +104,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
-    bitmask_max_vocab: int = 64,
+    bitmask_max_vocab: int = 512,
     bitmask_max_docs: int = 200_000,
     explode_max_docs: int = 200_000,
     strategy: str | None = None,
@@ -106,12 +114,15 @@ def jaccard_pairs(
     Adaptive physical strategy (same exact result on every path; routing
     in :func:`jaccard_strategy`, overridable via ``strategy=``):
 
-      - **bitset path** when the shingle vocabulary fits in 64 bits and the
-        corpus is small enough to broadcast: dictionary-encode shingles to
-        bit positions, each doc becomes one int64 mask, Jaccard =
-        bit_count(a&b)/bit_count(a|b) over a broadcast nested-loop join.
-        On dense low-vocab data this is ~20× the explode-join (the token
-        join materializes Σ_t n_t² rows; popcounts don't).
+      - **bitset path** when the shingle vocabulary fits ``bitmask_max_vocab``
+        (≤ 512 = 8 words) and the corpus is small enough to broadcast:
+        dictionary-encode shingles to bit positions, each doc becomes one
+        int64 mask (vocab ≤ 64) or an array of ⌈V/64⌉ longs, Jaccard =
+        Σ bit_count(a&b) / Σ bit_count(a|b) over a broadcast nested-loop
+        join. On dense low-vocab data this is ~20× the explode-join (the
+        token join materializes Σ_t n_t² rows; popcounts don't) — the
+        round-8 ×10 probe corpus (50k docs, 400-token vocab) is exactly
+        the wide-mask case.
       - **explode-join path** for small corpora: explode distinct shingles,
         self-join on shingle to count intersections, join per-doc sizes,
         filter. Hot shingles make this quadratic — hence:
@@ -138,8 +149,9 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
     )
     if strategy is None:
-        # hard cap 64: bit positions beyond a long wrap (shiftleft is mod-64)
-        cap = min(bitmask_max_vocab, 64)
+        # hard cap: 8 mask words (beyond that the quadratic pair loop's
+        # per-pair popcount cost stops paying for the shuffle it saves)
+        cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
         vocab_rows = (
             base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
         )
@@ -167,7 +179,7 @@ def jaccard_pairs(
         vocab_rows = None
     if strategy == "bitset":
         if vocab_rows is None:
-            cap = min(bitmask_max_vocab, 64)
+            cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
             vocab_rows = (
                 base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
             )
@@ -288,16 +300,24 @@ def _jaccard_pairs_prefix(base: DataFrame, threshold: float) -> DataFrame:
 
 
 def _jaccard_pairs_bitset(base: DataFrame, vocab: list, threshold: float) -> DataFrame:
-    """Exact Jaccard via 64-bit set masks (see jaccard_pairs docstring).
+    """Exact Jaccard via bitset masks (see jaccard_pairs docstring).
 
-    ``vocab`` is the full (≤64-entry) shingle dictionary, already collected
-    by the caller's probe. Encoding it as a literal map makes the mask a
-    pure scan-side expression — the whole plan is two scans and the
-    pair join, zero shuffles. The stream side is repartitioned so the
-    quadratic pair loop parallelizes even when the source is one small
-    Parquet file (docs with an empty shingle set get mask 0; their
-    0/0 Jaccard is NULL and never passes the threshold, matching the
-    explode-join path which drops them before pairing).
+    ``vocab`` is the full (≤ _BITSET_MAX_VOCAB) shingle dictionary,
+    already collected by the caller's probe. Encoding it as a literal map
+    makes the mask a pure scan-side expression — the whole plan is two
+    scans and the pair join, zero shuffles. The stream side is
+    repartitioned so the quadratic pair loop parallelizes even when the
+    source is one small Parquet file (docs with an empty shingle set get
+    mask 0; their 0/0 Jaccard is NULL and never passes the threshold,
+    matching the explode-join path which drops them before pairing).
+
+    ≤ 64 shingles: one scalar long (a single popcount per pair term).
+    Beyond: an array of ⌈V/64⌉ longs — per shingle, only its word is
+    OR-updated; per pair, Jaccard = Σ_j bit_count(a_j & b_j) /
+    Σ_j bit_count(a_j | b_j) via zip_with folds. The wide form is what
+    keeps dense low-vocab corpora (boilerplate-heavy crawls) off the
+    Σ n_t² explode hazard when the vocabulary outgrows one word — the
+    round-8 ×10 probe corpus (50k docs, ~400 tokens) runs here.
     """
     bitmap = F.create_map(
         *itertools.chain.from_iterable(
@@ -305,24 +325,64 @@ def _jaccard_pairs_bitset(base: DataFrame, vocab: list, threshold: float) -> Dat
         )
     )
     one = F.lit(1).cast("long")
-    mask = F.aggregate(
-        F.col("sh"),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc.bitwiseOR(F.call_function("shiftleft", one, bitmap[s])),
-    )
-    masks = base.select("doc", mask.alias("mask"))
     spark = base.sparkSession
+    if len(vocab) <= 64:
+        mask = F.aggregate(
+            F.col("sh"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc.bitwiseOR(F.call_function("shiftleft", one, bitmap[s])),
+        )
+        inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
+        union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2"))).cast("double")
+    else:
+        n_words = (len(vocab) + 63) // 64
+        zeros = F.array(*[F.lit(0).cast("long") for _ in range(n_words)])
+        words = F.sequence(F.lit(0), F.lit(n_words - 1))
+
+        def set_bit(acc, s):
+            idx = bitmap[s]
+            return F.zip_with(
+                acc,
+                words,
+                lambda m, j: F.when(
+                    j == (idx / 64).cast("int"),
+                    m.bitwiseOR(F.call_function("shiftleft", one, idx % 64)),
+                ).otherwise(m),
+            )
+
+        mask = F.aggregate(F.col("sh"), zeros, set_bit)
+
+        # the popcount sum is UNROLLED over the fixed word count, never a
+        # zip_with/aggregate fold: array HOFs evaluate interpreted
+        # (lesson 25) and this expression runs once per CANDIDATE PAIR —
+        # the folded form measured no faster than the prefix path at the
+        # ×10 probe (231s); the unrolled element_at chain stays in
+        # whole-stage codegen
+        def popsum(bitop):
+            terms = [
+                F.bit_count(
+                    bitop(
+                        F.element_at(F.col("m1"), j + 1),
+                        F.element_at(F.col("m2"), j + 1),
+                    )
+                )
+                for j in range(n_words)
+            ]
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out.cast("double")
+
+        inter = popsum(lambda x, y: x.bitwiseAND(y))
+        union = popsum(lambda x, y: x.bitwiseOR(y))
+    masks = base.select("doc", mask.alias("mask"))
     a = masks.select(F.col("doc").alias("doc1"), F.col("mask").alias("m1")).repartition(
         spark.sparkContext.defaultParallelism
     )
     b = masks.select(F.col("doc").alias("doc2"), F.col("mask").alias("m2"))
     return (
         a.join(F.broadcast(b), F.col("doc1") < F.col("doc2"))
-        .withColumn(
-            "jaccard",
-            F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
-            / F.bit_count(F.col("m1").bitwiseOR(F.col("m2"))).cast("double"),
-        )
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
     )

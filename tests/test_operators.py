@@ -189,17 +189,21 @@ def test_multimodal_resize_stub_shrinks_payloads(spark):
 
 
 def test_jaccard_bitset_and_explode_paths_agree(spark):
-    # vocab > 64 must NOT take the bitset path even if the knob allows it
-    # (bit positions beyond a long wrap); both paths return identical pairs.
+    # a 74-token vocabulary takes the WIDE (2-word) bitset form when the
+    # knob allows it and the explode path otherwise — identical pairs
+    # either way; the ≤64 case exercises the scalar-long form vs explode.
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(i, i + 70))) for i in range(5)]
     )
-    a = sorted((r.doc1, r.doc2, r.jaccard) for r in dedup.jaccard_pairs(docs, 0.8).collect())
+    a = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, 0.8, strategy="explode").collect()
+    )
     b = sorted(
         (r.doc1, r.doc2, r.jaccard)
         for r in dedup.jaccard_pairs(docs, 0.8, bitmask_max_vocab=10**6).collect()
     )
-    assert a == b
+    assert a == b and len(a) > 0
     small = spark.createDataFrame(
         [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(0, 10 + i))) for i in range(6)]
     )
