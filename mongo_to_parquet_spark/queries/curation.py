@@ -3864,9 +3864,14 @@ def q_unigram_pipeline(spark, sf):
     words = d.select(
         "lang", "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter((F.col("w") != "") & (F.length("w") <= _UNI_WMAX))
-    scored = words.select(
-        "lang",
-        "doc_id",
+    # the DP fold is an interpreted HOF (lesson 25/41): run it once per
+    # DISTINCT word — the same census trick every trainer here uses —
+    # and join the piece counts back onto the occurrences (AQE
+    # broadcasts the word→k table when it is small; at open-vocabulary
+    # scale it degrades to a keyed join, still ∝ distinct words, never
+    # per-occurrence fold work). Measured 9.0s → per-distinct at sf0.1.
+    wk = words.select("w").distinct().select(
+        "w",
         F.floor(
             (
                 F.element_at(
@@ -3880,6 +3885,7 @@ def q_unigram_pipeline(spark, sf):
         .cast("long")
         .alias("k"),
     )
+    scored = words.join(wk, "w")
     return scored.groupBy("lang").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -197,3 +197,31 @@ def test_wordpiece_pipeline_early_stopping_corpora(spark, tmp_path):
             got = sorted(tuple(r) for r in QS[key](spark, d).collect())
             want = sorted(tuple(r) for r in con.execute(OS[key]).fetchall())
             assert got == want, (name, key, got, want)
+
+
+def test_jaccard_wide_bitset_boundaries(spark, tmp_path):
+    """Lesson-28 sweep for the widened bitset path: vocab exactly 64
+    (scalar-long form), exactly 65 (first 2-word corpus), a wide corpus
+    containing EMPTY docs (all-zero masks must drop, like every other
+    path), and bit 63 / bit 64 occupancy across the word boundary —
+    each compared against the explode path on the same corpus."""
+    from pyspark.sql import Row
+
+    from mongo_to_parquet_spark.operators import dedup
+
+    def pairs(df, **kw):
+        return sorted(
+            (r.doc1, r.doc2, r.jaccard)
+            for r in dedup.jaccard_pairs(df, 0.5, **kw).collect()
+        )
+
+    for vocab_n in (64, 65, 130):
+        rows = [
+            Row(doc_id=i, text=" ".join(f"w{j:03d}" for j in range(i, vocab_n)))
+            for i in range(6)
+        ] + [Row(doc_id=99, text="")]
+        df = spark.createDataFrame(rows)
+        got = pairs(df)  # router: bitset (scalar at 64, wide beyond)
+        want = pairs(df, strategy="explode")
+        assert got == want and got, vocab_n
+        assert not any(99 in (a, b) for a, b, _ in got)  # empty doc dropped
