@@ -4102,3 +4102,102 @@ def q_wordpiece_pipeline(spark, sf):
             F.sum("ns").cast("bigint").alias("n_subwords"),
         )
     )
+
+
+#: vocab-size curve points: number of multi-char pieces kept at each point
+_UNI_CURVE_MS = (0, 10, 20, 40)
+
+
+def _unigram_curve_sql() -> str:
+    """Oracle for q_unigram_curve: the trained vocab v_T restricted to
+    its top-m multi-char pieces per point (singles always kept — the
+    fallback alphabet), the census re-segmented under each restricted
+    map, total subwords from the DP score. Chained onto _unigram_ctes."""
+    import re
+
+    pts = []
+    # the curve references v_T from 3 CTEs per point (lesson 39: DuckDB
+    # inlines CTEs by default, so each reference re-runs the whole EM
+    # chain — 51s → ~7s measured at sf0.001): materialize every CTE of
+    # the training chain for this consumer
+    sql = re.sub(
+        r"(\n    (?:w0|sing|seed|v\d+|m\d+|d\d+|seg\d+|u\d+) AS) \(",
+        r"\1 MATERIALIZED (",
+        _unigram_ctes(),
+    ).replace("WITH w0 AS (", "WITH w0 AS MATERIALIZED (")
+    for m in _UNI_CURVE_MS:
+        sql += f""",
+    vc{m} AS (
+        SELECT piece, cnt FROM v{_UNI_ITERS} WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM v{_UNI_ITERS} WHERE len(piece) >= 2
+            ORDER BY cnt DESC, piece ASC LIMIT {m})
+    ),
+    mm{m} AS (SELECT MAP(list(piece ORDER BY piece),
+                         list(cnt ORDER BY piece)) AS vm FROM vc{m}),
+    pt{m} AS (
+        SELECT CAST({m} AS BIGINT) AS n_multi_pieces,
+               CAST(COALESCE(SUM(wc * ((dp[CAST(len(w) AS INT) + 1]
+                    + {_UNI_BIG - 1}) // {_UNI_BIG})), 0) AS BIGINT)
+                   AS total_subwords
+        FROM (SELECT w, wc, vm, {_uni_dp_sql("w", "vm")} AS dp
+              FROM w0 CROSS JOIN mm{m})
+    )"""
+        pts.append(f"SELECT * FROM pt{m}")
+    return sql + "\n    " + "\n    UNION ALL ".join(pts)
+
+
+@q("q_unigram_curve", _unigram_curve_sql())
+def q_unigram_curve(spark, sf):
+    # the unigram VOCAB-SIZE curve — corpus total subword count with the
+    # trained vocabulary restricted to its top-m multi-char pieces
+    # (m = 0 is the character baseline; singles always remain, so every
+    # word stays segmentable): the marginal-compression report a
+    # vocab-budget decision reads for the unigram family, exactly what
+    # q_bpe_curve is for BPE — each point's delta is the tokens the next
+    # block of pieces buys, and the knee says where to stop growing the
+    # vocabulary. The piece count per word falls out of the DP score
+    # (no backtrace), and each point's restricted vocab is a literal map
+    # over the ALREADY-trained v_T — deterministic (cnt desc, piece)
+    # cuts, so both engines pick identical sub-vocabularies.
+    #
+    # Scale: train as q_unigram_train (census-sized EM); then ONE
+    # persisted census re-aggregated once per point (|points| DP passes
+    # over distinct words × frequency, never the corpus); output is
+    # |points| rows. Monotone: total_subwords is non-increasing in m
+    # (a superset vocab can only improve the DP minimum) — pinned in
+    # tests/test_curation.py.
+    vocab, sing = _unigram_train_vocab(spark, sf)
+    multis = sorted(
+        ((p, c) for p, c in vocab.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    census = _uni_census(spark, sf).persist()
+    try:
+        rows = []
+        for m in _UNI_CURVE_MS:
+            vm = _uni_vm_lit(
+                {p: vocab[p] for p in sing} | dict(multis[:m])
+            )
+            k = F.floor(
+                (
+                    F.element_at(
+                        _uni_dp_col(F.col("w"), vm),
+                        (F.length("w") + 1).cast("int"),
+                    )
+                    + F.lit(_UNI_BIG - 1)
+                )
+                / F.lit(_UNI_BIG)
+            ).cast("long")
+            [r] = census.agg(
+                F.coalesce(F.sum(F.col("wc") * k), F.lit(0))
+                .cast("long")
+                .alias("t")
+            ).collect()
+            rows.append((m, int(r["t"])))
+    finally:
+        census.unpersist()
+    return spark.createDataFrame(
+        rows, "n_multi_pieces bigint, total_subwords bigint"
+    ).orderBy("n_multi_pieces")

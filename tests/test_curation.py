@@ -400,7 +400,7 @@ def test_bpe_keys_leave_cache_empty(spark, sf_dir):
     cm = spark._jsparkSession.sharedState().cacheManager()
     for key in ("q_bpe_train", "q_bpe_pipeline", "q_bpe_curve",
                 "q_wordpiece_train", "q_wordpiece_pipeline",
-                "q_unigram_train", "q_unigram_pipeline"):
+                "q_unigram_train", "q_unigram_pipeline", "q_unigram_curve"):
         QS[key](spark, sf_dir).collect()
         assert cm.isEmpty(), f"{key} left persisted relations behind"
 
@@ -1048,3 +1048,32 @@ def test_wordpiece_pipeline_matches_python_replay(spark, sf_dir):
         for r in QS["q_wordpiece_pipeline"](spark, sf_dir).collect()
     }
     assert got == dict(expected)
+
+
+def test_unigram_curve_monotone_and_consistent(spark, sf_dir):
+    """q_unigram_curve invariants: total_subwords is non-increasing in
+    the number of multi-char pieces kept (a superset vocab can only
+    improve the DP minimum); the m=0 point equals the census character
+    count (singles-only segmentation); and the final point (the full
+    trained vocab) equals q_unigram_pipeline's corpus-wide subword total
+    — curve and pipeline are the same model."""
+    pts = {
+        r["n_multi_pieces"]: r["total_subwords"]
+        for r in QS["q_unigram_curve"](spark, sf_dir).collect()
+    }
+    ms = sorted(pts)
+    assert ms[0] == 0 and len(ms) == 4
+    for a, b in zip(ms, ms[1:]):
+        assert pts[a] >= pts[b]
+    assert pts[ms[0]] > pts[ms[-1]]  # the vocab actually compresses
+    chars = sum(
+        len(w)
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+        for w in r["text"].split(" ")
+        if w and len(w) <= 32
+    )
+    assert pts[0] == chars
+    pipe_total = sum(
+        r["n_subwords"] for r in QS["q_unigram_pipeline"](spark, sf_dir).collect()
+    )
+    assert pts[ms[-1]] == pipe_total
