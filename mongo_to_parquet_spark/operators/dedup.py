@@ -178,10 +178,21 @@ def jaccard_pairs(
     else:
         vocab_rows = None
     if strategy == "bitset":
+        cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
         if vocab_rows is None:
-            cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
             vocab_rows = (
                 base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
+            )
+        if len(vocab_rows) > cap:
+            # a caller-forced bitset with a vocabulary past the cap would
+            # build a TRUNCATED literal dictionary: shingles missing from
+            # the map get a NULL bit index, the wide-mask zip_with falls
+            # through to `otherwise(m)` and silently drops the bit —
+            # wrong similarities, not an error. Refuse instead.
+            raise ValueError(
+                f"bitset strategy requires vocabulary <= {cap} distinct "
+                f"shingles; probe found more. Use strategy='prefix' (or "
+                f"auto-routing) for this corpus."
             )
         return _jaccard_pairs_bitset(base, sorted(r["s"] for r in vocab_rows), threshold)
     if strategy == "prefix":

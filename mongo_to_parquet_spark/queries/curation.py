@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.functions import vector
-from mongo_to_parquet_spark.operators import text
+from mongo_to_parquet_spark.operators import text, tokenizer
 from mongo_to_parquet_spark.sources.catalog import load_table as T
 from mongo_to_parquet_spark.queries._registry import make_registry
 
@@ -4201,3 +4201,166 @@ def q_unigram_curve(spark, sf):
     return spark.createDataFrame(
         rows, "n_multi_pieces bigint, total_subwords bigint"
     ).orderBy("n_multi_pieces")
+
+
+# ------------------------------- tokenizer artifacts (train once, serve) ---
+def _tok_art_dir(sf: str, family: str) -> str:
+    import os
+
+    tag = os.path.basename(sf.rstrip("/"))
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "..",
+            "_scratch",
+            "tok_artifacts",
+            tag,
+            family,
+        )
+    )
+
+
+def _tok_artifact_current(art_dir: str, family: str, want: dict) -> bool:
+    """True iff the latest committed artifact was trained under the SAME
+    family and training configuration — a version trained with an older
+    k (or by a different family) must be retrained, not served."""
+    v = tokenizer.latest_version(art_dir)
+    if v is None:
+        return False
+    meta = tokenizer.artifact_meta(art_dir, v)
+    return meta.get("family") == family and all(
+        meta.get(k) == val for k, val in want.items()
+    )
+
+
+def _merge_family_apply(spark, sf, merges):
+    """The shared apply tail for the merge families (BPE / WordPiece)
+    once the rank-ordered merge list is in hand — identical to the
+    inline pipelines' aggregation so artifact and inline paths cannot
+    drift in accounting."""
+    n_words, n_subwords = bpe_apply_cols(merges)
+    d = T(spark, sf, "documents")
+    return (
+        d.select("lang", n_words.alias("nw"), n_subwords.alias("ns"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("ns").cast("bigint").alias("n_subwords"),
+        )
+    )
+
+
+@q("q_bpe_apply_artifact", _bpe_pipeline_sql())
+def q_bpe_apply_artifact(spark, sf):
+    # the SERVING shape for the BPE family (round-8 verdict #1 — the ANN
+    # build_ivf_layout→serve discipline applied to tokenizers): train
+    # ONCE, persist the merge table as a versioned commit-marked parquet
+    # artifact (operators/tokenizer.py, reusing incremental.py's
+    # durability contract), then tokenize by LOADING the artifact — the
+    # apply path never retrains. On a cold store this key trains and
+    # persists (honest accounting, like q_sim_topk_ivfpq's build+write);
+    # every later run is apply-only: read ≤ k rows from parquet, fold
+    # them into bpe_apply_cols literals, one map-only corpus pass.
+    # Oracle = the full train+apply SQL (_bpe_pipeline_sql), so the hash
+    # match proves store→load→apply ≡ train→apply end to end — including
+    # that the parquet round-trip preserved every merge pair byte-exact.
+    #
+    # Scale: at 100 TB the artifact is trained on one corpus snapshot
+    # and applied on every ingest; per-ingest cost is ONE scan at
+    # tokenizer-literal speed, training amortized to zero. Staleness is
+    # explicit: the commit marker records (family, k), and a
+    # configuration change retrains instead of serving a stale table.
+    art = _tok_art_dir(sf, "bpe")
+    if not _tok_artifact_current(art, "bpe", {"k": _BPE_TRAIN_K}):
+        tokenizer.save_artifact(
+            spark,
+            _bpe_train_merges(spark, sf),
+            art,
+            "bpe",
+            meta={"k": _BPE_TRAIN_K},
+        )
+    return _merge_family_apply(
+        spark, sf, tokenizer.load_merges(spark, art, "bpe")
+    )
+
+
+@q(
+    "q_wordpiece_apply_artifact",
+    _wp_train_ctes() + _merge_apply_sql(_WP_TRAIN_K),
+)
+def q_wordpiece_apply_artifact(spark, sf):
+    # q_bpe_apply_artifact's WordPiece sibling: the likelihood-trained
+    # merge table persists once (with its score column — the audit trail
+    # of WHY each merge won), and apply loads it through the SAME
+    # bpe_apply_cols builder the inline pipeline uses (merge folding is
+    # family-agnostic; one apply definition gates both families). The
+    # loader verifies the artifact's family from the commit marker — a
+    # BPE table served as WordPiece would tokenize plausibly and
+    # silently wrong.
+    art = _tok_art_dir(sf, "wordpiece")
+    if not _tok_artifact_current(art, "wordpiece", {"k": _WP_TRAIN_K}):
+        tokenizer.save_artifact(
+            spark,
+            _wp_train_merges(spark, sf),
+            art,
+            "wordpiece",
+            meta={"k": _WP_TRAIN_K},
+        )
+    return _merge_family_apply(
+        spark, sf, tokenizer.load_merges(spark, art, "wordpiece")
+    )
+
+
+@q("q_unigram_apply_artifact", ORACLE["q_unigram_pipeline"])
+def q_unigram_apply_artifact(spark, sf):
+    # the unigram family's serving shape: the trained (piece, cnt)
+    # vocabulary persists as the artifact, and apply loads it into the
+    # literal map (_uni_vm_lit) feeding the once-per-DISTINCT-word DP +
+    # join-back — the exact apply plan q_unigram_pipeline runs after
+    # training, minus the training. The artifact IS the vocabulary the
+    # EM trainer converged to, so the oracle (train+apply in one
+    # statement) hash-matches iff the parquet round-trip preserved every
+    # (piece, cnt) pair and the loaded map reproduces the inline DP.
+    #
+    # Scale: the EM loop (census-sized but iterative) leaves the
+    # per-ingest path entirely; serving cost is one corpus scan + a
+    # distinct-word DP with the vocab broadcast by value (~100 literals).
+    art = _tok_art_dir(sf, "unigram")
+    want = {
+        "iters": _UNI_ITERS,
+        "seed": _UNI_SEED,
+        "keep": _UNI_KEEP,
+        "lmax": _UNI_LMAX,
+    }
+    if not _tok_artifact_current(art, "unigram", want):
+        vocab, _ = _unigram_train_vocab(spark, sf)
+        tokenizer.save_artifact(
+            spark, sorted(vocab.items()), art, "unigram", meta=want
+        )
+    vm = _uni_vm_lit(tokenizer.load_vocab(spark, art))
+    d = T(spark, sf, "documents")
+    words = d.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= _UNI_WMAX))
+    wk = words.select("w").distinct().select(
+        "w",
+        F.floor(
+            (
+                F.element_at(
+                    _uni_dp_col(F.col("w"), vm),
+                    (F.length("w") + 1).cast("int"),
+                )
+                + F.lit(_UNI_BIG - 1)
+            )
+            / F.lit(_UNI_BIG)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    return words.join(wk, "w").groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("k").cast("bigint").alias("n_subwords"),
+    )

@@ -3607,7 +3607,16 @@ def q_pack_bfd(spark, sf):
                 bins.append(n_bins)
                 fills[n_bins] = t
                 n_bins += 1
-        assert n_bins < 4096, "bin count exceeds the oracle's tie encode"
+        if n_bins >= 4096:
+            # the oracle's tie encode (L - fill)*4096 + j wraps at 4096
+            # open bins; a bare assert here is stripped under `python -O`
+            # exactly where the bound must hold (round-8 verdict). This
+            # raise is the SHARED bound: the oracle side cannot guard the
+            # wrap itself, so the kernel refuses before divergence.
+            raise ValueError(
+                f"shard opened {n_bins} bins; the BFD oracle tie-encode "
+                f"supports < 4096 open bins per shard"
+            )
         pdf["bin_id"] = bins
         return pdf[["shard", "doc_id", "n_tok", "bin_id"]]
 

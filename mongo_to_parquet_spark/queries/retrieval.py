@@ -764,13 +764,15 @@ _PQ_CTES_BASEQ = _PQ_CTES.replace(
     "cb AS (SELECT vec_id AS cid, pos, qv AS cqv, sub FROM qs"
     " WHERE vec_id < 16 AND vec_id % 4 <> 0)",
 )
-assert _PQ_CTES_BASEQ.count("vec_id % 4 <> 0") == 2
+if _PQ_CTES_BASEQ.count("vec_id % 4 <> 0") != 2:  # survives `python -O`
+    raise RuntimeError("base-quarter oracle rewrite missed a CTE anchor")
 _IVF_CTES_BASE = _IVF_CTES.replace(
     "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)",
     "FROM (SELECT * FROM embeddings WHERE vec_id % 4 <> 0"
     " ORDER BY vec_id LIMIT 16)",
 )
-assert _IVF_CTES_BASE.count("vec_id % 4 <> 0") == 1
+if _IVF_CTES_BASE.count("vec_id % 4 <> 0") != 1:  # survives `python -O`
+    raise RuntimeError("base-quarter oracle rewrite missed the IVF anchor")
 
 
 @q(

@@ -59,20 +59,26 @@ OFFSETS = {
 STATIC = ["nation", "region"]
 
 
-def shuffle_bytes(spark) -> int:
+def shuffle_bytes(spark):
+    """Cumulative shuffle-write bytes from the UI REST API, or None.
+
+    None (not a sentinel int) on any failure: a -1 sentinel subtracted
+    from a later success produced inflated deltas indistinguishable from
+    real measurements in the results JSON (round-8 ADVICE finding).
+    """
     import urllib.request
 
     sc = spark.sparkContext
     ui = sc.uiWebUrl
     if not ui:
-        return -1
+        return None
     url = f"{ui}/api/v1/applications/{sc.applicationId}/executors"
     try:
         with urllib.request.urlopen(url, timeout=10) as r:
             rows = json.loads(r.read())
         return sum(e.get("totalShuffleWrite", 0) for e in rows)
     except Exception:
-        return -1
+        return None
 
 
 def materialize(spark) -> str:
@@ -136,14 +142,21 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[key](spark, d).write.format("noop").mode("overwrite").save()
             sec = round(time.perf_counter() - t0, 3)
-            sb = shuffle_bytes(spark) - s0
+            s1 = shuffle_bytes(spark)
+            # null out the delta when either endpoint read failed so the
+            # JSON never records a meaningless difference as a measurement
+            sb = (s1 - s0) if (s0 is not None and s1 is not None) else None
             results.setdefault(key, {})[f"sec_{scale}"] = sec
             results[key][f"shuf_{scale}"] = sb
             spark.catalog.clearCache()
     for key, r in results.items():
         r["ratio"] = round(r["sec_m10"] / max(r["sec_sf01"], 1e-9), 2)
         r["shuf_ratio"] = (
-            round(r["shuf_m10"] / r["shuf_sf01"], 2) if r["shuf_sf01"] > 0 else None
+            round(r["shuf_m10"] / r["shuf_sf01"], 2)
+            if r["shuf_m10"] is not None
+            and r["shuf_sf01"] is not None
+            and r["shuf_sf01"] > 0
+            else None
         )
     with open(out_json, "w") as f:
         json.dump(
