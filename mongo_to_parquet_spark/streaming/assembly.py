@@ -43,6 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.functions.textfns import shingles
+from mongo_to_parquet_spark.streaming import state as st
+
+#: per-batch commit markers still on disk (pre-compaction view; markers at
+#: or below the compaction watermark are vacuumed and become implicit)
+_committed = st.ledger_ids
 
 _ASSIGN_COLS = ["shard", "doc_id", "n_tok", "bin_id"]
 _PACKED_SCHEMA = (
@@ -51,13 +56,6 @@ _PACKED_SCHEMA = (
 )
 _STATE_SCHEMA = "shard bigint, open_bin bigint, fill bigint"
 _HASH_SCHEMA = "h string"
-
-
-def _committed(state_dir: str) -> list[int]:
-    led = os.path.join(state_dir, "ledger")
-    if not os.path.isdir(led):
-        return []
-    return sorted(int(f) for f in os.listdir(led) if f.isdigit())
 
 
 def stream_assembly(
@@ -84,7 +82,7 @@ def stream_assembly(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         marker = os.path.join(state_dir, "ledger", str(bid))
-        if os.path.exists(marker):
+        if st.is_committed(state_dir, bid):
             return
         # stage 1 — gate: eval split held out, minimum token count
         tok = batch_df.select(
@@ -99,14 +97,11 @@ def stream_assembly(
         ).withColumn("h", F.sha2("text", 256))
         # stage 2 — incremental exact dedup: texts seen in a committed
         # batch drop entirely; within the batch the min-doc_id copy wins
-        # (= the global min under the monotone-arrival contract)
-        prior = [b for b in _committed(state_dir) if b < bid]
-        if prior:
-            seen = spark.read.parquet(
-                *[os.path.join(state_dir, "hashes", f"batch={b}") for b in prior]
-            )
-        else:
-            seen = spark.createDataFrame([], _HASH_SCHEMA)
+        # (= the global min under the monotone-arrival contract). The
+        # seen-hash state resolves through the compaction watermark
+        # (streaming/state.py) — compacted(W) + per-batch dirs above W,
+        # so the listing cost stops growing with ingest age.
+        seen = st.read_sub(spark, state_dir, "hashes", _HASH_SCHEMA, below=bid)
         fresh = gated.join(seen, "h", "left_anti")
         keep = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         newdocs = fresh.join(keep.select("doc_id"), "doc_id", "left_semi")
@@ -128,13 +123,15 @@ def stream_assembly(
             "n_tok",
         )
         # stage 4 — greedy pack, per-shard open bin carried across batches
-        if prior:
-            st = spark.read.parquet(
-                os.path.join(state_dir, "state", f"batch={max(prior)}")
+        # (swap-style state: only the LAST committed batch's fills matter)
+        lb = st.last_committed(state_dir)
+        if lb is not None:
+            fills_st = spark.read.parquet(
+                os.path.join(state_dir, "state", f"batch={lb}")
             )
         else:
-            st = spark.createDataFrame([], _STATE_SCHEMA)
-        joined = surv.join(F.broadcast(st), "shard", "left")
+            fills_st = spark.createDataFrame([], _STATE_SCHEMA)
+        joined = surv.join(F.broadcast(fills_st), "shard", "left")
 
         def pack(pdf):
             pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -164,7 +161,9 @@ def stream_assembly(
         )
         rep = spark.read.parquet(packed_path)
         batch_state = rep.select("shard", "open_bin", "fill").distinct()
-        carried = st.join(batch_state.select("shard"), "shard", "left_anti")
+        carried = fills_st.join(
+            batch_state.select("shard"), "shard", "left_anti"
+        )
         batch_state.unionByName(carried).write.mode("overwrite").parquet(
             os.path.join(state_dir, "state", f"batch={bid}")
         )
@@ -183,14 +182,34 @@ def stream_assembly(
 
 def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
     """All committed bin assignments (the exactly-once view)."""
-    seen = _committed(state_dir)
-    if not seen:
-        return spark.createDataFrame(
-            [], "shard bigint, doc_id bigint, n_tok bigint, bin_id bigint"
-        )
-    return spark.read.parquet(
-        *[os.path.join(state_dir, "reports", f"batch={b}") for b in seen]
-    ).select(*_ASSIGN_COLS)
+    return st.read_sub(spark, state_dir, "reports", _PACKED_SCHEMA).select(
+        *_ASSIGN_COLS
+    )
+
+
+def compact_assembly_state(
+    spark: SparkSession,
+    state_dir: str,
+    upto: int | None = None,
+    run_vacuum: bool = True,
+) -> int | None:
+    """Ledger-committed compaction for the assembly fold (round-8
+    verdict #2): the append-only hash and report sub-states merge into
+    one compacted dir each at the watermark (marker renamed LAST), and
+    vacuum also drops superseded per-batch fill states — the swap-style
+    sub keeps only its newest committed version. The committed manifest
+    is row-identical before and after; replay-skip stays sound because
+    any batch id at or below the watermark is committed by
+    construction."""
+    w = st.compact(
+        spark,
+        state_dir,
+        {"hashes": _HASH_SCHEMA, "reports": _PACKED_SCHEMA},
+        upto=upto,
+    )
+    if run_vacuum:
+        st.vacuum(state_dir, ["hashes", "reports"], swap_subs=["state"])
+    return w
 
 
 def read_manifest(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -46,16 +46,15 @@ from mongo_to_parquet_spark.operators.dedup import (
     minhash_incremental_pairs,
     minhash_index,
 )
+from mongo_to_parquet_spark.streaming import state as st
+
+#: per-batch commit markers still on disk (pre-compaction view; markers at
+#: or below the compaction watermark are vacuumed and become implicit)
+_committed = st.ledger_ids
 
 _INDEX_SCHEMA = "doc bigint, band bigint, sigstr string"
 _PAIRS_SCHEMA = "id1 bigint, id2 bigint, jaccard double"
-
-
-def _committed(state_dir: str) -> list[int]:
-    led = os.path.join(state_dir, "ledger")
-    if not os.path.isdir(led):
-        return []
-    return sorted(int(f) for f in os.listdir(led) if f.isdigit())
+_DOCS_SCHEMA = "doc_id bigint, text string"
 
 
 def stream_dedup_incremental(
@@ -78,20 +77,20 @@ def stream_dedup_incremental(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         marker = os.path.join(state_dir, "ledger", str(bid))
-        if os.path.exists(marker):
+        if st.is_committed(state_dir, bid):
             return  # replayed batch: artifacts already committed
-        seen = [b for b in _committed(state_dir) if b != bid]
         batch = batch_df.select(id_col, text_col)
-        if seen:
-            index = spark.read.parquet(
-                *[os.path.join(state_dir, "index", f"batch={b}") for b in seen]
-            )
-            corpus = spark.read.parquet(
-                *[os.path.join(state_dir, "docs", f"batch={b}") for b in seen]
-            ).unionByName(batch)
-        else:
-            index = spark.createDataFrame([], _INDEX_SCHEMA)
-            corpus = batch
+        # committed prior state resolves through the compaction watermark
+        # (streaming/state.py): compacted(W) + per-batch dirs above W —
+        # O(1) + O(batches since last compaction) listings, not O(age)
+        index = st.read_sub(spark, state_dir, "index", _INDEX_SCHEMA, below=bid)
+        corpus = st.read_sub(
+            spark,
+            state_dir,
+            "docs",
+            f"{id_col} bigint, {text_col} string",
+            below=bid,
+        ).unionByName(batch)
         pairs = minhash_incremental_pairs(
             batch, index, corpus, threshold, text_col, id_col
         )
@@ -119,9 +118,28 @@ def stream_dedup_incremental(
 
 def read_incremental_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """All pairs emitted by COMMITTED batches (the exactly-once view)."""
-    seen = _committed(state_dir)
-    if not seen:
-        return spark.createDataFrame([], _PAIRS_SCHEMA)
-    return spark.read.parquet(
-        *[os.path.join(state_dir, "pairs", f"batch={b}") for b in seen]
+    return st.read_sub(spark, state_dir, "pairs", _PAIRS_SCHEMA)
+
+
+def compact_dedup_state(
+    spark: SparkSession,
+    state_dir: str,
+    upto: int | None = None,
+    run_vacuum: bool = True,
+) -> int | None:
+    """Ledger-committed compaction of the three append-only sub-states
+    (round-8 verdict #2): merge per-batch index/docs/pairs dirs at or
+    below the watermark into one compacted dir each (marker renamed
+    LAST — torn compactions are invisible), then optionally vacuum what
+    the watermark supersedes. Cumulative pairs are row-identical before
+    and after; file count stops growing with ingest age. Returns the new
+    watermark (None if nothing new to cover)."""
+    w = st.compact(
+        spark,
+        state_dir,
+        {"index": _INDEX_SCHEMA, "docs": _DOCS_SCHEMA, "pairs": _PAIRS_SCHEMA},
+        upto=upto,
     )
+    if run_vacuum:
+        st.vacuum(state_dir, ["index", "docs", "pairs"])
+    return w

@@ -1286,3 +1286,175 @@ def test_stream_assembly_matches_batch_pipeline(spark, sf_dir, tmp_path):
         (r["shard"], r["bin_id"], r["n_docs"], r["n_tokens"])
         for r in sa.read_manifest(spark, state).collect()
     ) == want
+
+
+def test_stream_dedup_compaction_preserves_pairs_and_bounds_files(
+    spark, sf_dir, tmp_path
+):
+    """Ledger-committed compaction of the incremental-dedup state
+    (round-8 verdict #2): a torn compaction (marker deleted) is
+    invisible; a committed compaction + vacuum leaves the cumulative
+    pairs row-identical while deleting every superseded per-batch dir
+    and marker; ingest CONTINUES through the compacted state (new
+    batches read compacted(W) + their own prefix) and converges to the
+    corpus-wide batch answer; and a whole-stream replay after the
+    markers were vacuumed is still a no-op (watermark-implied commit)."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import dedup as sd
+    from mongo_to_parquet_spark.streaming import state as sst
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    t0 = time.time() - 100
+    slices = np.array_split(pdf, 4)
+
+    def add_slice(i):
+        p = os.path.join(src, f"slice-{i}.parquet")
+        slices[i].to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sd.stream_dedup_incremental(stream, state, ck, threshold=0.8).awaitTermination(300)
+
+    def pairs():
+        return sorted(
+            (r["id1"], r["id2"], r["jaccard"])
+            for r in sd.read_incremental_pairs(spark, state).collect()
+        )
+
+    state = str(tmp_path / "state")
+    add_slice(0)
+    add_slice(1)
+    run(str(tmp_path / "ck1"))
+    p1 = pairs()
+    assert len(sd._committed(state)) == 2
+
+    # torn compaction: parquet written, marker removed -> invisible
+    w = sd.compact_dedup_state(spark, state, run_vacuum=False)
+    assert w == 1
+    os.remove(os.path.join(state, "compact", "ledger", str(w)))
+    assert pairs() == p1
+
+    # committed compaction + vacuum: views identical, per-batch state gone
+    assert sd.compact_dedup_state(spark, state) == 1
+    assert pairs() == p1
+    for sub in ("index", "docs", "pairs"):
+        assert sst._ids_under(state, sub) == []  # all batches superseded
+        assert sst._ids_under(os.path.join(state, "compact"), sub) == [1]
+    assert sd._committed(state) == []  # markers vacuumed...
+    assert sst.is_committed(state, 0) and sst.is_committed(state, 1)  # ...implicit
+
+    # ingest continues THROUGH the compacted state
+    add_slice(2)
+    add_slice(3)
+    run(str(tmp_path / "ck1"))
+    want = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in LLM_Q["q_dedup_minhash_md5"](spark, sf_dir).collect()
+    )
+    assert len(want) > len(p1) and pairs() == want
+
+    # whole-stream replay, fresh checkpoint: batches 0/1 skip on the
+    # watermark (their markers no longer exist), 2/3 on their markers
+    run(str(tmp_path / "ck2"))
+    assert pairs() == want
+
+    # a second compaction folds compacted(1) + batches 2..3 into one dir
+    assert sd.compact_dedup_state(spark, state) == 3
+    assert pairs() == want
+    for sub in ("index", "docs", "pairs"):
+        assert sst._ids_under(state, sub) == []
+        assert sst._ids_under(os.path.join(state, "compact"), sub) == [3]
+    shutil.rmtree(str(tmp_path / "ck1"))
+
+
+def test_stream_assembly_compaction_preserves_manifest(spark, sf_dir, tmp_path):
+    """compact_assembly_state: the committed manifest is bit-identical
+    across compaction+vacuum, the swap-style fill state keeps only its
+    newest committed version, and packing CONTINUES from the carried
+    fills through the compacted hash state to the exact batch-pipeline
+    answer."""
+    import os
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import assembly as sa
+    from mongo_to_parquet_spark.streaming import decontaminate as sdc
+    from mongo_to_parquet_spark.streaming import state as sst
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evp = str(tmp_path / "eval_grams")
+    sdc.eval_gram_table(docs.filter(F.col("doc_id") % 97 == 0), evp)
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    pdf = docs.toPandas().sort_values("doc_id")
+    t0 = time.time() - 100
+    slices = np.array_split(pdf, 4)
+
+    def add_slice(i):
+        p = os.path.join(src, f"slice-{i}.parquet")
+        slices[i].to_parquet(p, index=False)
+        os.utime(p, (t0 + i, t0 + i))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sa.stream_assembly(stream, evp, state, ck).awaitTermination(300)
+
+    def manifest():
+        return sorted(
+            (r["shard"], r["bin_id"], r["n_docs"], r["n_tokens"])
+            for r in sa.read_manifest(spark, state).collect()
+        )
+
+    state = str(tmp_path / "state")
+    add_slice(0)
+    add_slice(1)
+    run(str(tmp_path / "ck1"))
+    m1 = manifest()
+
+    assert sa.compact_assembly_state(spark, state) == 1
+    assert manifest() == m1
+    for sub in ("hashes", "reports"):
+        assert sst._ids_under(state, sub) == []
+        assert sst._ids_under(os.path.join(state, "compact"), sub) == [1]
+    # swap-style fill state: only the newest committed version remains
+    assert sst._ids_under(state, "state") == [1]
+
+    add_slice(2)
+    add_slice(3)
+    run(str(tmp_path / "ck1"))
+    want = sorted(
+        (r["shard"], r["bin_id"], r["n_docs"], r["n_tokens"])
+        for r in LLM_Q["q_assembly_pipeline"](spark, sf_dir).collect()
+    )
+    assert len(want) > 0 and manifest() == want
+
+    run(str(tmp_path / "ck2"))  # replay across the vacuumed prefix: no-op
+    assert manifest() == want
