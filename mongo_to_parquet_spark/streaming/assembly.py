@@ -84,6 +84,28 @@ def stream_assembly(
         marker = os.path.join(state_dir, "ledger", str(bid))
         if st.is_committed(state_dir, bid):
             return
+        # the monotone-arrival CONTRACT, enforced (round-8 verdict #7):
+        # the dedup keeper is the GLOBAL min doc_id per text, which the
+        # incremental fold can only honor if ids never go backwards
+        # across batches. A violation must fail LOUDLY here — quietly
+        # keeping the earlier-committed (larger-id) copy would silently
+        # diverge from the batch pipeline. The running max rides the
+        # ledger markers (and survives vacuum via the compaction marker).
+        bounds = batch_df.agg(
+            F.min(F.col(id_col).cast("long")).alias("mn"),
+            F.max(F.col(id_col).cast("long")).alias("mx"),
+        ).collect()[0]
+        prev_max = st.marker_field(state_dir, "max_doc_id")
+        if (
+            prev_max is not None
+            and bounds["mn"] is not None
+            and bounds["mn"] <= prev_max
+        ):
+            raise ValueError(
+                f"non-monotone arrival: batch {bid} carries {id_col}="
+                f"{bounds['mn']} <= committed max {prev_max}; "
+                f"stream_assembly requires doc ids monotone across batches"
+            )
         # stage 1 — gate: eval split held out, minimum token count
         tok = batch_df.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -167,9 +189,10 @@ def stream_assembly(
         batch_state.unionByName(carried).write.mode("overwrite").parquet(
             os.path.join(state_dir, "state", f"batch={bid}")
         )
+        new_max = bounds["mx"] if bounds["mx"] is not None else prev_max
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": bid}, f)
+            json.dump({"batch_id": bid, "max_doc_id": new_max}, f)
         os.rename(tmp, marker)
 
     return (
@@ -201,11 +224,13 @@ def compact_assembly_state(
     is row-identical before and after; replay-skip stays sound because
     any batch id at or below the watermark is committed by
     construction."""
+    carried = st.marker_field(state_dir, "max_doc_id")
     w = st.compact(
         spark,
         state_dir,
         {"hashes": _HASH_SCHEMA, "reports": _PACKED_SCHEMA},
         upto=upto,
+        extra={"max_doc_id": carried},
     )
     if run_vacuum:
         st.vacuum(state_dir, ["hashes", "reports"], swap_subs=["state"])

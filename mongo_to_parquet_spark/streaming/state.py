@@ -123,6 +123,7 @@ def compact(
     state_dir: str,
     subs: dict[str, str],
     upto: int | None = None,
+    extra: dict | None = None,
 ) -> int | None:
     """Merge committed per-batch dirs of every sub in ``subs`` (a
     {sub: schema} map) at or below ``upto`` — default: everything
@@ -165,9 +166,30 @@ def compact(
     marker = os.path.join(led_dir, str(upto))
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"upto": upto, "subs": sorted(subs)}, fh)
+        json.dump({"upto": upto, "subs": sorted(subs), **(extra or {})}, fh)
     os.replace(tmp, marker)
     return upto
+
+
+def marker_field(state_dir: str, field: str):
+    """Read ``field`` from the NEWEST committed marker that carries it —
+    the last per-batch ledger marker, falling back to the compaction
+    marker (vacuum deletes ledger markers at or below the watermark, so
+    fold-carried metadata must survive through the compaction marker's
+    ``extra``). None if no committed marker records the field."""
+    led = ledger_ids(state_dir)
+    for b in reversed(led):
+        with open(os.path.join(state_dir, "ledger", str(b))) as fh:
+            meta = json.load(fh)
+        if field in meta:
+            return meta[field]
+    w = compact_watermark(state_dir)
+    if w is not None:
+        with open(os.path.join(state_dir, COMPACT, "ledger", str(w))) as fh:
+            meta = json.load(fh)
+        if field in meta:
+            return meta[field]
+    return None
 
 
 def vacuum(
