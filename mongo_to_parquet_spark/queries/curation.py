@@ -4252,6 +4252,55 @@ def _merge_family_apply(spark, sf, merges):
     )
 
 
+
+def _bpe_merges_artifact(spark, sf) -> list[tuple[str, str]]:
+    """Ensure-then-load for the BPE artifact: train+persist iff the
+    stored version is missing or trained under a different k, then
+    return the rank-ordered merge pairs from the STORE (never from the
+    in-memory trainer — the serving path is the only path)."""
+    art = _tok_art_dir(sf, "bpe")
+    if not _tok_artifact_current(art, "bpe", {"k": _BPE_TRAIN_K}):
+        tokenizer.save_artifact(
+            spark,
+            _bpe_train_merges(spark, sf),
+            art,
+            "bpe",
+            meta={"k": _BPE_TRAIN_K},
+        )
+    return tokenizer.load_merges(spark, art, "bpe")
+
+
+def _wp_merges_artifact(spark, sf) -> list[tuple[str, str]]:
+    art = _tok_art_dir(sf, "wordpiece")
+    if not _tok_artifact_current(art, "wordpiece", {"k": _WP_TRAIN_K}):
+        tokenizer.save_artifact(
+            spark,
+            _wp_train_merges(spark, sf),
+            art,
+            "wordpiece",
+            meta={"k": _WP_TRAIN_K},
+        )
+    return tokenizer.load_merges(spark, art, "wordpiece")
+
+
+_UNI_ART_META = {
+    "iters": _UNI_ITERS,
+    "seed": _UNI_SEED,
+    "keep": _UNI_KEEP,
+    "lmax": _UNI_LMAX,
+}
+
+
+def _uni_vocab_artifact(spark, sf) -> dict[str, int]:
+    art = _tok_art_dir(sf, "unigram")
+    if not _tok_artifact_current(art, "unigram", _UNI_ART_META):
+        vocab, _ = _unigram_train_vocab(spark, sf)
+        tokenizer.save_artifact(
+            spark, sorted(vocab.items()), art, "unigram", meta=_UNI_ART_META
+        )
+    return tokenizer.load_vocab(spark, art)
+
+
 @q("q_bpe_apply_artifact", _bpe_pipeline_sql())
 def q_bpe_apply_artifact(spark, sf):
     # the SERVING shape for the BPE family (round-8 verdict #1 — the ANN
@@ -4272,18 +4321,7 @@ def q_bpe_apply_artifact(spark, sf):
     # tokenizer-literal speed, training amortized to zero. Staleness is
     # explicit: the commit marker records (family, k), and a
     # configuration change retrains instead of serving a stale table.
-    art = _tok_art_dir(sf, "bpe")
-    if not _tok_artifact_current(art, "bpe", {"k": _BPE_TRAIN_K}):
-        tokenizer.save_artifact(
-            spark,
-            _bpe_train_merges(spark, sf),
-            art,
-            "bpe",
-            meta={"k": _BPE_TRAIN_K},
-        )
-    return _merge_family_apply(
-        spark, sf, tokenizer.load_merges(spark, art, "bpe")
-    )
+    return _merge_family_apply(spark, sf, _bpe_merges_artifact(spark, sf))
 
 
 @q(
@@ -4299,18 +4337,7 @@ def q_wordpiece_apply_artifact(spark, sf):
     # loader verifies the artifact's family from the commit marker — a
     # BPE table served as WordPiece would tokenize plausibly and
     # silently wrong.
-    art = _tok_art_dir(sf, "wordpiece")
-    if not _tok_artifact_current(art, "wordpiece", {"k": _WP_TRAIN_K}):
-        tokenizer.save_artifact(
-            spark,
-            _wp_train_merges(spark, sf),
-            art,
-            "wordpiece",
-            meta={"k": _WP_TRAIN_K},
-        )
-    return _merge_family_apply(
-        spark, sf, tokenizer.load_merges(spark, art, "wordpiece")
-    )
+    return _merge_family_apply(spark, sf, _wp_merges_artifact(spark, sf))
 
 
 @q("q_unigram_apply_artifact", ORACLE["q_unigram_pipeline"])
@@ -4327,19 +4354,7 @@ def q_unigram_apply_artifact(spark, sf):
     # Scale: the EM loop (census-sized but iterative) leaves the
     # per-ingest path entirely; serving cost is one corpus scan + a
     # distinct-word DP with the vocab broadcast by value (~100 literals).
-    art = _tok_art_dir(sf, "unigram")
-    want = {
-        "iters": _UNI_ITERS,
-        "seed": _UNI_SEED,
-        "keep": _UNI_KEEP,
-        "lmax": _UNI_LMAX,
-    }
-    if not _tok_artifact_current(art, "unigram", want):
-        vocab, _ = _unigram_train_vocab(spark, sf)
-        tokenizer.save_artifact(
-            spark, sorted(vocab.items()), art, "unigram", meta=want
-        )
-    vm = _uni_vm_lit(tokenizer.load_vocab(spark, art))
+    vm = _uni_vm_lit(_uni_vocab_artifact(spark, sf))
     d = T(spark, sf, "documents")
     words = d.select(
         "lang", "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -4364,3 +4379,257 @@ def q_unigram_apply_artifact(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum("k").cast("bigint").alias("n_subwords"),
     )
+
+
+# ------------------------------------------- tokenizer quality comparison --
+def _prefix_ctes(sql: str, prefix: str, pattern: str) -> str:
+    """Rename a chain's CTE names with a family prefix so the three
+    trainer chains can coexist in ONE composed WITH block (their internal
+    names — w0, p1, m1, u1... — collide otherwise)."""
+    import re
+
+    return re.sub(pattern, lambda m: prefix + m.group(0), sql)
+
+
+def _strip_with(sql: str) -> str:
+    i = sql.index("WITH")
+    return sql[:i] + sql[i + len("WITH") :]
+
+
+def _eval_merge_seg_sql(pfx: str, k: int) -> str:
+    """Segment every DISTINCT census word through a renamed merge chain
+    (m-relations ``{pfx}m1..{pfx}mk``): piece count and the characters
+    covered by multi-char pieces, per word. Same LEFT-JOIN + chr(1)
+    sentinel dry-training shape as _merge_apply_sql."""
+    merged = "regexp_replace(w, '(.)', '\\1·', 'g')"
+    for i in range(1, k + 1):
+        merged = (
+            f"replace({merged}, COALESCE({pfx}m{i}.x || '·' || {pfx}m{i}.y,"
+            f" chr(1)), COALESCE({pfx}m{i}.x || {pfx}m{i}.y, chr(1)))"
+        )
+    crosses = " ".join(f"LEFT JOIN {pfx}m{i} ON TRUE" for i in range(1, k + 1))
+    return f"""
+    {pfx}seg AS MATERIALIZED (
+        SELECT w,
+               CAST(len(list_filter(ps, x -> x <> '')) AS BIGINT) AS k,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_filter(ps, x -> len(x) >= 2), x -> len(x))), 0)
+                   AS BIGINT) AS cov
+        FROM (SELECT w, string_split({merged}, '·') AS ps
+              FROM (SELECT DISTINCT w FROM cen) {crosses})
+    )"""
+
+
+def _eval_stats_sql(family: str, pfx: str, where: str = "") -> str:
+    return f"""
+    {pfx}stats AS (
+        SELECT CAST('{family}' AS VARCHAR) AS family, c.lang,
+               CAST(SUM(c.wc) AS BIGINT) AS n_words,
+               CAST(SUM(c.wc * s.k) AS BIGINT) AS n_subwords,
+               CAST(SUM(c.wc * s.cov) AS BIGINT) AS covered_chars,
+               CAST(SUM(c.wc * len(c.w)) AS BIGINT) AS total_chars
+        FROM cen c JOIN {pfx}seg s USING (w){where}
+        GROUP BY c.lang
+    )"""
+
+
+def _tokenizer_eval_sql() -> str:
+    import re
+
+    bp = _prefix_ctes(_bpe_train_ctes(), "bp_", r"\b[wpm]\d+\b")
+    wp = _prefix_ctes(_wp_train_ctes(), "wp_", r"\b[wpmu]\d+\b")
+    un = _prefix_ctes(
+        _unigram_ctes(),
+        "un_",
+        r"\b(?:w0|sing|seed|v\d+|m\d+|d\d+|seg\d+|u\d+)\b",
+    )
+    sql = bp + "," + _strip_with(wp) + "," + _strip_with(un)
+    # every multiply-referenced CTE of the composed statement must be
+    # MATERIALIZED (lesson 39: default inlining is exponential in the
+    # chain depth and dies on fd exhaustion before it is slow)
+    sql = re.sub(r"\b((?:bp_|wp_|un_)\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+    sql += f""",
+    cen AS MATERIALIZED (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY lang, w
+    ),{_eval_merge_seg_sql("bp_", _BPE_TRAIN_K)},{
+        _eval_merge_seg_sql("wp_", _WP_TRAIN_K)},
+    un_mf AS (SELECT MAP(list(piece ORDER BY piece),
+                         list(cnt ORDER BY piece)) AS vm
+              FROM un_v{_UNI_ITERS}),
+    un_seg AS MATERIALIZED (
+        SELECT w,
+               CAST((dp[CAST(len(w) AS INT) + 1] + {_UNI_BIG - 1})
+                    // {_UNI_BIG} AS BIGINT) AS k,
+               CAST(COALESCE(list_sum(list_transform(list_filter(
+                   {_uni_pieces_sql("w", "vm", "dp")},
+                   x -> len(x) >= 2), x -> len(x))), 0) AS BIGINT) AS cov
+        FROM (SELECT w, vm, {_uni_dp_sql("w", "vm")} AS dp
+              FROM (SELECT DISTINCT w FROM cen WHERE len(w) <= {_UNI_WMAX})
+                   CROSS JOIN un_mf)
+    ),{_eval_stats_sql("bpe", "bp_")},{
+        _eval_stats_sql("wordpiece", "wp_")},{
+        _eval_stats_sql("unigram", "un_", f" WHERE len(c.w) <= {_UNI_WMAX}")}
+    SELECT family, lang, n_words, n_subwords,
+           CAST(CASE WHEN n_words > 0
+                     THEN n_subwords * 10000 // n_words ELSE 0 END
+                AS BIGINT) AS fertility_bp,
+           covered_chars, total_chars,
+           CAST(CASE WHEN total_chars > 0
+                     THEN covered_chars * 10000 // total_chars ELSE 0 END
+                AS BIGINT) AS coverage_bp
+    FROM (SELECT * FROM bp_stats UNION ALL
+          SELECT * FROM wp_stats UNION ALL
+          SELECT * FROM un_stats)
+    """
+    return sql
+
+
+def _merge_segment_col(merges, w):
+    """The segmented ('·'-separated) form of word column ``w`` under a
+    rank-ordered merge list — the string q_bpe_apply's counter folds
+    over, exposed so the eval can also measure WHICH characters ended up
+    inside multi-char pieces. Merge pairs enter as F.lit (lesson 32)."""
+    spelled = F.regexp_replace(w, "(.)", "$1·")
+    for x, y in merges:
+        spelled = F.replace(spelled, F.lit(f"{x}·{y}"), F.lit(f"{x}{y}"))
+    return spelled
+
+
+def _eval_family_stats(spark, cen, family, k_col, cov_col, wmax=None):
+    """Per-language rollup of one family's distinct-word (k, cov) table
+    against the shared census: n_words, n_subwords, covered/total chars."""
+    base = cen if wmax is None else cen.filter(F.length("w") <= wmax)
+    dw = base.select("w").distinct().select(
+        "w", k_col.alias("k"), cov_col.alias("cov")
+    )
+    return (
+        base.join(dw, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_words"),
+            F.sum(F.col("wc") * F.col("k")).cast("bigint").alias("n_subwords"),
+            F.sum(F.col("wc") * F.col("cov"))
+            .cast("bigint")
+            .alias("covered_chars"),
+            F.sum(F.col("wc") * F.length("w"))
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+        .select(F.lit(family).alias("family"), "*")
+    )
+
+
+@q("q_tokenizer_eval", _tokenizer_eval_sql())
+def q_tokenizer_eval(spark, sf):
+    # the TOKENIZER QUALITY REPORT across the triad (round-8 verdict
+    # #5): per-language FERTILITY (subwords per word, basis points) and
+    # CHARACTER COVERAGE (fraction of characters that land inside
+    # multi-char pieces rather than falling back to single characters)
+    # for BPE vs WordPiece vs unigram — from ONE shared word-census
+    # pass. This is the table that decides which trained artifact ships:
+    # lower fertility = fewer tokens per word (cheaper training data),
+    # higher coverage = the learned vocabulary actually absorbs the
+    # corpus's character mass. n_words/n_subwords RECONCILE with each
+    # family's own q_*_pipeline totals (pinned in tests), so the report
+    # cannot drift from the pipelines it summarizes.
+    #
+    # Spark: the three trained tables come from the artifact store
+    # (_*_artifact ensure-then-load — train once, evaluated from the
+    # same stored tables the serving path uses); ONE census pass
+    # (lang, word, count) feeds all three families; each family
+    # segments/DPs every DISTINCT word once (lesson 25/41) and joins
+    # back. Oracle: the three training chains composed into one WITH
+    # block (CTE names family-prefixed; everything MATERIALIZED —
+    # lesson 39) + the same census/segment/rollup tail.
+    #
+    # Scale: census is one corpus scan (vocabulary-sized result);
+    # per-family work is ∝ distinct words × merge-table literals; the
+    # rollup shuffles ≤ |langs| × |families| keys. Nothing here rescans
+    # the corpus per family.
+    merges_bp = _bpe_merges_artifact(spark, sf)
+    merges_wp = _wp_merges_artifact(spark, sf)
+    vm = _uni_vm_lit(_uni_vocab_artifact(spark, sf))
+    d = T(spark, sf, "documents")
+    cen = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .persist()
+    )
+    try:
+
+        def merge_cols(merges):
+            seg = _merge_segment_col(merges, F.col("w"))
+            ps = F.filter(F.split(seg, "·"), lambda x: x != "")
+            k = F.size(ps).cast("long")
+            cov = F.aggregate(
+                ps,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.when(F.length(x) >= 2, F.length(x)).otherwise(F.lit(0)),
+            )
+            return k, cov
+
+        kb, cb = merge_cols(merges_bp)
+        kw, cw = merge_cols(merges_wp)
+        dp = _uni_dp_col(F.col("w"), vm)
+        ku = F.floor(
+            (
+                F.element_at(dp, (F.length("w") + 1).cast("int"))
+                + F.lit(_UNI_BIG - 1)
+            )
+            / F.lit(_UNI_BIG)
+        ).cast("long")
+        up = F.filter(
+            _uni_pieces_col(F.col("w"), vm, dp), lambda x: F.length(x) >= 2
+        )
+        cu = F.aggregate(
+            up, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        out = (
+            _eval_family_stats(spark, cen, "bpe", kb, cb)
+            .unionByName(_eval_family_stats(spark, cen, "wordpiece", kw, cw))
+            .unionByName(
+                _eval_family_stats(spark, cen, "unigram", ku, cu, _UNI_WMAX)
+            )
+            .withColumn(
+                "fertility_bp",
+                F.when(
+                    F.col("n_words") > 0,
+                    F.expr("n_subwords * 10000 DIV n_words"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            )
+            .withColumn(
+                "coverage_bp",
+                F.when(
+                    F.col("total_chars") > 0,
+                    F.expr("covered_chars * 10000 DIV total_chars"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            )
+            .select(
+                "family",
+                "lang",
+                "n_words",
+                "n_subwords",
+                "fertility_bp",
+                "covered_chars",
+                "total_chars",
+                "coverage_bp",
+            )
+        )
+        # materialize before releasing the census: the result is BOUNDED
+        # (|families| × |langs| rows), and returning the lazy plan would
+        # re-scan the corpus once per family after the unpersist (the
+        # round-7 leak rule forbids leaving the census cached instead)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        cen.unpersist()
+    return out

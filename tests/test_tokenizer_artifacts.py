@@ -7,6 +7,7 @@ SAME stored artifact parquet and reproduce the apply."""
 from __future__ import annotations
 
 import os
+import shutil
 
 import duckdb
 import pandas as pd
@@ -105,6 +106,9 @@ def test_train_once_apply_twice_equals_retrain(spark, tmp_path):
         ("q_wordpiece_apply_artifact", "q_wordpiece_pipeline", "wordpiece"),
         ("q_unigram_apply_artifact", "q_unigram_pipeline", "unigram"),
     ):
+        # the store is keyed by corpus-dir basename and persists across
+        # pytest runs -- start each family from an empty store
+        shutil.rmtree(_tok_art_dir(d, family), ignore_errors=True)
         want = _rows(QS[inline_key](spark, d))
         cold = _rows(QS[art_key](spark, d))
         art = _tok_art_dir(d, family)
@@ -122,6 +126,7 @@ def test_stale_config_artifact_is_retrained(spark, tmp_path):
     os.makedirs(d)
     _corpus(d, ["abab abab", "abab cd"])
     art = _tok_art_dir(d, "bpe")
+    shutil.rmtree(art, ignore_errors=True)  # store persists across runs
     tokenizer.save_artifact(
         spark, [(1, "zz", "zz", "zzzz", 1)], art, "bpe", meta={"k": 1}
     )
@@ -140,6 +145,7 @@ def test_oracle_reads_the_same_stored_artifact(spark, tmp_path):
     d = str(tmp_path / "corpus3")
     os.makedirs(d)
     _corpus(d, ["abab abab cdcd", "abab zz", "cdcd cdcd e"])
+    shutil.rmtree(_tok_art_dir(d, "bpe"), ignore_errors=True)
     got = {
         r["lang"]: (r["n_docs"], r["n_words"], r["n_subwords"])
         for r in QS["q_bpe_apply_artifact"](spark, d).collect()
@@ -163,3 +169,34 @@ def test_oracle_reads_the_same_stored_artifact(spark, tmp_path):
         r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
     }
     assert got == oracle and got  # non-empty and identical
+
+
+def test_tokenizer_eval_reconciles_with_pipelines(spark, sf_dir):
+    """q_tokenizer_eval's per-language (n_words, n_subwords) must equal
+    each family's own pipeline totals — the report cannot drift from the
+    pipelines it summarizes (round-8 verdict #5's done-criterion)."""
+    ev = {
+        (r["family"], r["lang"]): (r["n_words"], r["n_subwords"])
+        for r in QS["q_tokenizer_eval"](spark, sf_dir).collect()
+    }
+    assert len(ev) == 15  # 3 families x 5 langs on the fixture
+    for family, key in (
+        ("bpe", "q_bpe_pipeline"),
+        ("wordpiece", "q_wordpiece_pipeline"),
+        ("unigram", "q_unigram_pipeline"),
+    ):
+        for r in QS[key](spark, sf_dir).collect():
+            assert ev[(family, r["lang"])] == (
+                r["n_words"],
+                r["n_subwords"],
+            ), (family, r["lang"])
+    # sanity on the derived metrics: fertility >= 1 word->piece, coverage
+    # within [0, 10000], and the unigram vocab (trained to compress)
+    # covers SOMETHING
+    rows = QS["q_tokenizer_eval"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["fertility_bp"] >= 10000 or r["n_words"] == 0
+        assert 0 <= r["coverage_bp"] <= 10000
+    assert any(
+        r["coverage_bp"] > 0 for r in rows if r["family"] == "unigram"
+    )
