@@ -114,6 +114,12 @@ HEADLINE = [
     "q_pack_greedy",        # T5-style no-split packing, Arrow grouped-map
     "q_pack_bfd",           # best-fit-decreasing packing, same grouped-map shape
     "q_assembly_pipeline",  # gate->dedup->decontaminate->pack, composed
+    "q_bpe_apply_artifact",       # apply-only serving path (trained store warm)
+    "q_wordpiece_apply_artifact", # apply-only serving path (trained store warm)
+    "q_unigram_apply_artifact",   # apply-only serving path (trained store warm)
+    "q_langid_apply_artifact",    # classifier serve: stored weights, no retrain
+    "q_tokenizer_eval",     # triad fertility/coverage report, one census pass
+    "q_ann_tuning",         # IVF n_probe recall/cost curve, one scoring pass
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

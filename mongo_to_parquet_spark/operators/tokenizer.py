@@ -45,8 +45,11 @@ from mongo_to_parquet_spark.operators.incremental import (
     _versions,
 )
 
-#: artifact table schemas per tokenizer family (the trained-table shape
-#: each family's trainer emits and its apply expects)
+#: artifact table schemas per trained-model family (the trained-table
+#: shape each family's trainer emits and its apply expects). The store is
+#: tokenizer-first but serves ANY bounded trained table — "langid" is the
+#: hashed n-gram classifier's langs×buckets weight table, the other
+#: inline-retrained model this engine ships.
 SCHEMAS = {
     "bpe": "rank bigint, x string, y string, merged string, cnt bigint",
     "wordpiece": (
@@ -54,17 +57,50 @@ SCHEMAS = {
         " cnt bigint, score_x1e9 bigint"
     ),
     "unigram": "piece string, cnt bigint",
+    "langid": "mlang string, b bigint, wgt bigint",
 }
+
+
+def artifact_dir(sf: str, family: str) -> str:
+    """The default store location for a corpus dir: keyed by the sf
+    basename so artifacts trained on one fixture never serve another."""
+    tag = os.path.basename(sf.rstrip("/"))
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "..",
+            "_scratch",
+            "tok_artifacts",
+            tag,
+            family,
+        )
+    )
+
+
+def artifact_current(art_dir: str, family: str, want: dict) -> bool:
+    """True iff the latest committed artifact was trained under the SAME
+    family and training configuration — a version trained with an older
+    config (or by a different family) must be retrained, not served."""
+    v = latest_version(art_dir)
+    if v is None:
+        return False
+    meta = artifact_meta(art_dir, v)
+    return meta.get("family") == family and all(
+        meta.get(k) == val for k, val in want.items()
+    )
 
 
 def save_artifact(
     spark: SparkSession,
-    rows: list[tuple],
+    rows,
     art_dir: str,
     family: str,
     meta: dict | None = None,
 ) -> int:
-    """Persist a trained tokenizer table as the next committed version.
+    """Persist a trained model table as the next committed version.
+    ``rows`` is a list of tuples or an already-built DataFrame matching
+    the family schema.
 
     Orphans from crashed writes are written PAST (never reused): the new
     version number is max(all versions, committed or not) + 1, the
@@ -76,11 +112,15 @@ def save_artifact(
         raise ValueError(f"unknown tokenizer family {family!r}")
     version = (_all_versions(art_dir) or [0])[-1] + 1
     vdir = os.path.join(art_dir, f"v={version}")
-    # single file: the artifact is vocabulary-sized (≤ ~100 rows), and
-    # one part keeps the serving read a single open at any corpus scale
-    spark.createDataFrame(rows, SCHEMAS[family]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(vdir)
+    df = (
+        rows
+        if isinstance(rows, DataFrame)
+        else spark.createDataFrame(rows, SCHEMAS[family])
+    )
+    # single file: every artifact is model-sized (≤ k merges, ~100 vocab
+    # pieces, langs×buckets weights), and one part keeps the serving
+    # read a single open at any corpus scale
+    df.coalesce(1).write.mode("overwrite").parquet(vdir)
     payload = {"version": version, "family": family, **(meta or {})}
     marker = os.path.join(vdir, COMMIT_MARKER)
     tmp = marker + ".tmp"

@@ -4204,34 +4204,10 @@ def q_unigram_curve(spark, sf):
 
 
 # ------------------------------- tokenizer artifacts (train once, serve) ---
-def _tok_art_dir(sf: str, family: str) -> str:
-    import os
-
-    tag = os.path.basename(sf.rstrip("/"))
-    return os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__),
-            "..",
-            "..",
-            "_scratch",
-            "tok_artifacts",
-            tag,
-            family,
-        )
-    )
-
-
-def _tok_artifact_current(art_dir: str, family: str, want: dict) -> bool:
-    """True iff the latest committed artifact was trained under the SAME
-    family and training configuration — a version trained with an older
-    k (or by a different family) must be retrained, not served."""
-    v = tokenizer.latest_version(art_dir)
-    if v is None:
-        return False
-    meta = tokenizer.artifact_meta(art_dir, v)
-    return meta.get("family") == family and all(
-        meta.get(k) == val for k, val in want.items()
-    )
+# store-location and staleness policy live in operators/tokenizer.py
+# (shared with the langid artifact key in queries/llm.py)
+_tok_art_dir = tokenizer.artifact_dir
+_tok_artifact_current = tokenizer.artifact_current
 
 
 def _merge_family_apply(spark, sf, merges):

@@ -18,7 +18,7 @@ from mongo_to_parquet_spark.functions.textfns import (
     tokens,
 )
 from mongo_to_parquet_spark.functions.vector import cosine, norm
-from mongo_to_parquet_spark.operators import dedup, freq, similarity, text
+from mongo_to_parquet_spark.operators import dedup, freq, similarity, text, tokenizer
 from mongo_to_parquet_spark.sources.catalog import load_table as T
 from mongo_to_parquet_spark.queries._registry import make_registry
 
@@ -374,6 +374,14 @@ def q_text_langid_ngram(spark, sf):
     # features; scoring is a broadcast join + two corpus-linear
     # aggregations keyed by doc. Products are bounded: wgt ≤ 1e6 and
     # per-doc counts ≤ n_chars, far inside int64 (lesson 17).
+    wt = _lid_weights(spark, sf)
+    return _lid_confusion(spark, sf, wt)
+
+
+def _lid_trigrams(spark, sf):
+    """Hashed padded char-trigram features per (doc, lang) — the ONE
+    feature definition shared by training and scoring (so artifact and
+    inline paths cannot drift in featurization)."""
     d = T(spark, sf, "documents")
     tok = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
@@ -384,7 +392,7 @@ def q_text_langid_ngram(spark, sf):
             F.concat(F.lit("_"), F.lower("w"), F.lit("_")).alias("p"),
         )
     )
-    tri = tok.select(
+    return tok.select(
         "doc_id",
         "lang",
         F.explode(
@@ -402,13 +410,25 @@ def q_text_langid_ngram(spark, sf):
             % _LID_BUCKETS
         ).alias("b"),
     )
+
+
+def _lid_weights(spark, sf):
+    """Train the per-language bucket weight table (mlang, b, wgt) —
+    langs × _LID_BUCKETS rows, integer parts-per-million."""
+    tri = _lid_trigrams(spark, sf)
     w = tri.groupBy(F.col("lang").alias("mlang"), "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     tot = w.groupBy("mlang").agg(F.sum("cnt").cast("long").alias("t"))
-    wt = w.join(F.broadcast(tot), "mlang").select(
+    return w.join(F.broadcast(tot), "mlang").select(
         "mlang", "b", F.expr(f"(cnt * {_LID_SCALE}) div t").alias("wgt")
     )
+
+
+def _lid_confusion(spark, sf, wt):
+    """Score the corpus against a weight table; emit the confusion
+    matrix. ``wt`` may be freshly trained or loaded from the store."""
+    tri = _lid_trigrams(spark, sf)
     df = tri.groupBy("doc_id", "lang", "b").agg(
         F.count(F.lit(1)).cast("long").alias("dc")
     )
@@ -423,6 +443,35 @@ def q_text_langid_ngram(spark, sf):
     return pick.groupBy(
         "lang", F.col("m.mlang").alias("lang_pred")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+@q("q_langid_apply_artifact", ORACLE["q_text_langid_ngram"])
+def q_langid_apply_artifact(spark, sf):
+    # the SERVING shape for the language classifier (the round-9
+    # tokenizer-artifact discipline applied to the OTHER inline-trained
+    # model): the langs×1024 integer weight table persists once as a
+    # versioned commit-marked parquet artifact (operators/tokenizer.py —
+    # the store serves any bounded trained table), and classification
+    # LOADS it — no per-ingest training pass. Unlike the tokenizer
+    # artifacts the table never enters the driver: it broadcasts as a
+    # DataFrame straight from the store into the scoring join. Oracle =
+    # the full train+score SQL, so the hash match proves
+    # store->load->score ≡ train->score including the parquet round-trip
+    # of every integer weight.
+    #
+    # Scale: training (two corpus-linear aggregations) leaves the
+    # per-ingest path; serving is one trigram pass + a broadcast join —
+    # the weight table is langs×buckets at ANY corpus size.
+    art = tokenizer.artifact_dir(sf, "langid")
+    want = {"buckets": _LID_BUCKETS, "scale": _LID_SCALE}
+    if not tokenizer.artifact_current(art, "langid", want):
+        tokenizer.save_artifact(
+            spark, _lid_weights(spark, sf), art, "langid", meta=want
+        )
+    wt = tokenizer.load_artifact(spark, art, "langid").select(
+        "mlang", "b", "wgt"
+    )
+    return _lid_confusion(spark, sf, wt)
 
 
 @q(

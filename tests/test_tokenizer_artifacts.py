@@ -200,3 +200,22 @@ def test_tokenizer_eval_reconciles_with_pipelines(spark, sf_dir):
     assert any(
         r["coverage_bp"] > 0 for r in rows if r["family"] == "unigram"
     )
+
+
+def test_langid_artifact_serves_without_retraining(spark, sf_dir):
+    """The langid weight table round-trips through the store and serves
+    identically to the inline train+score; a warm store is not
+    retrained. (The store's 4th family — the classifier's langs×1024
+    table broadcasts from parquet, never entering the driver.)"""
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+
+    art = tokenizer.artifact_dir(sf_dir, "langid")
+    shutil.rmtree(art, ignore_errors=True)
+    want = _rows(LLM_Q["q_text_langid_ngram"](spark, sf_dir))
+    cold = _rows(LLM_Q["q_langid_apply_artifact"](spark, sf_dir))
+    v = tokenizer.latest_version(art)
+    warm = _rows(LLM_Q["q_langid_apply_artifact"](spark, sf_dir))
+    assert cold == want and warm == want
+    assert tokenizer.latest_version(art) == v  # served, not retrained
+    meta = tokenizer.artifact_meta(art, v)
+    assert meta["family"] == "langid" and meta["buckets"] == 1024
