@@ -43,7 +43,14 @@ from mongo_to_parquet_spark.operators.incremental import (
     COMMIT_MARKER,
     _all_versions,
     _versions,
+    prune_versions,
 )
+
+#: retention for the store: the artifact layout IS the incremental-state
+#: layout (v=N dirs + commit markers), so its vacuum is the same code —
+#: prune_artifacts(art_dir, keep_last) deletes superseded versions and
+#: orphans while the newest committed version (the serving table) stays.
+prune_artifacts = prune_versions
 
 #: artifact table schemas per trained-model family (the trained-table
 #: shape each family's trainer emits and its apply expects). The store is

@@ -866,22 +866,42 @@ def _bpe_train_sql(k: int = _BPE_TRAIN_K) -> str:
     return _bpe_train_ctes(k) + f"\n    SELECT * FROM ({union}) ORDER BY rank ASC"
 
 
+def _bpe_spelled():
+    """Char-by-char spelling of a word column `w` into '·'-joined symbols
+    — the census key every merge-family trainer aggregates on. Built
+    lazily: F.expr needs an active session, so no module-import-time
+    column objects (the _registry modules import before any session)."""
+    return F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
+    )
+
+
+def _bpe_census(spark, sf):
+    """ONE corpus scan → the (sym, wc) word census training runs on."""
+    d = T(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(_bpe_spelled().alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
 def _bpe_train_merges(spark, sf, k: int = _BPE_TRAIN_K):
     """The iterative training loop (census → k × [pair count → 1-row
     argmax collect → fold rewrite]); returns [(rank, x, y, merged, cnt)].
     Shared by q_bpe_train and q_bpe_pipeline."""
-    d = T(spark, sf, "documents")
-    spelled = F.expr(
-        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
-    )
-    census = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .select(spelled.alias("sym"))
-        .groupBy("sym")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .persist()
-    )
+    return _bpe_train_from_census(_bpe_census(spark, sf), k)
+
+
+def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
+    """Training FROM an explicit (sym, wc) census — the entry point that
+    makes the census a swappable input: q_bpe_train scans the corpus,
+    q_bpe_retrain_incremental reads a maintained census STATE, and both
+    run this identical loop (so the two keys can only differ if their
+    censuses differ)."""
+    census = census.persist()
     merges: list[tuple[int, str, str, str, int]] = []
     # try/finally around the whole loop: the TAIL census of the
     # persist-chain must not outlive the call. Relying on the caller's
@@ -4609,3 +4629,67 @@ def q_tokenizer_eval(spark, sf):
     finally:
         cen.unpersist()
     return out
+
+
+# ------------------------------- incremental tokenizer retraining ----------
+@q("q_bpe_retrain_incremental", _bpe_train_sql())
+def q_bpe_retrain_incremental(spark, sf):
+    # tokenizer RETRAINING at O(new data), not O(history) — the third
+    # leg of the serving lifecycle after train-once (q_bpe_train) and
+    # apply-from-artifact (q_bpe_apply_artifact): when the corpus grows,
+    # the expensive input to retraining is the word CENSUS, and the
+    # census is an ALGEBRAIC aggregate — so it lives as persisted
+    # incremental state (operators/incremental.py: versioned,
+    # commit-marked, merge-by-key) that each ingest slice folds into at
+    # O(slice + touched words). Retraining then runs the IDENTICAL
+    # census-sized loop (_bpe_train_from_census — one entry point, the
+    # two keys cannot drift) WITHOUT rescanning a byte of history.
+    #
+    # This query exercises the full shape on the fixture's incremental
+    # convention (base = doc_id % 4 != 0, delta = % 4 == 0): build the
+    # state from the base slice, fold the delta in, train from the
+    # state. Oracle = the full-corpus training SQL, so the hash match
+    # proves merge(census(base), census(delta)) ≡ census(base ∪ delta)
+    # exactly (integer counts — the algebraic-decomposition guarantee)
+    # and therefore an identical merge sequence. State is rebuilt per
+    # run (rmtree — the q_sim_topk_ivf_incremental discipline) so
+    # repeated invocations cannot double-fold the delta.
+    #
+    # Scale: at 100 TB/day the census state updates from each day's
+    # slice alone (one shuffle keyed by word over the DELTA), retraining
+    # reads the vocabulary-sized state, and the unigram/WordPiece
+    # trainers inherit the same shape through their own census entry
+    # points. The same state also powers stream-fed retraining via
+    # incremental.apply_stream_batch (batch-id replay guard).
+    import os
+    import shutil
+
+    from mongo_to_parquet_spark.operators import incremental
+
+    d = T(spark, sf, "documents")
+
+    def spelled_words(df):
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .select(_bpe_spelled().alias("sym"))
+        )
+
+    tag = os.path.basename(sf.rstrip("/"))
+    sd = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "_scratch", "census_state", tag
+        )
+    )
+    shutil.rmtree(sd, ignore_errors=True)
+    incremental.refresh_agg_state(
+        spark, sd, spelled_words(d.filter(F.col("doc_id") % 4 != 0)), ["sym"], []
+    )
+    st = incremental.refresh_agg_state(
+        spark, sd, spelled_words(d.filter(F.col("doc_id") % 4 == 0)), ["sym"], []
+    )
+    census = st.select("sym", F.col("n_rows").cast("long").alias("wc"))
+    merges = _bpe_train_from_census(census)
+    return spark.createDataFrame(
+        merges, "rank bigint, x string, y string, merged string, cnt bigint"
+    ).orderBy("rank")

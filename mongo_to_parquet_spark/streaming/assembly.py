@@ -70,6 +70,7 @@ def stream_assembly(
     gram_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """Assemble a document stream into packed training bins, end to end.
 
@@ -194,6 +195,11 @@ def stream_assembly(
         with open(tmp, "w") as f:
             json.dump({"batch_id": bid, "max_doc_id": new_max}, f)
         os.rename(tmp, marker)
+        # in-stream maintenance: once compact_every markers accumulate,
+        # fold them into the compacted dirs (committed batches only, so
+        # this is safe at any point between batches)
+        if compact_every and len(st.ledger_ids(state_dir)) >= compact_every:
+            compact_assembly_state(spark, state_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(fold)

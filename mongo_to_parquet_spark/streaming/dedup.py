@@ -64,8 +64,17 @@ def stream_dedup_incremental(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Run the incremental dedup fold over a document stream.
+
+    ``compact_every=N`` folds the ledger-committed compaction into the
+    stream itself: whenever N per-batch ledger markers have accumulated,
+    the fold compacts+vacuums them AFTER committing its own batch — so
+    the state's directory count is bounded by N at any ingest age
+    without an external maintenance job. Safe mid-stream: compaction
+    only ever covers committed batches, and the next batch reads
+    through the watermark.
 
     Returns the started streaming query (availableNow trigger — drains
     what exists, then stops; a production run would use a steady
@@ -107,6 +116,8 @@ def stream_dedup_incremental(
         with open(tmp, "w") as f:
             json.dump({"batch_id": bid}, f)
         os.rename(tmp, marker)
+        if compact_every and len(st.ledger_ids(state_dir)) >= compact_every:
+            compact_dedup_state(spark, state_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(fold)

@@ -1458,3 +1458,41 @@ def test_stream_assembly_compaction_preserves_manifest(spark, sf_dir, tmp_path):
 
     run(str(tmp_path / "ck2"))  # replay across the vacuumed prefix: no-op
     assert manifest() == want
+
+
+def test_stream_dedup_in_stream_compaction(spark, sf_dir, tmp_path):
+    """compact_every=N folds compaction into the stream itself: after
+    draining, the state is compacted (bounded marker count) and the
+    cumulative pairs still equal the corpus-wide batch answer."""
+    import os
+
+    from mongo_to_parquet_spark.queries.llm import QUERIES as LLM_Q
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import dedup as sd
+    from mongo_to_parquet_spark.streaming import state as sst
+
+    src = str(tmp_path / "docs_src")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sd.stream_dedup_incremental(
+        stream, state, str(tmp_path / "ck"), threshold=0.8, compact_every=2
+    )
+    q.awaitTermination(300)
+    assert sst.compact_watermark(state) is not None
+    assert len(sst.ledger_ids(state)) < 2  # compaction kept markers bounded
+    want = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in LLM_Q["q_dedup_minhash_md5"](spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in sd.read_incremental_pairs(spark, state).collect()
+    )
+    assert len(want) > 0 and got == want

@@ -219,3 +219,22 @@ def test_langid_artifact_serves_without_retraining(spark, sf_dir):
     assert tokenizer.latest_version(art) == v  # served, not retrained
     meta = tokenizer.artifact_meta(art, v)
     assert meta["family"] == "langid" and meta["buckets"] == 1024
+
+
+def test_prune_artifacts_keeps_serving_version(spark, tmp_path):
+    """Version retention: prune_artifacts deletes superseded versions
+    (and orphans) while the newest committed version keeps serving —
+    the artifact store's growth is bounded like the incremental state
+    it reuses."""
+    art = str(tmp_path / "bpe")
+    for i in range(3):
+        tokenizer.save_artifact(spark, MERGES[: i + 1], art, "bpe")
+    spark.createDataFrame(MERGES[:1], tokenizer.SCHEMAS["bpe"]).write.parquet(
+        os.path.join(art, "v=9")
+    )  # orphan
+    deleted = tokenizer.prune_artifacts(art, keep_last=1)
+    assert sorted(deleted) == [1, 2, 9]
+    assert tokenizer.latest_version(art) == 3
+    assert len(tokenizer.load_merges(spark, art, "bpe")) == 3
+    with pytest.raises(ValueError, match="not committed"):
+        tokenizer.load_artifact(spark, art, "bpe", version=1)
