@@ -3720,9 +3720,18 @@ def _uni_vm_lit(vocab: dict[str, int]):
 
 
 def _unigram_train_vocab(spark, sf) -> tuple[dict[str, int], list[str]]:
+    return _unigram_train_from_census(_uni_census(spark, sf))
+
+
+def _unigram_train_from_census(census) -> tuple[dict[str, int], list[str]]:
     """The iterative trainer: census → seed collect → EM rounds of
     (Viterbi-segment the census under the current vocab → usage count →
-    prune). Returns (final vocab, single-char pieces).
+    prune). Returns (final vocab, single-char pieces). Takes the (w, wc)
+    census as an explicit input — the swappable-census entry point
+    (q_bpe_retrain_incremental's pattern), so an incrementally
+    maintained word-count state can retrain this family without a
+    corpus rescan (note the unigram census keys on the RAW word, not
+    the spelled symbols, and caps length at _UNI_WMAX).
 
     Every collect is VOCABULARY-bounded (≤ alphabet + SEED rows — the
     q_bpe_train bounded-driver-pick discipline), and each round's vocab
@@ -3731,7 +3740,7 @@ def _unigram_train_vocab(spark, sf) -> tuple[dict[str, int], list[str]]:
     this trainer was one static unrolled DAG and planned 34 corpus scans
     at 2 rounds (~5^N subtree growth, lesson 9). The census persists for
     the duration of the call (try/finally, the round-7 leak rule)."""
-    census = _uni_census(spark, sf).persist()
+    census = census.persist()
     try:
         sing_rows = (
             census.select(
@@ -3989,18 +3998,15 @@ def _wp_train_merges(spark, sf, k: int = _WP_TRAIN_K):
     [(rank, x, y, merged, cnt, score_x1e9)]. Shared by q_wordpiece_train
     and q_wordpiece_pipeline. Same persist-chain + try/finally shape as
     _bpe_train_merges (lesson 36 / round-7 leak rule)."""
-    d = T(spark, sf, "documents")
-    spelled = F.expr(
-        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '·')"
-    )
-    census = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .select(spelled.alias("sym"))
-        .groupBy("sym")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .persist()
-    )
+    return _wp_train_from_census(_bpe_census(spark, sf), k)
+
+
+def _wp_train_from_census(census, k: int = _WP_TRAIN_K):
+    """WordPiece training FROM an explicit (sym, wc) census — the same
+    swappable-census entry point as _bpe_train_from_census (both merge
+    families share ONE census definition, _bpe_census), so an
+    incrementally-maintained census state retrains this family too."""
+    census = census.persist()
     merges: list[tuple[int, str, str, str, int, int]] = []
     try:
         for rank in range(1, k + 1):
