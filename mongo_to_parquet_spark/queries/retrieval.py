@@ -2706,7 +2706,11 @@ def q_ann_tuning(spark, sf):
     exact = brute_force_topk_batch(emb, probe_ids, k=10).select(
         "probe_id", "vec_id"
     )
-    j = ps.crossJoin(exact).join(
+    # broadcast the 4-row sweep table: a plain crossJoin of two tiny
+    # non-broadcast sides plans a CartesianProduct, which the plan gate
+    # bans everywhere (tests/test_plans.py) — BNLJ with the literal
+    # sweep as build side is the right shape at any scale
+    j = exact.crossJoin(F.broadcast(ps)).join(
         F.broadcast(approx),
         (F.col("n_probe") == F.col("a_np"))
         & (F.col("probe_id") == F.col("a_pid"))
