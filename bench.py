@@ -119,6 +119,7 @@ HEADLINE = [
     "q_unigram_apply_artifact",   # apply-only serving path (trained store warm)
     "q_langid_apply_artifact",    # classifier serve: stored weights, no retrain
     "q_bpe_retrain_incremental",  # census-state retrain: O(delta) refresh + train
+    "q_mm_parse_headers",   # magic-dispatch container parsing, headers-only scan
     "q_tokenizer_eval",     # triad fertility/coverage report, one census pass
     "q_ann_tuning",         # IVF n_probe recall/cost curve, one scoring pass
     # linkage: SNM is the headline/scale route (candidates exactly n*w,

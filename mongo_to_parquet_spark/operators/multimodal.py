@@ -267,3 +267,109 @@ def extract_features_arrow(media: DataFrame, fake: bool = False, dim: int = 8) -
             )
 
     return media.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
+# ----------------------------------------------- container-header parsing --
+# Real-spec byte layouts, parsed with expression-only binary slicing (no
+# UDF, whole-stage codegen): a PNG's IHDR carries width/height as 4-byte
+# BIG-endian ints at offsets 17/21 (1-based), a WAV's RIFF fmt chunk
+# carries channels (2-byte) and sample rate (4-byte) LITTLE-endian at
+# offsets 23/25. The fixtures ship no real media, so synth_media wraps
+# the text bytes in REAL headers with doc_id-derived parameters — the
+# parser is the production operator (it dispatches on magic bytes and
+# reads spec offsets); the synthesizer exists only to give it bytes.
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+_RIFF_MAGIC_HEX = "52494646"  # 'RIFF'
+
+
+def _be4(col):
+    """4-byte big-endian binary of an int column (PNG's int encoding)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def _le(col, nbytes: int):
+    """little-endian binary of an int column (RIFF's int encoding):
+    byte-reverse the zero-padded hex string, two hex chars at a time."""
+    h = F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+def _le_read(payload, pos: int, nbytes: int):
+    """Read a little-endian int from payload bytes [pos, pos+nbytes)."""
+    h = F.hex(F.expr(f"substring(payload, {pos}, {nbytes})"))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("bigint")
+
+
+def synth_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap each doc's bytes in a REAL container header — PNG for even
+    doc_ids (width = 1 + id % 1024, height = 1 + (id // 7) % 768), WAV
+    for odd (channels = 1 + (id // 3) % 2, rate = 8000·(1 + id % 5)) —
+    so the parser below exercises genuine spec offsets and both endian
+    conventions. Deterministic: every parameter is doc_id arithmetic,
+    which is exactly what the oracle recomputes."""
+    did = F.col("doc_id")
+    body = F.col(text_col).cast("binary")
+    png = F.concat(
+        F.unhex(F.lit(_PNG_MAGIC_HEX)),
+        F.unhex(F.lit("0000000D")),          # IHDR length = 13
+        F.lit("IHDR").cast("binary"),
+        _be4(F.lit(1) + did % 1024),          # width  @ 17, BE
+        _be4(F.lit(1) + (did / 7).cast("bigint") % 768),  # height @ 21, BE
+        F.unhex(F.lit("080600000000000000")),  # depth8/color6/comp/filt/interlace + CRC
+        body,
+    )
+    wav = F.concat(
+        F.lit("RIFF").cast("binary"),
+        _le(F.octet_length(body) + 36, 4),    # chunk size, LE
+        F.lit("WAVEfmt ").cast("binary"),
+        _le(F.lit(16), 4),                    # fmt subchunk size
+        _le(F.lit(1), 2),                     # PCM
+        _le(F.lit(1) + (did / 3).cast("bigint") % 2, 2),  # channels @ 23
+        _le(F.lit(8000) * (F.lit(1) + did % 5), 4),       # rate    @ 25
+        _le(F.lit(8000) * (F.lit(1) + did % 5) * 2, 4),   # byte rate
+        _le(F.lit(2), 2),                     # block align
+        _le(F.lit(16), 2),                    # bits per sample
+        F.lit("data").cast("binary"),
+        _le(F.octet_length(body), 4),         # data chunk size
+        body,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(did % 2 == 0, png).otherwise(wav).alias("payload"),
+    )
+
+
+def parse_media_header(media: DataFrame) -> DataFrame:
+    """Dispatch on MAGIC BYTES and read each container's spec offsets —
+    the operator a real ingest runs before any decode: it needs only the
+    first ~30 bytes of the blob, stays entirely in whole-stage codegen
+    (binary substring + hex + conv — no UDF, no Python), and yields the
+    typed metadata row (media_type, width, height, channels,
+    sample_rate) that downstream routing/filtering joins on.
+
+    At 100 TB this is the cheap pass that runs on EVERYTHING (headers
+    only — with parquet column stats the payload column streams, never
+    materializes whole), while the expensive decode (extract_features)
+    runs on the filtered survivors."""
+    magic8 = F.hex(F.expr("substring(payload, 1, 8)"))
+    magic4 = F.hex(F.expr("substring(payload, 1, 4)"))
+    is_png = magic8 == F.lit(_PNG_MAGIC_HEX)
+    is_wav = magic4 == F.lit(_RIFF_MAGIC_HEX)
+    be = lambda pos: F.conv(  # noqa: E731  (4-byte big-endian read)
+        F.hex(F.expr(f"substring(payload, {pos}, 4)")), 16, 10
+    ).cast("bigint")
+    return media.select(
+        "doc_id",
+        F.when(is_png, F.lit("png"))
+        .when(is_wav, F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+        .alias("media_type"),
+        F.when(is_png, be(17)).alias("width"),
+        F.when(is_png, be(21)).alias("height"),
+        F.when(is_wav, _le_read(F.col("payload"), 23, 2)).alias("channels"),
+        F.when(is_wav, _le_read(F.col("payload"), 25, 4)).alias("sample_rate"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )

@@ -4730,3 +4730,58 @@ def q_lsh_tuning(spark, sf, sample_frac: float = 1.0):
             F.expr("(n_captured * 10000) div n_pairs").cast("bigint").alias("capture_bp"),
         )
     )
+
+
+@q(
+    "q_mm_parse_headers",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+           CASE WHEN doc_id % 2 = 0
+                THEN 1 + doc_id % 1024 END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN 1 + (doc_id // 7) % 768 END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN 1 + (doc_id // 3) % 2 END AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN 8000 * (1 + doc_id % 5) END AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN octet_length(encode(text)) + 33
+                     ELSE octet_length(encode(text)) + 44 END AS BIGINT)
+               AS n_bytes
+    FROM documents
+    """,
+)
+def q_mm_parse_headers(spark, sf):
+    # byte-level MEDIA CONTAINER parsing — the multimodal ingest pass
+    # that needs no media library: wrap each doc's bytes in a REAL
+    # container header (PNG IHDR for even doc_ids, WAV RIFF/fmt for odd
+    # — genuine spec offsets, both endian conventions), then parse the
+    # headers back with expression-only binary slicing (magic-byte
+    # dispatch, big-endian width/height at PNG offsets 17/21,
+    # little-endian channels/rate at WAV offsets 23/25 — substring +
+    # hex + conv, whole-stage codegen, zero UDFs). The oracle recomputes
+    # every parameter from the doc_id formulas the synthesizer used, so
+    # the hash match proves the WRITE→PARSE byte round-trip is exact:
+    # the parser reads real spec offsets correctly, which is precisely
+    # the operator a real crawl's media table needs before any decode.
+    #
+    # Scale: headers-only — the parser touches the first ~30 bytes per
+    # blob and runs at scan speed on EVERYTHING; the expensive decode
+    # (extract_features, env-gated) runs only on the survivors of the
+    # metadata filters this pass enables. One scan, no shuffle.
+    from mongo_to_parquet_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media,
+    )
+
+    d = T(spark, sf, "documents")
+    return parse_media_header(synth_media(d)).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_bytes",
+    )

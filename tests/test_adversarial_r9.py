@@ -181,3 +181,51 @@ def test_stream_assembly_rejects_non_monotone_arrival(spark, sf_dir, tmp_path):
     from mongo_to_parquet_spark.streaming import state as sst
 
     assert sst.ledger_ids(state) == [0]  # batch 1 never committed
+
+
+def test_media_header_parser_handles_foreign_and_truncated_bytes(spark):
+    """The parser's production contract: blobs that are NOT one of the
+    known containers (foreign magic, truncated header, empty) classify
+    as 'unknown' with NULL dimensions — never a crash, never a
+    misparse; and a truncated PNG (magic intact, header cut) still
+    dispatches as png with NULL width (substring past the end is empty
+    -> conv(NULL-ish) stays NULL)."""
+    from mongo_to_parquet_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2, "hello world"), (3, "audio bytes")], "doc_id long, text string"
+    )
+    real = synth_media(docs)
+    junk = spark.createDataFrame(
+        [
+            (100, bytearray(b"GIF89a not a png")),
+            (101, bytearray(b"")),
+            (102, bytearray(b"\x89PNG\r\n\x1a\x08 wrong last magic byte")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (
+            r["media_type"],
+            r["width"],
+            r["height"],
+            r["channels"],
+            r["sample_rate"],
+        )
+        for r in parse_media_header(real.unionByName(junk)).collect()
+    }
+    assert got[2] == ("png", 1 + 2 % 1024, 1 + (2 // 7) % 768, None, None)
+    assert got[3] == ("wav", None, None, 1 + (3 // 3) % 2, 8000 * (1 + 3 % 5))
+    assert got[100][0] == "unknown" and got[100][1:] == (None,) * 4
+    assert got[101][0] == "unknown"
+    assert got[102][0] == "unknown"  # 8-byte magic must match exactly
+    # truncated-after-magic png: dispatches png, width NULL (no bytes)
+    trunc = spark.createDataFrame(
+        [(103, bytearray(bytes.fromhex("89504E470D0A1A0A") + b"xx"))],
+        "doc_id long, payload binary",
+    )
+    [r] = parse_media_header(trunc).collect()
+    assert r["media_type"] == "png" and r["width"] is None
