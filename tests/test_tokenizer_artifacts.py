@@ -238,3 +238,97 @@ def test_prune_artifacts_keeps_serving_version(spark, tmp_path):
     assert len(tokenizer.load_merges(spark, art, "bpe")) == 3
     with pytest.raises(ValueError, match="not committed"):
         tokenizer.load_artifact(spark, art, "bpe", version=1)
+
+
+def test_stream_fed_census_retrain_equals_batch_training(spark, sf_dir, tmp_path):
+    """The census state is STREAM-FED through incremental.apply_stream_batch
+    (batch-id replay guard) and training from the drained state equals
+    batch training over the same corpus — the q_bpe_retrain_incremental
+    docstring's claim, pinned end to end with a replayed batch that must
+    NOT double-count."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators import incremental
+    from mongo_to_parquet_spark.queries.curation import (
+        _bpe_census,
+        _bpe_train_from_census,
+        _bpe_train_merges,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        3
+    ).write.parquet(src)
+    sd = str(tmp_path / "census_state")
+
+    def spelled(df):
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .selectExpr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '·') AS sym"
+            )
+        )
+
+    def fold(batch_df, batch_id):
+        incremental.apply_stream_batch(sd, spelled(batch_df), batch_id, ["sym"], [])
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    # replay guard: re-applying an already-folded batch is a no-op
+    last = incremental.last_batch_id(sd)
+    some = spark.read.parquet(src).limit(5)
+    assert incremental.apply_stream_batch(sd, spelled(some), last, ["sym"], []) is False
+
+    st = incremental.read_agg_state(spark, sd)
+    census = st.select("sym", F.col("n_rows").cast("long").alias("wc"))
+    want_census = sorted(
+        (r["sym"], r["wc"])
+        for r in _bpe_census(spark, sf_dir).collect()
+    )
+    got_census = sorted((r["sym"], r["wc"]) for r in census.collect())
+    assert got_census == want_census
+    assert _bpe_train_from_census(census) == _bpe_train_merges(spark, sf_dir)
+
+
+def test_tokenizer_eval_degenerate_corpora(spark, tmp_path):
+    """q_tokenizer_eval on hostile corpora, query vs oracle: a language
+    whose docs are token-less drops out of the report in BOTH engines;
+    an entirely token-less corpus yields zero rows in both."""
+    import duckdb
+
+    from mongo_to_parquet_spark.queries.curation import ORACLE as CUR_O
+
+    cases = {
+        "empty_lang": (["abab abab", "", "  "], ["en", "zz", "zz"]),
+        "tokenless": (["", "  ", ""], None),
+        "single_char_words": (["a b c", "a a"], None),
+    }
+    for name, (texts, langs) in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _corpus(d, texts, langs=langs)
+        for fam in ("bpe", "wordpiece", "unigram"):
+            shutil.rmtree(_tok_art_dir(d, fam), ignore_errors=True)
+        got = _rows(QS["q_tokenizer_eval"](spark, d))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(CUR_O["q_tokenizer_eval"]).fetchall()
+        )
+        assert got == want, name
+        if name == "tokenless":
+            assert got == []
+        if name == "empty_lang":
+            assert all(r[1] == "en" for r in got), name  # zz absent
