@@ -80,6 +80,7 @@ HEADLINE = [
     "q_bm25",               # BM25 ranking: decimal-exact scoring + TakeOrdered
     "q_graph_triangles",    # degree-ordered edge-centric triangle count
     "q_hybrid_rrf",         # RRF fusion of BM25 + cosine lists
+    "q_bm25_rm3",           # PRF expansion: feedback mine + weighted re-rank
     "q_drift_psi",          # one-pass binned drift cube
     "q_tpch_q9",            # 5-table profit rollup on the derived part-supplier catalog
     "q_dedup_span",         # C4-style duplicated-window removal + doc reassembly

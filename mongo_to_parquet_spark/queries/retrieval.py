@@ -2728,3 +2728,129 @@ def q_ann_tuning(spark, sf):
         .join(F.broadcast(cand), "n_probe")
         .select("n_probe", "hits", "recall_bp", "n_cand")
     )
+
+
+# --------------------------------- pseudo-relevance feedback (RM3-style) ---
+#: feedback depth, expansion width, and integer query-term weights
+_RM3_FB_DOCS = 10
+_RM3_EXP_TERMS = 5
+_RM3_W_ORIG, _RM3_W_EXP = 2, 1
+
+
+@q(
+    "q_bm25_rm3",
+    _BM25_CTES
+    + f"""
+    , fb AS (
+        SELECT doc_id FROM bm25
+        ORDER BY score DESC, doc_id ASC LIMIT {_RM3_FB_DOCS}
+    ),
+    exp AS (
+        SELECT tok, {_RM3_W_EXP} AS w FROM (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks JOIN fb USING (doc_id)
+            WHERE tok NOT IN {_BM25_TERMS!r}
+            GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT {_RM3_EXP_TERMS})
+    ),
+    terms AS (
+        SELECT unnest({list(_BM25_TERMS)!r}) AS tok, {_RM3_W_ORIG} AS w
+        UNION ALL SELECT tok, w FROM exp
+    ),
+    tf2 AS (
+        SELECT doc_id, t.tok, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks JOIN terms t USING (tok)
+        GROUP BY doc_id, t.tok, t.w
+    ),
+    df2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+    scored2 AS (
+        SELECT tf2.doc_id,
+               CAST(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+                   * w
+               AS DECIMAL(38, 18)) AS s
+        FROM tf2 JOIN df2 USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS score
+    FROM scored2 GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_rm3(spark, sf):
+    # PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 family —
+    # Lavrenko & Croft relevance models as deployed in Anserini/Lucene):
+    # run BM25 for the base query, take the top-{_RM3_FB_DOCS} docs as
+    # feedback, mine their {_RM3_EXP_TERMS} most frequent non-query
+    # terms, and re-rank the corpus with the EXPANDED weighted query
+    # (original terms weight {_RM3_W_ORIG}, expansion {_RM3_W_EXP}) —
+    # the standard recall-recovery move when the base query is short.
+    # Determinism discipline: the feedback cut orders by the ROUNDED
+    # score with a doc_id tiebreak (the only float in the selection path
+    # is q_bm25's own bit-identical expression), expansion terms are
+    # picked by integer (count desc, tok) and the per-term weight is an
+    # integer multiplying the SAME scoring expression tree, so both
+    # engines expand to the identical query and the re-rank hashes
+    # exactly.
+    #
+    # Scale: stage 1 is q_bm25 (query-term-filtered scan + tiny aggs);
+    # the feedback set is {_RM3_FB_DOCS} rows and term mining touches
+    # only ITS tokens (semi-join-pruned scan); stage 2 is BM25 again
+    # with ≤ {len(_BM25_TERMS)}+{_RM3_EXP_TERMS} terms riding as a
+    # broadcast relation into the token scan. Two scans total — the
+    # PRF trade every production system accepts — and no all-corpus
+    # window anywhere.
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    fb = (
+        _bm25_scored(spark, sf)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    exp = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_RM3_EXP_TERMS)
+        .select("tok", F.lit(_RM3_W_EXP).alias("w"))
+    )
+    orig = spark.createDataFrame(
+        [(t, _RM3_W_ORIG) for t in _BM25_TERMS], "tok string, w int"
+    )
+    terms = orig.unionByName(exp)
+    tf = (
+        toks.join(F.broadcast(terms), "tok")
+        .groupBy("doc_id", "tok", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    s = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl")))
+        * F.col("w")
+    ).cast("decimal(38,18)")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
