@@ -103,6 +103,7 @@ HEADLINE = [
     "q_stats_bootstrap",    # 32-replicate Poisson bootstrap, one scan
     "q_sim_topk_ivfpq",     # IVF×PQ layout build+write+ADC probe (round 6)
     "q_select_dsir",        # DSIR importance selection over hashed bigrams
+    "q_dsir_apply_artifact",  # DSIR serve: stored integer stats, one featurize pass
     "q_dedup_url",          # map-side URL canonicalization, one shuffle
     "q_text_langid_ngram",  # hashed char-trigram linear classifier, train+eval
     "q_decontaminate_doc",  # broadcast-eval n-gram screening

@@ -65,6 +65,11 @@ SCHEMAS = {
     ),
     "unigram": "piece string, cnt bigint",
     "langid": "mlang string, b bigint, wgt bigint",
+    # DSIR stores the INTEGER sufficient statistics (per-feature target /
+    # raw counts) rather than the float log-ratio weights: the serve
+    # recomputes the weights from integers with the same expression tree,
+    # so the artifact round-trip never depends on float serialization.
+    "dsir": "f bigint, ct bigint, cr bigint",
 }
 
 

@@ -4699,3 +4699,95 @@ def q_bpe_retrain_incremental(spark, sf):
     return spark.createDataFrame(
         merges, "rank bigint, x string, y string, merged string, cnt bigint"
     ).orderBy("rank")
+
+
+def _dsir_doc_feat(spark, sf):
+    """(doc_id, lang, hashed-bigram feature, count) — the ONE corpus
+    featurization shared by training and serving (so the two paths
+    cannot drift), persisted because two consumers prune it to different
+    columns (see q_select_dsir's plan note)."""
+    from mongo_to_parquet_spark.functions.sketch import kmv_hash
+    from mongo_to_parquet_spark.functions.textfns import shingles
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    d = fan_out(T(spark, sf, "documents").select("doc_id", "lang", "text"))
+    feats = d.select(
+        "doc_id", "lang", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    ).select(
+        "doc_id", "lang", (kmv_hash(F.col("bg"), salt="dsir:") % _DSIR_B).alias("f")
+    )
+    return (
+        feats.groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+
+
+def _dsir_score_top(doc_feat, fstats):
+    """Weights from the integer feature stats + the scoring join + the
+    top-m cut — q_select_dsir's tail, shared with the artifact serve."""
+    tots = fstats.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    w = fstats.crossJoin(F.broadcast(tots)).select(
+        "f",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B))
+        ).alias("wf"),
+    )
+    return (
+        doc_feat.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("n") * F.col("wf")).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("dsir_weight")
+        )
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_TOP)
+    )
+
+
+@q("q_dsir_apply_artifact", ORACLE["q_select_dsir"])
+def q_dsir_apply_artifact(spark, sf):
+    # DSIR importance selection SERVED from a stored model (the round-9
+    # artifact discipline applied to the last inline-trained table): the
+    # persisted artifact is the ≤B-row INTEGER sufficient-statistics
+    # table (per-feature target/raw counts) — never the float
+    # log-ratios, so the round-trip has no float-serialization surface;
+    # the serve recomputes the weights from integers with the SAME
+    # expression tree (bm25's LN discipline) and scores the corpus in
+    # one featurization pass. Totals derive by summing the stored table
+    # (exact integers), so the artifact is self-contained. Oracle = the
+    # full train+select SQL: store→load→score ≡ train→score, hash-gated.
+    #
+    # Scale: training's corpus-sized half (the feature distribution
+    # aggregation) leaves the per-ingest path; serving = one corpus
+    # featurization + a ≤B-row broadcast — the selection a 100 TB
+    # pretraining ingest runs against a FIXED target-domain model.
+    art = tokenizer.artifact_dir(sf, "dsir")
+    want = {"buckets": _DSIR_B, "target": "en"}
+    doc_feat = _dsir_doc_feat(spark, sf)
+    try:
+        if not tokenizer.artifact_current(art, "dsir", want):
+            fstats = doc_feat.groupBy("f").agg(
+                F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+                .cast("bigint")
+                .alias("ct"),
+                F.sum("n").cast("bigint").alias("cr"),
+            )
+            tokenizer.save_artifact(spark, fstats, art, "dsir", meta=want)
+        stored = tokenizer.load_artifact(spark, art, "dsir").select(
+            "f", "ct", "cr"
+        )
+        out = _dsir_score_top(doc_feat, stored)
+        # bounded (top-m rows): materialize before releasing doc_feat
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        doc_feat.unpersist()
+    return out

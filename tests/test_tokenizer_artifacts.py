@@ -332,3 +332,19 @@ def test_tokenizer_eval_degenerate_corpora(spark, tmp_path):
             assert got == []
         if name == "empty_lang":
             assert all(r[1] == "en" for r in got), name  # zz absent
+
+
+def test_dsir_artifact_serves_without_retraining(spark, sf_dir):
+    """The DSIR integer-stats artifact serves identically to the inline
+    train+select; a warm store is not retrained, and the stored table is
+    pure integers (no float crosses the store)."""
+    art = tokenizer.artifact_dir(sf_dir, "dsir")
+    shutil.rmtree(art, ignore_errors=True)
+    want = _rows(QS["q_select_dsir"](spark, sf_dir))
+    cold = _rows(QS["q_dsir_apply_artifact"](spark, sf_dir))
+    v = tokenizer.latest_version(art)
+    warm = _rows(QS["q_dsir_apply_artifact"](spark, sf_dir))
+    assert cold == want and warm == want
+    assert tokenizer.latest_version(art) == v
+    stored = tokenizer.load_artifact(spark, art, "dsir")
+    assert all(t == "bigint" for _, t in stored.dtypes)
