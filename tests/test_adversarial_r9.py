@@ -229,3 +229,58 @@ def test_media_header_parser_handles_foreign_and_truncated_bytes(spark):
     )
     [r] = parse_media_header(trunc).collect()
     assert r["media_type"] == "png" and r["width"] is None
+
+
+def test_monotone_guard_survives_marker_vacuum(spark, sf_dir, tmp_path):
+    """The enforcement's state (the committed max doc_id) rides ledger
+    markers, which vacuum DELETES at or below the compaction watermark —
+    the carry through the compaction marker must keep the guard armed:
+    after compact+vacuum, a regressing batch still fails loudly."""
+    import time
+
+    import numpy as np
+
+    from mongo_to_parquet_spark.sources.catalog import load_table
+    from mongo_to_parquet_spark.streaming import assembly as sa
+    from mongo_to_parquet_spark.streaming import decontaminate as sdc
+    from mongo_to_parquet_spark.streaming import state as sst
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evp = str(tmp_path / "eval_grams")
+    sdc.eval_gram_table(docs.filter(F.col("doc_id") % 97 == 0), evp)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = docs.toPandas().sort_values("doc_id")
+    halves = np.array_split(pdf, 2)
+    t0 = time.time() - 100
+    p0 = os.path.join(src, "slice-0.parquet")
+    halves[0].to_parquet(p0, index=False)
+    os.utime(p0, (t0, t0))
+
+    state = str(tmp_path / "state")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sa.stream_assembly(stream, evp, state, ck)
+        q.awaitTermination(300)
+        return q
+
+    run(str(tmp_path / "ck"))
+    mx = int(halves[0]["doc_id"].max())
+    assert sst.marker_field(state, "max_doc_id") == mx
+
+    sa.compact_assembly_state(spark, state)
+    assert sst.ledger_ids(state) == []  # markers vacuumed...
+    assert sst.marker_field(state, "max_doc_id") == mx  # ...carry survives
+
+    # a REGRESSING batch after the vacuum must still be rejected
+    p1 = os.path.join(src, "slice-1.parquet")
+    halves[0].head(50).to_parquet(p1, index=False)  # same low ids again
+    os.utime(p1, (t0 + 1, t0 + 1))
+    with pytest.raises(Exception, match="non-monotone arrival"):
+        run(str(tmp_path / "ck"))
