@@ -2593,13 +2593,13 @@ def _ann_tuning_sql() -> str:
     SELECT ps.n_probe,
            CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
            CAST(COUNT(a.vec_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp,
-           CAST(MAX(c.n_cand) AS BIGINT) AS n_cand
+           CAST(COALESCE(MAX(c.n_cand), 0) AS BIGINT) AS n_cand
     FROM ps
     CROSS JOIN exact e
     LEFT JOIN approx a
       ON a.n_probe = ps.n_probe AND a.probe_id = e.probe_id
          AND a.vec_id = e.vec_id
-    JOIN cand c ON c.n_probe = ps.n_probe
+    LEFT JOIN cand c ON c.n_probe = ps.n_probe
     GROUP BY ps.n_probe
     """
 
@@ -2725,8 +2725,17 @@ def q_ann_tuning(spark, sf):
                 "recall_bp"
             ),
         )
-        .join(F.broadcast(cand), "n_probe")
-        .select("n_probe", "hits", "recall_bp", "n_cand")
+        # LEFT join + 0 default: a curve point whose probed cells hold NO
+        # candidates (tiny corpus, every probe alone in its cell) must
+        # report n_cand=0/hits=0, not silently vanish from the curve
+        # (found by the tiny-corpus adversarial pin)
+        .join(F.broadcast(cand), "n_probe", "left")
+        .select(
+            "n_probe",
+            "hits",
+            "recall_bp",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("bigint").alias("n_cand"),
+        )
     )
 
 

@@ -284,3 +284,48 @@ def test_monotone_guard_survives_marker_vacuum(spark, sf_dir, tmp_path):
     os.utime(p1, (t0 + 1, t0 + 1))
     with pytest.raises(Exception, match="non-monotone arrival"):
         run(str(tmp_path / "ck"))
+
+
+def test_ann_tuning_on_corpus_smaller_than_cells_and_probes(spark, tmp_path):
+    """q_ann_tuning on a 5-vector corpus — fewer vectors than cells (16)
+    and probes (16): both engines degrade identically (every vector is a
+    centroid AND a probe; exact top-10 truncates to 4 neighbors), pinned
+    query-vs-oracle on throwaway parquet."""
+    import duckdb
+    import numpy as np
+
+    from mongo_to_parquet_spark.queries.retrieval import (
+        ORACLE as RET_O,
+        QUERIES as RET_Q,
+    )
+
+    rng = [
+        [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)] for i in range(5)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(5),  # unused, mirrors fixture shape loosely
+            "vec_id": np.arange(5, dtype="int64"),
+            "embedding": [np.array(v, dtype="float32") for v in rng],
+            "label": np.arange(5, dtype="int32"),
+        }
+    )[["vec_id", "embedding", "label"]].to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = sorted(
+        tuple(r) for r in RET_Q["q_ann_tuning"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(RET_O["q_ann_tuning"]).fetchall())
+    assert got == want and len(got) == 4
+    # n_probe=1: every probe is alone in its own cell -> ZERO candidates;
+    # the point must still appear with hits=0/n_cand=0 (a LEFT-joined
+    # curve, not a silently dropped row)
+    assert got[0] == (1, 0, 0, 0)
+    # with every vector probed and ≥ half the (5) cells scanned at p=8,
+    # recall must saturate at the top point
+    assert got[-1][2] == 10000  # recall_bp at n_probe=8
