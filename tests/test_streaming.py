@@ -1496,3 +1496,50 @@ def test_stream_dedup_in_stream_compaction(spark, sf_dir, tmp_path):
         for r in sd.read_incremental_pairs(spark, state).collect()
     )
     assert len(want) > 0 and got == want
+
+
+def test_state_compaction_guards(spark, tmp_path):
+    """streaming/state.py's contract branches, pinned directly: reading
+    'everything below an in-flight batch' refuses a watermark at or past
+    that batch (batches must commit in order before they compact);
+    compacting below the watermark raises; recompacting an
+    already-covered range is a no-op returning None."""
+    import json
+    import os
+
+    import pytest as pt
+
+    from mongo_to_parquet_spark.streaming import state as sst
+
+    sd = str(tmp_path / "state")
+    os.makedirs(os.path.join(sd, "ledger"))
+    for b in (0, 1, 2):
+        spark.createDataFrame([(b,)], "x bigint").write.parquet(
+            os.path.join(sd, "vals", f"batch={b}")
+        )
+        with open(os.path.join(sd, "ledger", str(b)), "w") as f:
+            json.dump({"batch_id": b}, f)
+
+    assert sst.compact(spark, sd, {"vals": "x bigint"}, upto=1) == 1
+    # no-op: nothing new at or below the existing watermark
+    assert sst.compact(spark, sd, {"vals": "x bigint"}, upto=1) is None
+    assert sst.compact(spark, sd, {"vals": "x bigint"}, upto=0) is None
+    # all rows still resolve (compacted(1) + batch 2)
+    got = sorted(r["x"] for r in sst.read_sub(spark, sd, "vals", "x bigint").collect())
+    assert got == [0, 1, 2]
+    # the in-flight contract: batch 1 can no longer be "in flight" once
+    # the watermark covers it — read_sub(below=1) must refuse loudly
+    with pt.raises(ValueError, match="watermark 1 >= in-flight batch 1"):
+        sst.read_sub(spark, sd, "vals", "x bigint", below=1)
+    # below=3 (a genuinely in-flight later batch) is fine
+    got = sorted(
+        r["x"]
+        for r in sst.read_sub(spark, sd, "vals", "x bigint", below=3).collect()
+    )
+    assert got == [0, 1, 2]
+    # a second compaction covers the rest; vacuum leaves one compacted dir
+    assert sst.compact(spark, sd, {"vals": "x bigint"}) == 2
+    sst.vacuum(sd, ["vals"])
+    assert sst._ids_under(sd, "vals") == []
+    assert sst._ids_under(os.path.join(sd, "compact"), "vals") == [2]
+    assert sst.is_committed(sd, 0) and sst.last_committed(sd) == 2
