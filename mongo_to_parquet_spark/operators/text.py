@@ -248,6 +248,18 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return unigram_logprob_score(tok, freqs, id_col=id_col)
+
+
+def unigram_logprob_score(
+    tok: DataFrame, freqs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The SCORING half of :func:`unigram_logprob` — shared by the inline
+    key and the artifact-serve twin (q_logprob_apply_artifact) so the two
+    paths cannot drift. ``freqs`` is the (tok, c) unigram table, inline or
+    loaded from the tokenizer store; ``total`` derives by summing it (one
+    agg over the vocabulary-sized table, never a corpus scan), so a
+    stored artifact is self-contained — the DSIR integer-stats rule."""
     total = freqs.agg(F.sum("c")).collect()[0][0]
     return (
         tok.join(F.broadcast(freqs), "tok")

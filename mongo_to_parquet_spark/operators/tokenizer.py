@@ -70,6 +70,16 @@ SCHEMAS = {
     # recomputes the weights from integers with the same expression tree,
     # so the artifact round-trip never depends on float serialization.
     "dsir": "f bigint, ct bigint, cr bigint",
+    # round-10 families (the last inline-trained tables, verdict r9 #1).
+    # unigram_freq / oov_vocab are integer count tables (total / rate
+    # derive by summing — self-contained); kmeans stores the final-round
+    # centroid means and pca the ROUNDED declared component — parquet
+    # doubles round-trip bit-exactly, and both serves consume exactly the
+    # values their oracles recompute.
+    "unigram_freq": "tok string, c bigint",
+    "oov_vocab": "tok string, c bigint",
+    "kmeans": "cid int, pos int, cval double",
+    "pca": "pos int, component double, eigenvalue double",
 }
 
 

@@ -2405,9 +2405,17 @@ def q_embed_kmeans(spark, sf):
     # The oracle replays both rounds as unrolled CTEs — the same
     # iterative-op discipline as q_graph_pagerank/q_embed_pca: fixed
     # rounds, exact arithmetic, bit-identical fixpoint.
-    from mongo_to_parquet_spark.operators.similarity import _D2_SCALE, kmeans_lloyd
+    from mongo_to_parquet_spark.operators.similarity import kmeans_lloyd
 
     assigned, _cents = kmeans_lloyd(T(spark, sf, "embeddings"), k=4, rounds=2)
+    return _kmeans_report(assigned)
+
+
+def _kmeans_report(assigned):
+    """The per-cluster size/inertia report over an (id, cid, d2)
+    assignment — shared by the inline trainer and the artifact serve."""
+    from mongo_to_parquet_spark.operators.similarity import _D2_SCALE
+
     return assigned.groupBy(F.col("cid").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(
@@ -2416,6 +2424,56 @@ def q_embed_kmeans(spark, sf):
             4,
         ).alias("inertia"),
     )
+
+
+@q("q_kmeans_apply_artifact", ORACLE["q_embed_kmeans"])
+def q_kmeans_apply_artifact(spark, sf):
+    # k-means ASSIGNMENT served from stored centroids (round-9 verdict
+    # item 1): training (kmeans_lloyd's assign→update→assign) runs once
+    # and persists the FINAL k×d centroid means; the serve loads them
+    # (k×d rows — a bounded driver pick, same exception as the IVF
+    # centroid table) and runs ONE map-only assignment pass through the
+    # IDENTICAL kmeans_assign_expr + report, so train and serve cannot
+    # drift. Centroid means are decimal-exact doubles; parquet doubles
+    # round-trip bit-exactly, so the stored table reproduces the
+    # trainer's assignment decision for every vector. Oracle = the full
+    # two-round training SQL: store→load→assign ≡ train→assign.
+    #
+    # Scale: the serve is the production shape — centroids ride the plan
+    # as a k×d literal (no join, no shuffle beyond the k-row report
+    # agg), so assigning 100 TB of embeddings to a FIXED clustering
+    # (mixture design, SemDeDup cells, IVF seeding) runs at scan speed
+    # with training nowhere in the path.
+    from mongo_to_parquet_spark.operators.similarity import (
+        kmeans_assign_expr,
+        kmeans_lloyd,
+    )
+
+    art = tokenizer.artifact_dir(sf, "kmeans")
+    want = {"k": 4, "rounds": 2, "dist": "d2_fixed_2e40"}
+    emb = T(spark, sf, "embeddings")
+    if not tokenizer.artifact_current(art, "kmeans", want):
+        _assigned, cents = kmeans_lloyd(emb, k=4, rounds=2)
+        rows = [
+            (int(cid), int(pos), float(v))
+            for cid, vec in cents
+            for pos, v in enumerate(vec)
+        ]
+        tokenizer.save_artifact(spark, rows, art, "kmeans", meta=want)
+    stored = tokenizer.load_artifact(spark, art, "kmeans").collect()
+    by: dict = {}
+    for r in stored:
+        by.setdefault(r["cid"], {})[r["pos"]] = r["cval"]
+    cents = [(cid, [by[cid][p] for p in sorted(by[cid])]) for cid in sorted(by)]
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    best = kmeans_assign_expr(F.col("x"), cents)
+    assigned = vecs.select(
+        "id", F.explode(F.array(best)).alias("b")
+    ).select("id", F.col("b.cid").alias("cid"), F.col("b.d").alias("d2"))
+    return _kmeans_report(assigned)
 
 
 # ------------------------------------------------------- k-core peel -------

@@ -1538,9 +1538,7 @@ def q_sim_matryoshka(spark, sf):
 _PCA_ITERS = 3
 
 
-@q(
-    "q_embed_pca",
-    f"""
+_PCA_CTES = f"""
     WITH dims AS (
         SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS val
@@ -1578,6 +1576,13 @@ _PCA_ITERS = 3
                    AS lam
         FROM cov JOIN v3 a ON cov.i = a.j JOIN v3 b ON cov.j = b.j
     )
+"""
+
+
+@q(
+    "q_embed_pca",
+    _PCA_CTES
+    + """
     SELECT j AS pos, ROUND(v, 6) AS component,
            ROUND((SELECT lam FROM lam), 4) AS eigenvalue
     FROM v3
@@ -1674,6 +1679,66 @@ def q_embed_pca(spark, sf):
         F.col("j").alias("pos"),
         F.round("v", 6).alias("component"),
         F.round("lam", 4).alias("eigenvalue"),
+    )
+
+
+@q(
+    "q_pca_apply_artifact",
+    _PCA_CTES
+    + """
+    SELECT d.vec_id,
+           ROUND(CAST(SUM(CAST(d.val * ROUND(v3.v, 6) AS DECIMAL(38,18)))
+                      AS DOUBLE), 4) AS pca_score
+    FROM dims d JOIN v3 ON d.pos = v3.j
+    GROUP BY d.vec_id
+    """,
+)
+def q_pca_apply_artifact(spark, sf):
+    # PCA PROJECTION served from a stored component (round-9 verdict
+    # item 1): power iteration runs once and persists the DECLARED
+    # component — the 6-decimal-ROUNDED eigenvector, exactly the values
+    # q_embed_pca's own hash gate already proves bit-identical across
+    # engines, so the projection consumes a cross-engine-stable model and
+    # parquet doubles round-trip it exactly. The serve projects every
+    # embedding onto the stored direction (the per-doc score an
+    # embedding-drift / whitening / filtering pass reads):
+    # pca_score = Σⱼ xⱼ·v₆ⱼ with the sum in DECIMAL(38,18) so it is
+    # order-free on both engines, ROUNDed at 4dp. Oracle = the full
+    # train CTE chain + the same projection: store→load→project ≡
+    # train→project, hash-gated.
+    #
+    # Scale: the covariance build + iteration leave the per-ingest path;
+    # serving is one posexplode + a 64-row broadcast join + a per-vector
+    # aggregate — scan-speed scoring at any corpus size. (The projection
+    # is deliberately UNcentered: centering shifts every score by the
+    # same constant ⟨μ,v⟩, irrelevant for ranking/drift deltas, and
+    # keeping μ out of the artifact halves its float surface.)
+    from mongo_to_parquet_spark.operators import tokenizer
+
+    art = tokenizer.artifact_dir(sf, "pca")
+    want = {"iters": _PCA_ITERS, "dim": 64}
+    if not tokenizer.artifact_current(art, "pca", want):
+        tokenizer.save_artifact(
+            spark, q_embed_pca(spark, sf), art, "pca", meta=want
+        )
+    comp = tokenizer.load_artifact(spark, art, "pca").select("pos", "component")
+    dims = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        dims.join(F.broadcast(comp), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") * F.col("component")).cast("decimal(38,18)")
+                ).cast("double"),
+                4,
+            ).alias("pca_score")
+        )
     )
 
 
