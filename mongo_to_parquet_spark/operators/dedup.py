@@ -1005,6 +1005,140 @@ def span_dedup(
     )
 
 
+def exact_substr_dedup(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_key: bool = False,
+) -> DataFrame:
+    """Suffix-array-grade EXACT SUBSTRING dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    semantics): find every maximal token span of length ≥ ``min_tokens``
+    that occurs more than once ANYWHERE in the corpus (any document, any
+    offset), keep its first occurrence (global (doc_id, pos) order), cut
+    all later occurrences, and keep the remainders of each document.
+
+    Where :func:`span_dedup` cuts on a fixed non-overlapping grid (a
+    duplicate missed by one token of misalignment survives),
+    this is the alignment-free form real pretraining pipelines cite: a
+    repeated region is detected at EVERY offset. The suffix-array
+    observation that makes it distributable: a maximal repeated span of
+    length ≥ L is exactly a maximal RUN of duplicated overlapping
+    L-token windows (stride 1), so
+
+      1. window every doc at stride 1 (n−L+1 windows of L tokens);
+      2. first occurrence per window CONTENT = min (doc_id, pos) — a
+         map-side-combinable min over the packed key, never a sort;
+      3. every non-first occurrence marks its window start position;
+      4. per doc, merge marked starts into maximal intervals
+         [p, p+L−1] (run-length/gaps-and-islands: same island while
+         p_next ≤ p_prev + L), and
+      5. rebuild each doc from the uncovered token positions.
+
+    Returns (doc_id, n_tokens, n_cut_spans, n_removed, cleaned_text).
+
+    Scale: the corpus-sized shuffles are the window-content groupBy and
+    the join back — both keyed by the window (``hash_key=True`` keys them
+    on sha256(window) instead: a fixed 32-byte key, so shuffle bytes stay
+    WINDOW-COUNT-bounded instead of L×corpus — the span_dedup
+    convention; the declared query uses the plain form so DuckDB
+    reproduces the key). The interval merge is a per-doc window over the
+    doc's OWN duplicated positions (≤ its token count), and reassembly is
+    an expression-only filter over the token array — no corpus-sized
+    window, no driver state. Cited vs reference: the reference has no
+    dedup at all (main.py:288-293 copies everything); this is engine
+    surface.
+    """
+    from mongo_to_parquet_spark.functions.textfns import tokens
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    L = int(min_tokens)
+    base = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    win = (
+        base.filter(F.size("toks") >= L)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - L)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("bigint").alias("p"),
+            F.array_join(F.slice("toks", F.col("p") + 1, L), " ").alias("span"),
+        )
+    )
+    # same exact packing as span_dedup: (doc_id, pos) into one decimal so
+    # the first-occurrence keeper is a hash-aggregating MIN
+    pk = (
+        F.col("doc_id").cast("decimal(28,0)") * F.lit(1_000_000_000)
+        + F.col("p")
+    ).cast("decimal(38,0)")
+    win = win.withColumn("pk", pk)
+    key = "h" if hash_key else "span"
+    if hash_key:
+        win = win.withColumn("h", F.sha2(F.col("span"), 256))
+    from pyspark.sql import Window
+
+    first = win.groupBy(key).agg(F.min("pk").alias("kpk"))
+    dup = (
+        win.join(first, key)
+        .filter(F.col("pk") != F.col("kpk"))
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dup.select(
+        "doc_id",
+        "p",
+        F.when(
+            F.col("p") > F.coalesce(F.lag("p").over(w), F.lit(-L - 1)) + L, 1
+        )
+        .otherwise(0)
+        .alias("ng"),
+    )
+    grp = isl.select(
+        "doc_id",
+        "p",
+        F.sum("ng")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("g"),
+    )
+    iv = grp.groupBy("doc_id", "g").agg(
+        F.min("p").alias("s"), (F.max("p") + L - 1).alias("e")
+    )
+    cov = iv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("n_removed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans"),
+    )
+    ivs = F.coalesce(
+        F.col("ivs"), F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+    )
+    joined = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.explode(F.array(ivs)).alias("iv"),  # bind as attribute (lambda-VALUE rule)
+        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+        F.coalesce("n_cut_spans", F.lit(0).cast("bigint")).alias("n_cut_spans"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("iv"),
+            lambda r: (r["s"] <= i.cast("bigint")) & (i.cast("bigint") <= r["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        "n_cut_spans",
+        "n_removed",
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     src: str = "doc1",

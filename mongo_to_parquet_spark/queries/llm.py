@@ -1366,6 +1366,83 @@ def q_dedup_span(spark, sf):
     return dedup.span_dedup(T(spark, sf, "documents"), span_tokens=8)
 
 
+#: ExactSubstr minimum duplicated-span length (Lee et al. use 50 BPE
+#: tokens on web documents; the fixture's docs average 56 words, so 20
+#: is the same fraction of a document)
+_XSUB_L = 20
+
+
+@q(
+    "q_dedup_exact_substr",
+    f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+               array_to_string(toks[i : i + {_XSUB_L - 1}], ' ') AS span
+        FROM base, UNNEST(generate_series(1, len(toks) - {_XSUB_L - 1})) AS t(i)
+        WHERE len(toks) >= {_XSUB_L}
+    ),
+    rk AS (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn
+        FROM win
+    ),
+    dup AS (SELECT doc_id, p FROM rk WHERE rn > 1),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p > COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                                      {-_XSUB_L - 1}) + {_XSUB_L}
+                    THEN 1 ELSE 0 END AS ng
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               SUM(ng) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl
+    ),
+    iv AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) + {_XSUB_L - 1} AS e
+        FROM grp GROUP BY doc_id, g
+    ),
+    cov AS (
+        SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee,
+               CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+               CAST(COUNT(*) AS BIGINT) AS n_cut_spans
+        FROM iv GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_cut_spans, 0) AS n_cut_spans,
+           COALESCE(c.n_removed, 0) AS n_removed,
+           COALESCE(array_to_string(
+               list_transform(
+                   list_filter(generate_series(0, len(b.toks) - 1),
+                       t -> c.ss IS NULL OR len(list_filter(
+                                generate_series(1, len(c.ss)),
+                                k -> c.ss[CAST(k AS INT)] <= t
+                                     AND t <= c.ee[CAST(k AS INT)])) = 0),
+                   t -> b.toks[CAST(t AS INT) + 1]),
+               ' '), '') AS cleaned_text
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q_dedup_exact_substr(spark, sf):
+    # suffix-array-grade EXACT SUBSTRING dedup (round-9 verdict item 2 —
+    # the Lee et al. 2022 ExactSubstr semantics): maximal repeated token
+    # spans ≥ 20 across the WHOLE corpus at ANY offset are cut from every
+    # occurrence but the first, and documents keep their remainders. A
+    # maximal repeated span is a maximal RUN of duplicated overlapping
+    # 20-token windows, so the whole thing is windows → min-(doc,pos)
+    # keeper → per-doc run-length interval merge → expression-only
+    # reassembly (operators/dedup.exact_substr_dedup — full scale
+    # contract there; hash_key=True is the 32-byte-shuffle-key form).
+    # The oracle replays it with the identical island arithmetic; the
+    # ROW_NUMBER()=1 keeper is the engine's map-combinable min(pk).
+    return dedup.exact_substr_dedup(
+        T(spark, sf, "documents"), min_tokens=_XSUB_L
+    )
+
+
 @q(
     "q_dedup_substring",
     """

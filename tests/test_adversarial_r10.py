@@ -71,3 +71,111 @@ def test_bfd_oracle_guard_fires_at_boundary(spark, tmp_path):
         _duck(bad_dir).execute(OR["q_pack_bfd"]).fetchall()
     with pytest.raises(Exception, match="open bins per shard"):
         QS["q_pack_bfd"](spark, bad_dir).collect()
+
+
+def _naive_exact_substr(docs: dict, L: int) -> dict:
+    """Independent brute-force ExactSubstr: hash every L-window, keep
+    first global occurrence, remove covered positions of later ones."""
+    first = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for p in range(len(toks) - L + 1):
+            first.setdefault(tuple(toks[p : p + L]), (did, p))
+    out = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        starts = [
+            p
+            for p in range(len(toks) - L + 1)
+            if first[tuple(toks[p : p + L])] != (did, p)
+        ]
+        removed = set()
+        for p in starts:
+            removed.update(range(p, p + L))
+        spans, prev = 0, None
+        for p in starts:
+            if prev is None or p > prev + L:
+                spans += 1
+            prev = p
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        out[did] = (len(toks), spans, len(removed), " ".join(kept))
+    return out
+
+
+def test_exact_substr_matches_naive_scan(spark):
+    """Property check (round-9 verdict item 2): the distributed
+    windows→min-keeper→interval-merge pipeline equals a brute-force
+    Python suffix scan on a small-alphabet corpus engineered for heavy
+    cross-document and self-overlapping repeats — for BOTH the plain-span
+    and the sha256 shuffle-key forms."""
+    import random
+
+    from mongo_to_parquet_spark.operators.dedup import exact_substr_dedup
+
+    rng = random.Random(42)
+    alpha = ["a", "b", "c"]
+    corpus: dict[int, list[str]] = {}
+    motif = [rng.choice(alpha) for _ in range(9)]
+    for did in range(1, 31):
+        n = rng.randint(1, 40)
+        toks = [rng.choice(alpha) for _ in range(n)]
+        if did % 3 == 0 and n > 12:  # plant the shared motif mid-doc
+            at = rng.randint(0, n - 10)
+            toks[at : at + 9] = motif
+        if did % 7 == 0:  # degenerate self-repetition run
+            toks = ["a"] * n
+        corpus[did] = toks
+    corpus[31] = list(corpus[3])  # full-doc duplicate
+    corpus[32] = []  # empty doc
+    L = 4
+    # tokenize the naive side EXACTLY like both engines: split(' ') of the
+    # joined text ('' -> [''], one empty token — not zero tokens)
+    want = _naive_exact_substr(
+        {d: " ".join(t).split(" ") for d, t in corpus.items()}, L
+    )
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    for hk in (False, True):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_cut_spans"],
+                r["n_removed"],
+                r["cleaned_text"],
+            )
+            for r in exact_substr_dedup(docs, min_tokens=L, hash_key=hk).collect()
+        }
+        assert got == want, f"hash_key={hk}"
+
+
+def test_exact_substr_degenerate_corpus_parity(spark, tmp_path):
+    """Lesson-28 degenerate-corpus parity for the declared key: docs
+    shorter than L, a doc that is ENTIRELY a duplicate (empty remainder),
+    and misaligned (offset-shifted) repeats that the fixed-grid
+    q_dedup_span would miss — Spark and the DuckDB oracle agree."""
+    base = " ".join(f"tok{i}" for i in range(25))
+    texts = [
+        "short doc",                       # < L: untouched
+        base,                              # first occurrence: kept whole
+        base,                              # exact duplicate: fully removed
+        "lead in words " + base,           # offset repeat: suffix removed
+        base + " trailing unique tail",    # prefix repeat
+    ]
+    d = str(tmp_path / "xsub")
+    os.makedirs(d)
+    _docs(d, texts)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in QS["q_dedup_exact_substr"](spark, d).collect()
+    }
+    assert got[1] == (0, "short doc")
+    assert got[2][0] == 0 and got[2][1] == base
+    assert got[3] == (25, "")
+    assert got[4] == (25, "lead in words")
+    assert got[5] == (25, "trailing unique tail")
+    oracle = {
+        r[0]: (r[3], r[4])
+        for r in _duck(d).execute(OR["q_dedup_exact_substr"]).fetchall()
+    }
+    assert oracle == got
