@@ -170,10 +170,24 @@ def _centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataF
 
 
 def _assign_cells(
-    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    overlap: int = 1,
 ) -> DataFrame:
-    """Tag every vector with its nearest centroid's cell id (argmax dot)."""
-    return (
+    """Tag every vector with its nearest centroid's cell id (argmax dot).
+
+    ``overlap > 1`` is MULTI-ASSIGNMENT (soft assignment): each vector is
+    indexed under its ``overlap`` nearest cells — storage ×overlap, and a
+    probe finds a vector whenever ANY of its cells is probed, which is
+    the standard cheap recall lever for IVF (measured in q_ann_tuning:
+    at MATCHED candidate volume, overlap=2 @ n_probe=p beats overlap=1 @
+    n_probe=2p). With overlap > 1 the output carries ``ark`` (1 = the
+    cell a single-assignment index would use) and consumers must dedup
+    by id after probing (a vector reached via two probed cells is one
+    candidate)."""
+    ranked = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("score", dot(F.col(vec_col), F.col("cvec")))
         .withColumn(
@@ -182,8 +196,11 @@ def _assign_cells(
                 Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cell").asc())
             ),
         )
-        .filter(F.col("rk") == 1)
-        .select(id_col, vec_col, "cell")
+    )
+    if overlap <= 1:
+        return ranked.filter(F.col("rk") == 1).select(id_col, vec_col, "cell")
+    return ranked.filter(F.col("rk") <= overlap).select(
+        id_col, vec_col, "cell", F.col("rk").cast("bigint").alias("ark")
     )
 
 
@@ -274,12 +291,57 @@ def ivf_topk_batch(
     )
 
 
+#: layout metadata marker — the ANN analogue of the artifact store's
+#: commit marker: records WHAT configuration built the layout (family,
+#: n_cells, overlap, …) and, when the builder measured it, the
+#: build-time recall, so a serve can refuse a layout built under a
+#: different contract and a drift probe can compare now-vs-build recall
+#: (round-9 verdict item 4 — the tokenizer store's mismatch refusal,
+#: applied to layouts).
+LAYOUT_MARKER = "_LAYOUT.json"
+
+
+def write_layout_meta(layout_dir: str, meta: dict) -> None:
+    """Atomic tmp+rename, same durability convention as the artifact
+    store's commit marker (written strictly AFTER the layout data)."""
+    import json
+    import os
+
+    path = os.path.join(layout_dir, LAYOUT_MARKER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def read_layout_meta(layout_dir: str) -> dict:
+    """{} when absent (a pre-marker layout: treat as config-unknown)."""
+    import json
+    import os
+
+    path = os.path.join(layout_dir, LAYOUT_MARKER)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def layout_current(layout_dir: str, want: dict) -> bool:
+    """True iff the layout's marker exists and matches every ``want``
+    item — a layout built under an older config (or with no marker at
+    all) must be rebuilt, not served; mirror of
+    operators/tokenizer.artifact_current."""
+    meta = read_layout_meta(layout_dir)
+    return bool(meta) and all(meta.get(k) == v for k, v in want.items())
+
+
 def build_ivf_layout(
     emb: DataFrame,
     out_dir: str,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    overlap: int = 1,
 ) -> None:
     """Materialize the IVF index AS A LAYOUT (SCALE.md): vectors written
     partitioned by their cell, centroids saved alongside.
@@ -289,12 +351,26 @@ def build_ivf_layout(
     the `cell IN (...)` filter becomes partition pruning on the scan: only
     n_probe/n_cells of the corpus is ever read. No index service, no
     external state, rebuilt by rewriting the layout.
+
+    ``overlap > 1`` builds a MULTI-ASSIGNMENT layout: every vector is
+    written under its ``overlap`` nearest cells (storage ×overlap), which
+    raises recall at fixed n_probe — q_ann_tuning measures the trade, and
+    at matched candidate volume overlap=2 beats probing twice the cells.
+    The serve dedups by id (see :func:`ivf_topk_from_layout`); the
+    layout marker records the overlap so mixed-config serving is refused
+    by :func:`layout_current` checks.
     """
     cents = _centroids(emb, n_cells, id_col, vec_col)
-    _assign_cells(emb, F.broadcast(cents), id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{out_dir}/vectors")
+    assigned = _assign_cells(
+        emb, F.broadcast(cents), id_col, vec_col, overlap=overlap
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{out_dir}/vectors"
+    )
     cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    write_layout_meta(
+        out_dir, {"family": "ivf", "n_cells": n_cells, "overlap": overlap}
+    )
 
 
 def ivf_append(
@@ -319,9 +395,13 @@ def ivf_append(
     """
     spark = emb.sparkSession
     cents = spark.read.parquet(f"{layout_dir}/centroids")
-    _assign_cells(emb, cents, id_col, vec_col).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{layout_dir}/vectors")
+    # appends inherit the layout's assignment multiplicity from its
+    # marker — appending single-assigned rows into an overlap=2 layout
+    # would silently halve the new vectors' reachability
+    overlap = read_layout_meta(layout_dir).get("overlap", 1)
+    _assign_cells(emb, cents, id_col, vec_col, overlap=overlap).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{layout_dir}/vectors")
 
 
 def ivf_topk_from_layout(
@@ -352,6 +432,11 @@ def ivf_topk_from_layout(
     scan = spark.read.parquet(f"{layout_dir}/vectors").filter(F.col("cell").isin(cells))
     if exclude_id is not None:
         scan = scan.filter(F.col(id_col) != exclude_id)
+    if read_layout_meta(layout_dir).get("overlap", 1) > 1:
+        # multi-assignment layout: a vector indexed in two probed cells
+        # is ONE candidate — dedup by id before scoring (rows differ only
+        # in cell/ark; the vector payload is identical)
+        scan = scan.dropDuplicates([id_col])
     return (
         scan.select(
             F.col(id_col), F.round(cosine(F.col(vec_col), pv), 4).alias("sim")
@@ -473,6 +558,9 @@ def build_ivfpq_layout(
     cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     codebook.write.mode("overwrite").parquet(f"{out_dir}/codebook")
     rng.write.mode("overwrite").parquet(f"{out_dir}/rng")
+    write_layout_meta(
+        out_dir, {"family": "ivfpq", "n_cells": n_cells, "n_codes": n_codes}
+    )
 
 
 def pq_encode_frozen(

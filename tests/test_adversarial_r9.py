@@ -76,16 +76,20 @@ def test_bfd_bin_bound_enforced_at_boundary(spark, tmp_path):
 def test_ann_tuning_curve_invariants(spark, sf_dir):
     """recall and candidate volume are non-decreasing in n_probe (a
     superset of probed cells can only add candidates and recall), and
-    every recall is a sane basis-point value."""
-    rows = sorted(
-        (r["n_probe"], r["hits"], r["recall_bp"], r["n_cand"])
+    every recall is a sane basis-point value — per overlap level (the
+    round-10 multi-assignment extension; its own invariants live in
+    test_adversarial_r10)."""
+    all_rows = [
+        (r["overlap"], r["n_probe"], r["hits"], r["recall_bp"], r["n_cand"])
         for r in QS["q_ann_tuning"](spark, sf_dir).collect()
-    )
-    assert [p for p, *_ in rows] == [1, 2, 4, 8]
-    for (p1, h1, r1, c1), (p2, h2, r2, c2) in zip(rows, rows[1:]):
-        assert h2 >= h1 and r2 >= r1 and c2 > c1, (p1, p2)
-    assert all(0 <= r <= 10000 for _, _, r, _ in rows)
-    assert rows[-1][1] > 0  # at n_probe=8 of 16 cells, SOME overlap
+    ]
+    for ov in (1, 2):
+        rows = sorted(t[1:] for t in all_rows if t[0] == ov)
+        assert [p for p, *_ in rows] == [1, 2, 4, 8]
+        for (p1, h1, r1, c1), (p2, h2, r2, c2) in zip(rows, rows[1:]):
+            assert h2 >= h1 and r2 >= r1 and c2 > c1, (ov, p1, p2)
+        assert all(0 <= r <= 10000 for _, _, r, _ in rows)
+        assert rows[-1][1] > 0  # at n_probe=8 of 16 cells, SOME overlap
 
 
 def test_lsh_tuning_sample_too_small_is_empty_both_engines(spark, sf_dir):
@@ -321,11 +325,11 @@ def test_ann_tuning_on_corpus_smaller_than_cells_and_probes(spark, tmp_path):
         f"'{tmp_path}/embeddings.parquet'"
     )
     want = sorted(tuple(r) for r in con.execute(RET_O["q_ann_tuning"]).fetchall())
-    assert got == want and len(got) == 4
-    # n_probe=1: every probe is alone in its own cell -> ZERO candidates;
-    # the point must still appear with hits=0/n_cand=0 (a LEFT-joined
-    # curve, not a silently dropped row)
-    assert got[0] == (1, 0, 0, 0)
+    assert got == want and len(got) == 8  # 4 n_probe points × 2 overlaps
+    # overlap=1, n_probe=1: every probe is alone in its own cell -> ZERO
+    # candidates; the point must still appear with hits=0/n_cand=0 (a
+    # LEFT-joined curve, not a silently dropped row)
+    assert got[0] == (1, 1, 0, 0, 0)
     # with every vector probed and ≥ half the (5) cells scanned at p=8,
-    # recall must saturate at the top point
-    assert got[-1][2] == 10000  # recall_bp at n_probe=8
+    # recall must saturate at the top point of BOTH overlap curves
+    assert got[3][3] == 10000 and got[-1][3] == 10000  # recall_bp at p=8
