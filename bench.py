@@ -128,7 +128,8 @@ HEADLINE = [
     "q_bpe_retrain_incremental",  # census-state retrain: O(delta) refresh + train
     "q_mm_parse_headers",   # magic-dispatch container parsing, headers-only scan
     "q_tokenizer_eval",     # triad fertility/coverage report, one census pass
-    "q_ann_tuning",         # IVF n_probe recall/cost curve, one scoring pass
+    "q_ann_tuning",         # IVF (overlap x n_probe) recall/cost surface
+    "q_ann_drift",          # layout staleness monitor: build-vs-now recall
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

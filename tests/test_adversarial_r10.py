@@ -263,3 +263,61 @@ def test_ivf_layout_overlap_prunes_and_dedups(spark, sf_dir, tmp_path):
     # outranks the appended copy — both must sit at the top at sim 1.0
     assert [r["vec_id"] for r in top[:2]] == [7, 9001]
     assert top[1]["sim"] == 1.0
+
+
+def test_ann_drift_gate_trips_on_drifted_corpus(spark, tmp_path):
+    """Round-9 verdict item 4: an artificially drifted corpus — base
+    slice clustered tightly on coordinate axes (the geometry the frozen
+    centroids were built for), delta appends a dense off-axis cluster
+    whose members scatter across cells — must trip the rebuild signal,
+    and Spark must agree with the DuckDB oracle on the drifted corpus.
+    On the REAL fixture (same-distribution appends) the flag stays off."""
+    import numpy as np
+
+    from mongo_to_parquet_spark.queries.retrieval import (
+        ORACLE as RET_O,
+        QUERIES as RET_Q,
+    )
+
+    dim = 8
+    rows = []
+    base_ids = [i for i in range(1, 120) if i % 4 != 0]
+    # 16 lowest base ids = the centroids: two scales per axis
+    for j, vid in enumerate(base_ids[:16]):
+        v = np.zeros(dim, dtype=np.float32)
+        v[j % dim] = 10.0 + (j // dim) * 0.1
+        rows.append((vid, v))
+    # 9 more base points per axis (11 total each): every base probe's
+    # full top-10 lives on its own axis, i.e. in one probed cell —
+    # build-time recall is perfect
+    for j, vid in enumerate(base_ids[16:88]):
+        v = np.zeros(dim, dtype=np.float32)
+        v[j % dim] = 8.0 + 0.01 * j
+        rows.append((vid, v))
+    # delta (ids % 4 == 0): a tight off-axis cluster; each member is
+    # nudged toward a DIFFERENT axis, so the frozen quantizer scatters
+    # mutual nearest neighbors across all 8 cells while a probe can
+    # only read 4
+    for j, vid in enumerate(range(4, 4 * 49, 4)):
+        v = np.full(dim, 5.0, dtype=np.float32)
+        v[j % dim] += 3.0 + 0.001 * j
+        rows.append((vid, v))
+    pd.DataFrame(
+        {
+            "vec_id": np.array([r[0] for r in rows], dtype="int64"),
+            "embedding": [r[1] for r in rows],
+            "label": np.zeros(len(rows), dtype="int32"),
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+    got = RET_Q["q_ann_drift"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    want = con.execute(RET_O["q_ann_drift"]).fetchall()[0]
+    assert tuple(r) == tuple(want)
+    assert r["recall_build_bp"] >= 9000   # the layout WAS good at build
+    assert r["drift_bp"] > 500 and r["rebuild"]  # ...and is stale now
