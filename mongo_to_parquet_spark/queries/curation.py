@@ -4764,20 +4764,27 @@ def _dsir_doc_feat(spark, sf):
     featurization shared by training and serving (so the two paths
     cannot drift), persisted because two consumers prune it to different
     columns (see q_select_dsir's plan note)."""
+    return dsir_feats_of(
+        T(spark, sf, "documents").select("doc_id", "lang", "text")
+    ).persist()
+
+
+def dsir_feats_of(d):
+    """The same featurization over an arbitrary (doc_id, lang, text)
+    relation — what a STREAM batch folds through when the DSIR integer
+    sufficient statistics are maintained incrementally
+    (tests/test_streaming.py pins stream-fed state ≡ batch artifact)."""
     from mongo_to_parquet_spark.functions.sketch import kmv_hash
     from mongo_to_parquet_spark.functions.textfns import shingles
     from mongo_to_parquet_spark.operators.parallel import fan_out
 
-    d = fan_out(T(spark, sf, "documents").select("doc_id", "lang", "text"))
-    feats = d.select(
+    feats = fan_out(d).select(
         "doc_id", "lang", F.explode(shingles(F.col("text"), 2)).alias("bg")
     ).select(
         "doc_id", "lang", (kmv_hash(F.col("bg"), salt="dsir:") % _DSIR_B).alias("f")
     )
-    return (
-        feats.groupBy("doc_id", "lang", "f")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()
+    return feats.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
 
 

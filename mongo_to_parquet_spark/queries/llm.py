@@ -382,7 +382,14 @@ def _lid_trigrams(spark, sf):
     """Hashed padded char-trigram features per (doc, lang) — the ONE
     feature definition shared by training and scoring (so artifact and
     inline paths cannot drift in featurization)."""
-    d = T(spark, sf, "documents")
+    return lid_trigrams_of(T(spark, sf, "documents"))
+
+
+def lid_trigrams_of(d):
+    """The same featurization over an arbitrary (doc_id, lang, text)
+    relation — what a STREAM batch folds through when the langid count
+    state is maintained incrementally (tests/test_streaming.py pins
+    stream-fed state ≡ batch artifact)."""
     tok = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")

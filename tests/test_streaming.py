@@ -1543,3 +1543,121 @@ def test_state_compaction_guards(spark, tmp_path):
     assert sst._ids_under(sd, "vals") == []
     assert sst._ids_under(os.path.join(sd, "compact"), "vals") == [2]
     assert sst.is_committed(sd, 0) and sst.last_committed(sd) == 2
+
+
+def test_stream_fed_langid_and_dsir_state_equals_batch_artifact(
+    spark, sf_dir, tmp_path
+):
+    """Round-9 verdict item 7: the langid weight table and the DSIR
+    sufficient statistics are plain integer-count tables (algebraic
+    monoids), so their artifacts refresh from a STREAM through the same
+    apply_stream_batch replay-guarded fold the BPE census uses — and the
+    drained state reproduces the batch-trained artifact BIT-FOR-BIT
+    (integer counts; weights derive with the identical expression)."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators import incremental
+    from mongo_to_parquet_spark.queries.curation import (
+        _DSIR_B,
+        _dsir_doc_feat,
+        dsir_feats_of,
+    )
+    from mongo_to_parquet_spark.queries.llm import (
+        _LID_SCALE,
+        _lid_weights,
+        lid_trigrams_of,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).repartition(3).write.parquet(src)
+    lid_sd = str(tmp_path / "lid_state")
+    dsir_sd = str(tmp_path / "dsir_state")
+
+    def fold(batch_df, batch_id):
+        incremental.apply_stream_batch(
+            lid_sd,
+            lid_trigrams_of(batch_df).select("lang", "b"),
+            batch_id,
+            ["lang", "b"],
+            [],
+        )
+        incremental.apply_stream_batch(
+            dsir_sd,
+            dsir_feats_of(batch_df).select(
+                "f",
+                F.when(F.col("lang") == "en", F.col("n"))
+                .otherwise(0)
+                .alias("ct"),
+                F.col("n").alias("cr"),
+            ),
+            batch_id,
+            ["f"],
+            ["ct", "cr"],
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # replay guard holds for both states
+    some = spark.read.parquet(src).limit(5)
+    assert (
+        incremental.apply_stream_batch(
+            lid_sd,
+            lid_trigrams_of(some).select("lang", "b"),
+            incremental.last_batch_id(lid_sd),
+            ["lang", "b"],
+            [],
+        )
+        is False
+    )
+
+    # langid: weights derived from the drained count state == the batch
+    # trainer's table, every integer identical
+    st = incremental.read_agg_state(spark, lid_sd)
+    w = st.select(
+        F.col("lang").alias("mlang"), "b", F.col("n_rows").cast("long").alias("cnt")
+    )
+    tot = w.groupBy("mlang").agg(F.sum("cnt").cast("long").alias("t"))
+    got_w = sorted(
+        tuple(r)
+        for r in w.join(F.broadcast(tot), "mlang")
+        .select("mlang", "b", F.expr(f"(cnt * {_LID_SCALE}) div t").alias("wgt"))
+        .collect()
+    )
+    want_w = sorted(tuple(r) for r in _lid_weights(spark, sf_dir).collect())
+    assert got_w == want_w
+
+    # DSIR: the drained (f, ct, cr) state == the batch sufficient stats
+    dst = incremental.read_agg_state(spark, dsir_sd)
+    got_f = sorted(
+        (r["f"], int(r["sum_ct"]), int(r["sum_cr"])) for r in dst.collect()
+    )
+    doc_feat = _dsir_doc_feat(spark, sf_dir)
+    try:
+        want_f = sorted(
+            tuple(r)
+            for r in doc_feat.groupBy("f")
+            .agg(
+                F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+                .cast("bigint")
+                .alias("ct"),
+                F.sum("n").cast("bigint").alias("cr"),
+            )
+            .collect()
+        )
+    finally:
+        doc_feat.unpersist()
+    assert got_f == want_f
+    assert len(got_f) <= _DSIR_B
