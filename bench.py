@@ -213,12 +213,19 @@ def main() -> None:
     sentinels.append(calibrate(spark))
     # per-key contention factor: min of the sentinels bracketing the
     # key's block (min, not mean — one contended sentinel must not
-    # poison ten keys, same reasoning as the suite-level min)
+    # poison ten keys, same reasoning as the suite-level min), CLAMPED
+    # at 1.0: the round-10 four-run experiment showed the "fixed-work"
+    # sentinel is JIT-state-dependent — late in a session C2 compiles
+    # the codegen loop down to 0.12-0.24s vs the 0.35 idle reference,
+    # and an unclamped factor then INFLATES late keys ~1.5-2.8×.
+    # Normalization exists to correct contention slowdowns; a
+    # sub-reference sentinel means JIT luck, not a faster box, so the
+    # factor never drops below 1 (idle box ⇒ normalized ≡ raw).
     queries_calib = {
         k: min(sentinels[b], sentinels[b + 1]) for k, b in key_sentinel.items()
     }
     queries_normalized = {
-        k: round(timings[k] / max(queries_calib[k] / CALIB_REF_SEC, 1e-9), 3)
+        k: round(timings[k] / max(queries_calib[k] / CALIB_REF_SEC, 1.0), 3)
         for k in timings
     }
 
@@ -293,13 +300,15 @@ def main() -> None:
         # Compare normalized_* across rounds FIRST; adjudicate
         # raw seconds only when the calibrations already agree.
         "calib_ref_sec": CALIB_REF_SEC,
+        # suite-level factor clamped at 1.0 for the same JIT-drift
+        # reason as the per-key factors (see queries_normalized)
         "normalized_total": round(
-            total / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
+            total / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1.0),
             3,
         ),
         "normalized_round1_set": round(
             sum(timings[k] for k in ROUND1_SET if k in timings)
-            / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1e-9),
+            / max(min(calib_before, calib_after) / CALIB_REF_SEC, 1.0),
             3,
         ),
         # STEPWISE normalization (round-9 verdict item 5): each key

@@ -1088,8 +1088,9 @@ def q_bpe_pipeline(spark, sf):
 def q_ngram_lm(spark, sf):
     # Bigram language-model estimation with add-k smoothing (k=0.5):
     # P(w2|w1) = (c12 + k) / (c1 + k·|V|) — the classic n-gram LM
-    # training step (the model behind q_text_logprob's scoring join, which
-    # consumes exactly this table). Counts are integers, the smoothed
+    # training step (the bigram big sibling of the UNIGRAM freq table
+    # q_text_logprob scores with, which since round 10 serves from the
+    # store as q_logprob_apply_artifact). Counts are integers, the smoothed
     # probability is one double division of exactly-representable values,
     # so ROUND(6) is stable across engines.
     #

@@ -1616,31 +1616,60 @@ def q_embed_pca(spark, sf):
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
     )
-    n = dims.select(F.countDistinct("vec_id").alias("n"))
-    mu = dims.groupBy("pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
-    )
-    c = dims.join(mu, "pos").select(
-        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("v")
-    )
-    a = c.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
-    b = c.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
-    cov = (
-        a.join(b, "vec_id")
-        .crossJoin(F.broadcast(n))
-        .groupBy("i", "j", "n")
+    mu_rows = (
+        dims.groupBy("pos")
         .agg(
             (
-                F.sum((F.col("va") * F.col("vb")).cast("decimal(38,18)")).cast(
-                    "double"
+                F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    # d-row driver picks (the kmeans-centroid exception): the mean vector
+    # and the corpus count ride the plan as LITERALS so the covariance
+    # build is a MAP-SIDE outer product — each vector emits its own d²
+    # (i, j, vᵢ·vⱼ) partial products, which partial-combine to the d×d
+    # matrix before the (tasks × d²-row) shuffle. The round-10 ×10 probe
+    # caught the previous vec_id self-join form flipping broadcast→SMJ
+    # as the corpus outgrew the broadcast threshold (shuffle ×35, wall
+    # ×41 for ×10 data): a strategy cliff in a linear-work operator.
+    # This shape has no join to flip — covariance cost is one scan at
+    # every corpus size. Python-float round-trip of the collected means
+    # is exact (binary64), so the centered products are bit-identical to
+    # the joined form and the oracle is unchanged.
+    n_val = int(e.count())
+    mu_arr = F.array(*[F.lit(float(r["mu"])) for r in mu_rows])
+    centered = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    mu_arr,
+                    lambda x, m: x - m,
                 )
-                / (F.col("n") - 1)
+            )
+        ).alias("cv"),  # bind as a REAL attribute (lambda-VALUE rule)
+    )
+    pairs = centered.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(cv, (vi, i) ->"
+                " transform(cv, (vj, j) ->"
+                " struct(i AS i, j AS j, vi * vj AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    cov = (
+        pairs.groupBy("i", "j")
+        .agg(
+            (
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.lit(n_val - 1)
             ).alias("cv")
         )
-        .select("i", "j", "cv")
     )
     v = spark.range(64).select(
         F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")

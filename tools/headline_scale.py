@@ -136,6 +136,18 @@ def main() -> None:
     for key in HEADLINE:
         qs[key](spark, WARM).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+    # the *_apply_artifact keys' DECLARED semantics are serve-from-a-
+    # warm-store; a cold store makes their one timed rep pay the whole
+    # training pass. The round-10 probe ran against a driver-wiped
+    # _scratch and recorded train+serve at m10 vs warm serve at sf0.1
+    # (pca ×41, wordpiece ×13 — store-warmth asymmetry, not scale), so
+    # the stores are now warmed explicitly AT EACH SCALE before timing —
+    # deterministic protocol regardless of _scratch history.
+    serve_keys = [k for k in HEADLINE if "apply_artifact" in k]
+    for scale, d in (("sf01", BASE), ("m10", m10)):
+        for key in serve_keys:
+            qs[key](spark, d).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
     for scale, d in (("sf01", BASE), ("m10", m10)):
         for key in HEADLINE:
             s0 = shuffle_bytes(spark)
