@@ -85,6 +85,8 @@ HEADLINE = [
     "q_tpch_q9",            # 5-table profit rollup on the derived part-supplier catalog
     "q_dedup_span",         # C4-style duplicated-window removal + doc reassembly
     "q_dedup_exact_substr", # Lee et al. ExactSubstr: stride-1 windows + run merge
+    "q_dedup_substr_incremental",  # ExactSubstr daily-crawl: delta vs persisted index
+    "q_logprob_bigram_artifact",   # bigram-LM serve: stored counts, backoff floor
     "q_dedup_fuzzy_prefix",  # exact Jaccard via AllPairs prefix filter (100 TB route)
     "q_ds_rollup_share_rank",  # TPC-DS Q36: ROLLUP Expand feeding Window rank
     "q_ds_distinct_cube",   # CUBE x count-distinct double-Expand report

@@ -1050,10 +1050,25 @@ def exact_substr_dedup(
     dedup at all (main.py:288-293 copies everything); this is engine
     surface.
     """
+    base, win = _substr_windows(docs, int(min_tokens), text_col, id_col, hash_key)
+    key = "h" if hash_key else "span"
+    first = win.groupBy(key).agg(F.min("pk").alias("kpk"))
+    dup = (
+        win.join(first, key)
+        .filter(F.col("pk") != F.col("kpk"))
+        .select("doc_id", "p")
+    )
+    return _substr_cut(base, dup, int(min_tokens))
+
+
+def _substr_windows(docs, L, text_col="text", id_col="doc_id", hash_key=False):
+    """(base, win): the tokenized corpus and its stride-1 L-window stream
+    with the packed (doc_id, pos) key — shared by the batch cutter, the
+    persisted index builder, and the incremental path so the window
+    definition cannot drift."""
     from mongo_to_parquet_spark.functions.textfns import tokens
     from mongo_to_parquet_spark.operators.parallel import fan_out
 
-    L = int(min_tokens)
     base = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -1077,17 +1092,17 @@ def exact_substr_dedup(
         + F.col("p")
     ).cast("decimal(38,0)")
     win = win.withColumn("pk", pk)
-    key = "h" if hash_key else "span"
     if hash_key:
         win = win.withColumn("h", F.sha2(F.col("span"), 256))
+    return base, win
+
+
+def _substr_cut(base, dup, L):
+    """Interval-merge the duplicated window starts per doc and rebuild
+    each doc from its uncovered tokens — the tail of ExactSubstr, shared
+    by the batch and incremental paths."""
     from pyspark.sql import Window
 
-    first = win.groupBy(key).agg(F.min("pk").alias("kpk"))
-    dup = (
-        win.join(first, key)
-        .filter(F.col("pk") != F.col("kpk"))
-        .select("doc_id", "p")
-    )
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = dup.select(
         "doc_id",
@@ -1137,6 +1152,63 @@ def exact_substr_dedup(
         "n_removed",
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def exact_substr_index(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted half of incremental ExactSubstr: the corpus's
+    first-occurrence index — one (h = sha256(window), kpk = min packed
+    (doc_id, pos)) row per DISTINCT window content. This is a plain
+    min-monoid keyed by a 32-byte hash, so it maintains exactly like the
+    MinHash index (build once over history, parquet round-trip, fold
+    deltas in at O(delta + touched keys)) and its size is bounded by
+    distinct window content, not corpus occurrences."""
+    _, win = _substr_windows(docs, int(min_tokens), text_col, id_col, hash_key=True)
+    return win.groupBy("h").agg(F.min("pk").alias("kpk"))
+
+
+def exact_substr_incremental(
+    delta: DataFrame,
+    index: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Clean NEW documents against base ∪ delta without re-windowing the
+    historical corpus — ExactSubstr's daily-crawl shape (the
+    minhash_incremental_pairs discipline applied to span cutting).
+
+    Equivalence argument (restricted-output, checked by the oracle): a
+    delta window occurrence is cut iff the GLOBAL first occurrence of
+    its content — over base (from the persisted index) and the whole
+    delta — has a smaller packed key than its own. The merged minimum
+    per content is min(index.kpk, min over delta occurrences), a
+    min-monoid fold; base documents' own outputs are untouched by
+    construction (they were cleaned when ingested — and if a new doc's
+    key ordering would steal a base window's first-occurrence, that
+    affects only the base doc's hypothetical re-clean, never the delta
+    rows this emits). Cost: O(delta windows + touched index keys); the
+    join against the index is semi-bounded by the delta's own distinct
+    window contents.
+    """
+    L = int(min_tokens)
+    base_d, win = _substr_windows(delta, L, text_col, id_col, hash_key=True)
+    dmin = win.groupBy("h").agg(F.min("pk").alias("dmin"))
+    # least() skips NULLs: content unseen in the base index keeps the
+    # delta-local minimum as the global first occurrence
+    merged = dmin.join(index, "h", "left").select(
+        "h", F.least(F.col("dmin"), F.col("kpk")).alias("gmin")
+    )
+    dup = (
+        win.join(merged, "h")
+        .filter(F.col("pk") != F.col("gmin"))
+        .select("doc_id", "p")
+    )
+    return _substr_cut(base_d, dup, L)
 
 
 def connected_components_star(

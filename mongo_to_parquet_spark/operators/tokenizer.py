@@ -80,6 +80,10 @@ SCHEMAS = {
     "oov_vocab": "tok string, c bigint",
     "kmeans": "cid int, pos int, cval double",
     "pca": "pos int, component double, eigenvalue double",
+    # the bigram LM's complete sufficient statistics (UNPRUNED — the
+    # smoothing floor must distinguish n12=1 from unseen); context
+    # totals and vocabulary derive by aggregating the stored rows
+    "bigram_lm": "w1 string, w2 string, n12 bigint",
 }
 
 

@@ -1200,6 +1200,137 @@ def q_logprob_apply_artifact(spark, sf):
     return text.unigram_logprob_score(tok, stored)
 
 
+# --------------------------------------------------- bigram LM scoring -----
+_BIGRAM_LM_SQL = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+        SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM bi WHERE doc_id % 4 <> 0 GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM c12)
+    SELECT b.doc_id,
+           ROUND(-AVG(LN((COALESCE(c.n12, 0) + 0.5)
+                         / (COALESCE(c1.n1, 0) + 0.5 * v.vsz))), 4) AS nll2,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c.n12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen
+    FROM bi b
+    LEFT JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+"""
+
+
+def _bigrams_of(d):
+    """(doc_id, w1, w2) bigram stream — the shared featurization of the
+    bigram-LM trainer (q_ngram_lm's shape) and both scoring keys."""
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] as w1, ts[i] as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+
+def _bigram_score(bi, c12):
+    """Score a bigram stream under a stored/trained UNPRUNED count table:
+    add-k (k=0.5) smoothed P(w2|w1) with context totals and vocabulary
+    DERIVED from the table itself (self-contained — the DSIR rule), so
+    unseen bigrams back off to the smoothing floor and unseen contexts
+    to the uniform 1/V. Shared by the inline and artifact keys."""
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    v = c12.agg(F.countDistinct("w2").cast("bigint").alias("vsz"))
+    p = (F.coalesce(F.col("n12"), F.lit(0)) + 0.5) / (
+        F.coalesce(F.col("n1"), F.lit(0)) + 0.5 * F.col("vsz")
+    )
+    return (
+        bi.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log(p)), 4).alias("nll2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("n12").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen"),
+        )
+    )
+
+
+@q("q_logprob_bigram", _BIGRAM_LM_SQL)
+def q_logprob_bigram(spark, sf):
+    # bigram-LM perplexity proxy, trained-on-yesterday/score-today shape:
+    # the add-k-smoothed model (q_ngram_lm's estimator, UNPRUNED) is
+    # trained on the base slice (doc_id % 4 != 0 — the fixture's
+    # incremental convention) and scores the WHOLE corpus, so unseen
+    # bigrams and unseen contexts genuinely occur in the declared key
+    # (delta docs back off to the smoothing floor / uniform 1/V) instead
+    # of the train-set-scores-itself degenerate case where every bigram
+    # is known. Per doc: mean −ln P(w2|w1), bigram count, unseen count —
+    # the held-out quality signal (high nll2 + high n_unseen = novel or
+    # garbled text; the step up from q_text_logprob's unigram proxy).
+    #
+    # Scale: training is two partial-combined count aggregations over
+    # the base slice; scoring joins the bigram stream against the LM on
+    # (w1, w2) — broadcast when the LM fits (fixture), sort-merge on
+    # pair-hash keys when it doesn't (both sides data-sized, no
+    # strategy cliff: the work IS join-shaped); context totals and
+    # vocabulary derive from the count table, never a second corpus
+    # scan.
+    d = T(spark, sf, "documents")
+    bi = _bigrams_of(d)
+    c12 = (
+        bi.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+    )
+    return _bigram_score(bi, c12)
+
+
+@q("q_logprob_bigram_artifact", _BIGRAM_LM_SQL)
+def q_logprob_bigram_artifact(spark, sf):
+    # the SERVE twin: the UNPRUNED (w1, w2, n12) integer count table —
+    # the bigram LM's complete sufficient statistics — persists once in
+    # the versioned store ("bigram_lm" family) and scoring loads it;
+    # context totals and vocabulary re-derive from the stored rows, so
+    # the artifact is self-contained and no float ever crosses the
+    # store. Closes the q_ngram_lm trainer's serve gap (round-9 verdict
+    # item 1's parenthetical): q_ngram_lm remains the PRUNED declared
+    # report (its n12 >= 5 cut is a compactness knob for the published
+    # table), while serving keeps every count because the smoothing
+    # floor must distinguish n12=1 from unseen. Oracle = the full
+    # train+score SQL: store→load→score ≡ train→score, hash-gated.
+    art = tokenizer.artifact_dir(sf, "bigram_lm")
+    want = {"tokenizer": "whitespace", "k": "0.5", "train": "base_mod4"}
+    d = T(spark, sf, "documents")
+    bi = _bigrams_of(d)
+    if not tokenizer.artifact_current(art, "bigram_lm", want):
+        c12 = (
+            bi.filter(F.col("doc_id") % 4 != 0)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+        )
+        tokenizer.save_artifact(spark, c12, art, "bigram_lm", meta=want)
+    stored = tokenizer.load_artifact(spark, art, "bigram_lm").select(
+        "w1", "w2", "n12"
+    )
+    return _bigram_score(bi, stored)
+
+
 @q(
     "q_curation_pipeline",
     """
@@ -1447,6 +1578,40 @@ def q_dedup_exact_substr(spark, sf):
     # ROW_NUMBER()=1 keeper is the engine's map-combinable min(pk).
     return dedup.exact_substr_dedup(
         T(spark, sf, "documents"), min_tokens=_XSUB_L
+    )
+
+
+@q(
+    "q_dedup_substr_incremental",
+    ORACLE["q_dedup_exact_substr"].rstrip()
+    + "\n    WHERE b.doc_id % 4 = 0\n    ",
+)
+def q_dedup_substr_incremental(spark, sf):
+    # ExactSubstr's DAILY-CRAWL shape (the q_dedup_incremental
+    # discipline applied to span cutting): new documents (doc_id % 4 ==
+    # 0) are cleaned against the historical corpus through a PERSISTED
+    # first-occurrence index — one (sha256(window), min packed
+    # (doc_id,pos)) row per distinct window content, a plain min-monoid
+    # the base corpus never re-windows for. Delta windows fold their own
+    # minima in (least() over the index join), non-first occurrences are
+    # cut, and only the delta's cleaned remainders are emitted. Oracle =
+    # the full-corpus ExactSubstr SQL restricted to delta docs, so the
+    # hash match PROVES restricted-output equivalence: index(base) +
+    # delta-fold ≡ batch over base ∪ delta, for every emitted row
+    # (operators/dedup.exact_substr_incremental has the argument).
+    #
+    # Scale: per day this is O(delta windows + touched index keys); the
+    # index is bounded by DISTINCT window content (32-byte keys), the
+    # join is semi-bounded by the delta's own contents, and history text
+    # is never touched at all — against the batch key's full re-window
+    # of the corpus, this is the difference between scanning one day and
+    # scanning the archive.
+    d = T(spark, sf, "documents")
+    idx = dedup.exact_substr_index(
+        d.filter(F.col("doc_id") % 4 != 0), min_tokens=_XSUB_L
+    )
+    return dedup.exact_substr_incremental(
+        d.filter(F.col("doc_id") % 4 == 0), idx, min_tokens=_XSUB_L
     )
 
 

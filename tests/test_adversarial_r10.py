@@ -321,3 +321,70 @@ def test_ann_drift_gate_trips_on_drifted_corpus(spark, tmp_path):
     assert tuple(r) == tuple(want)
     assert r["recall_build_bp"] >= 9000   # the layout WAS good at build
     assert r["drift_bp"] > 500 and r["rebuild"]  # ...and is stale now
+
+
+def test_bigram_lm_backoff_floor_and_unseen_accounting(spark, tmp_path):
+    """A delta doc made of entirely novel tokens must score at exactly
+    the uniform floor: every bigram unseen (n12=0) with unseen context
+    (n1=0) gives P = 0.5/(0.5·V) = 1/V, so nll2 = round(ln V, 4) and
+    n_unseen = n_bigrams — pinned against the oracle on a corpus where
+    the arithmetic is checkable by hand."""
+    import math
+
+    base = "a b c a b"           # base bigrams: ab, bc, ca, ab -> V = {b,c,a} = 3
+    texts = [base, base, base, "x y z x"]  # doc_id 4 (delta): all novel
+    d = str(tmp_path / "blm")
+    os.makedirs(d)
+    _docs(d, texts)
+    got = {
+        r["doc_id"]: (r["nll2"], r["n_bigrams"], r["n_unseen"])
+        for r in QS["q_logprob_bigram"](spark, d).collect()
+    }
+    # V = 3 distinct continuations in the base LM; the novel doc's 3
+    # bigrams all hit the unseen-context floor 1/3
+    assert got[4] == (round(math.log(3.0), 4), 3, 3)
+    assert got[1][2] == 0  # base doc: every bigram seen
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _duck(d).execute(OR["q_logprob_bigram"]).fetchall()
+    }
+    assert oracle == got
+    # serve twin agrees (cold store under tmp corpus dir)
+    import shutil
+
+    from mongo_to_parquet_spark.operators import tokenizer
+
+    shutil.rmtree(tokenizer.artifact_dir(d, "bigram_lm"), ignore_errors=True)
+    served = {
+        r["doc_id"]: (r["nll2"], r["n_bigrams"], r["n_unseen"])
+        for r in QS["q_logprob_bigram_artifact"](spark, d).collect()
+    }
+    assert served == got
+
+
+def test_exact_substr_index_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The first-occurrence index survives a parquet round-trip
+    unchanged (decimal keys included), and the incremental clean run
+    from the LOADED index equals the in-memory one — the persistence
+    half of the daily-crawl contract."""
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators.dedup import (
+        exact_substr_incremental,
+        exact_substr_index,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    delta = d.filter(F.col("doc_id") % 4 == 0)
+    idx = exact_substr_index(base)
+    p = str(tmp_path / "xsub_idx")
+    idx.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    assert sorted(map(tuple, idx.collect())) == sorted(
+        map(tuple, loaded.collect())
+    )
+    mem = sorted(map(tuple, exact_substr_incremental(delta, idx).collect()))
+    disk = sorted(map(tuple, exact_substr_incremental(delta, loaded).collect()))
+    assert mem == disk and len(mem) > 0
