@@ -314,6 +314,20 @@ def write_layout_meta(layout_dir: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+def invalidate_layout_meta(layout_dir: str) -> None:
+    """Remove the marker BEFORE a rebuild's overwrite writes begin, so a
+    crash mid-rebuild (or a concurrent reader during the rewrite window)
+    sees config-unknown ({}) — refused by :func:`layout_current` — rather
+    than the PREVIOUS build's marker over partial or differently-configured
+    data. The marker-after-data convention needs this invalidate-first
+    half to hold across rebuilds, not just first builds."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(layout_dir, LAYOUT_MARKER))
+
+
 def read_layout_meta(layout_dir: str) -> dict:
     """{} when absent (a pre-marker layout: treat as config-unknown)."""
     import json
@@ -360,6 +374,7 @@ def build_ivf_layout(
     layout marker records the overlap so mixed-config serving is refused
     by :func:`layout_current` checks.
     """
+    invalidate_layout_meta(out_dir)
     cents = _centroids(emb, n_cells, id_col, vec_col)
     assigned = _assign_cells(
         emb, F.broadcast(cents), id_col, vec_col, overlap=overlap
@@ -549,6 +564,7 @@ def build_ivfpq_layout(
     (the 100 TB part) is never read at serve time at all. A 768-dim fp32
     corpus serves from codes ~1500× smaller.
     """
+    invalidate_layout_meta(out_dir)
     cents = _centroids(emb, n_cells, id_col, vec_col)
     assigned = _assign_cells(emb, F.broadcast(cents), id_col, vec_col)
     codes, codebook, rng = pq_codes(emb, n_codes, id_col, vec_col)

@@ -265,7 +265,20 @@ def unigram_logprob_score(
         tok.join(F.broadcast(freqs), "tok")
         .groupBy(id_col)
         .agg(
-            F.round(-F.avg(F.log(F.col("c") / F.lit(float(total)))), 4).alias("nll"),
+            # decimal-summed order-free mean (the fixed-point reduction
+            # discipline): a double AVG's summation order differs across
+            # engines and can flip the 4dp hash on a rounding boundary
+            F.round(
+                -(
+                    F.sum(
+                        F.log(F.col("c") / F.lit(float(total))).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                4,
+            ).alias("nll"),
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )

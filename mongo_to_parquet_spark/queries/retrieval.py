@@ -1639,7 +1639,13 @@ def q_embed_pca(spark, sf):
     # every corpus size. Python-float round-trip of the collected means
     # is exact (binary64), so the centered products are bit-identical to
     # the joined form and the oracle is unchanged.
-    n_val = int(e.count())
+    # n is COUNT(DISTINCT vec_id) over the rows that actually produce
+    # dims — the oracle's definition — NOT e.count(): on a corpus with
+    # duplicate vec_ids or null/empty embedding arrays the two diverge
+    # (null/empty vectors unnest to zero dim rows and must not inflate
+    # the covariance divisor). Pinned by the degenerate-corpus test in
+    # tests/test_adversarial_r11.py.
+    n_val = int(dims.select(F.countDistinct("vec_id")).first()[0])
     mu_arr = F.array(*[F.lit(float(r["mu"])) for r in mu_rows])
     centered = e.select(
         "vec_id",
@@ -2885,14 +2891,20 @@ _DRIFT_NP = 4
 _DRIFT_CELLS = 16
 _DRIFT_PROBES = 16
 _DRIFT_THRESH_BP = 500
+#: the fixture's incremental convention: the "build" corpus is the slice
+#: vec_id % _DRIFT_BASE_MOD != 0 (shared with the engine leg below)
+_DRIFT_BASE_MOD = 4
 
-_ANN_DRIFT_SQL = """
+# one definition feeds BOTH engines (the _ann_tuning_sql() pattern):
+# every knob below interpolates from the _DRIFT_* constants so editing a
+# constant cannot silently desynchronize the oracle from the engine.
+_ANN_DRIFT_SQL = f"""
     WITH bse AS MATERIALIZED (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_DRIFT_BASE_MOD} <> 0
     ),
     cents AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
-        FROM (SELECT * FROM bse ORDER BY vec_id LIMIT 16)
+        FROM (SELECT * FROM bse ORDER BY vec_id LIMIT {_DRIFT_CELLS})
     ),
     corp AS MATERIALIZED (
         SELECT 'build' AS leg, vec_id, embedding FROM bse
@@ -2907,7 +2919,7 @@ _ANN_DRIFT_SQL = """
                                         CAST(vec_id AS VARCHAR))), 1, 12) ASC,
                                 vec_id ASC) AS prk
             FROM corp)
-        WHERE prk <= 16
+        WHERE prk <= {_DRIFT_PROBES}
     ),
     assigned AS MATERIALIZED (
         SELECT leg, vec_id, embedding, cell FROM (
@@ -2927,7 +2939,7 @@ _ANN_DRIFT_SQL = """
                                                  CAST(p.pv AS DOUBLE[])) DESC,
                                 c.cell ASC) AS crk
             FROM cents c CROSS JOIN probes p)
-        WHERE crk <= 4
+        WHERE crk <= {_DRIFT_NP}
     ),
     approx AS (
         SELECT leg, probe_id, vec_id FROM (
@@ -2963,12 +2975,13 @@ _ANN_DRIFT_SQL = """
           ON a.leg = e.leg AND a.probe_id = e.probe_id AND a.vec_id = e.vec_id
         GROUP BY e.leg
     )
-    SELECT CAST(4 AS BIGINT) AS n_probe,
+    SELECT CAST({_DRIFT_NP} AS BIGINT) AS n_probe,
            CAST(b.hits * 10000 // b.tot AS BIGINT) AS recall_build_bp,
            CAST(n.hits * 10000 // n.tot AS BIGINT) AS recall_now_bp,
            CAST(b.hits * 10000 // b.tot
                 - n.hits * 10000 // n.tot AS BIGINT) AS drift_bp,
-           (b.hits * 10000 // b.tot - n.hits * 10000 // n.tot) > 500 AS rebuild
+           (b.hits * 10000 // b.tot - n.hits * 10000 // n.tot)
+               > {_DRIFT_THRESH_BP} AS rebuild
     FROM m b, m n WHERE b.leg = 'build' AND n.leg = 'now'
 """
 
@@ -3010,7 +3023,7 @@ def q_ann_drift(spark, sf):
     )
 
     emb = T(spark, sf, "embeddings")
-    bse = emb.filter(F.col("vec_id") % 4 != 0)
+    bse = emb.filter(F.col("vec_id") % _DRIFT_BASE_MOD != 0)
     cents = F.broadcast(_centroids(bse, _DRIFT_CELLS, "vec_id", "embedding"))
 
     def leg_recall(corp, alias):

@@ -1,0 +1,121 @@
+"""Round-11 adversarial self-review tests (SURVEY §7 standing
+discipline), starting with the round-10 ADVICE items: the q_embed_pca
+covariance divisor on a degenerate corpus (null / empty embeddings must
+not inflate n), and the decimal-summed order-free nll reductions."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mongo_to_parquet_spark.queries import oracle_sql, queries
+
+QS = queries()
+OR = oracle_sql()
+
+
+def _embeddings(tmpdir, rows):
+    """rows: list of (vec_id, embedding-or-None, label)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tab, f"{tmpdir}/embeddings.parquet")
+
+
+def _duck(sf_dir, tables=("embeddings",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_pca_degenerate_corpus_divisor(spark, tmp_path):
+    """Round-10 ADVICE (medium): the engine's covariance divisor was
+    e.count() while the oracle divides by COUNT(DISTINCT vec_id) over the
+    rows that actually PRODUCE dims — a null or empty embedding unnests to
+    zero dim rows, so it must not inflate n. The sf fixtures hide this
+    (every vec_id unique, every embedding present); this corpus has one
+    NULL and one empty-array embedding among 6 real vectors, so the wrong
+    divisor (n=8 vs n=6) shifts every covariance entry by 7/5 and the
+    component/eigenvalue hashes diverge."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(1, 7)
+    ]
+    rows.append((7, None, 0))  # NULL embedding
+    rows.append((8, [], 1))  # empty array
+    d = str(tmp_path / "pca_degenerate")
+    os.makedirs(d)
+    _embeddings(d, rows)
+
+    oracle = sorted(_duck(d).execute(OR["q_embed_pca"]).fetchall())
+    engine = sorted(
+        (r["pos"], r["component"], r["eigenvalue"])
+        for r in QS["q_embed_pca"](spark, d).collect()
+    )
+    assert len(engine) == 64
+    assert engine == [tuple(r) for r in oracle]
+
+
+def test_pca_all_degenerate_refuses_identically(spark, tmp_path):
+    """Boundary: a corpus of ONLY null/empty embeddings produces no dims
+    at all — n=0 and the covariance divisor n-1 = -1. Both engines should
+    degenerate the same way (empty / NaN-free zero-row result), not
+    silently disagree."""
+    d = str(tmp_path / "pca_empty")
+    os.makedirs(d)
+    _embeddings(d, [(1, None, 0), (2, [], 1)])
+
+    oracle = _duck(d).execute(OR["q_embed_pca"]).fetchall()
+    engine = QS["q_embed_pca"](spark, d).collect()
+    assert len(engine) == len(oracle) == 0
+
+
+def test_rebuild_invalidates_marker_first(spark, tmp_path):
+    """Round-10 ADVICE (low): build_ivf_layout used to overwrite vectors/
+    and centroids/ while the PREVIOUS build's _LAYOUT.json stayed
+    committed — a crash mid-rebuild left a stale marker that
+    layout_current() accepted over partial/differently-configured data.
+    The rebuild now removes the marker BEFORE any overwrite begins, so
+    the failure window reads as config-unknown ({}) and is refused."""
+    from unittest import mock
+
+    from mongo_to_parquet_spark.operators import similarity as sim
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = str(tmp_path / "ivf_crash")
+    sim.build_ivf_layout(emb, d, n_cells=8, overlap=1)
+    assert sim.layout_current(d, {"n_cells": 8, "overlap": 1})
+
+    # crash the rebuild at the first write AFTER invalidation: the old
+    # marker must already be gone, so the half-rebuilt dir refuses
+    with mock.patch.object(
+        sim, "_centroids", side_effect=RuntimeError("crash mid-rebuild")
+    ):
+        with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+            sim.build_ivf_layout(emb, d, n_cells=16, overlap=2)
+    assert sim.read_layout_meta(d) == {}
+    assert not sim.layout_current(d, {"n_cells": 8, "overlap": 1})
+    assert not sim.layout_current(d, {"n_cells": 16, "overlap": 2})
+
+    # a completed rebuild recommits the marker and serves again
+    sim.build_ivf_layout(emb, d, n_cells=16, overlap=2)
+    assert sim.layout_current(d, {"n_cells": 16, "overlap": 2})
