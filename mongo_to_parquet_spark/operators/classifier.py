@@ -1,0 +1,205 @@
+"""In-engine trained quality classifier: logistic regression by gradient
+descent over hashed token features, ENTIRELY in fixed-point integer
+arithmetic so a fixed iteration count is bit-identical cross-engine (the
+PageRank/PCA discipline applied to model TRAINING — integer sums are
+order-free, so no float-summation drift can leak into the weights).
+
+This is the trained counterpart of the fastText/logreg quality gate every
+published pretraining recipe runs (GPT-3's LR-over-hashed-ngrams filter,
+LLaMA/RedPajama's classifier pass): curated-positive vs negative labels
+derive from the corpus's own deterministic quality signals, features are
+the hashing-trick token buckets (Weinberger et al.; q_feat_hashing's
+md5-prefix identity), and the learned weights persist through the
+versioned tokenizer store ("quality_lr" family) to serve at scan speed.
+
+Determinism contract (the whole point of the fixed-point form):
+- features x are ×S integers: x = (count·S) div n_tok, bias = S,
+  length = (n_tok·S) div 100;
+- the sigmoid is the ALGEBRAIC one, σ(m) = ½(1 + m/(1+|m|)), computed as
+  σ_int = S div 2 + (m·S) div (2·(S+|m|)) — integer products and
+  truncating division only, no exp() whose last ulp could differ across
+  engines and compound over iterations;
+- both engines truncate integer division toward zero (Spark `div` ≡
+  DuckDB `//`, verified on negatives) and every reduction is an integer
+  SUM — order-independent, hash-exact at any parallelism.
+
+Scale: model state is D+2 scaled-integer weights — it rides the plan as
+LITERALS (the kmeans-centroid driver-pick exception), so the margin pass
+is map-side with NO join. Each iteration costs one features-scan margin
+aggregation (doc_id-keyed, map-combined) plus one co-partitioned
+features⋈residuals join and a D-row gradient aggregate; the features
+relation is built once and cached. Serving is a single scan with the
+weight array folded in — zero joins, zero Python — at 100 TB the gate
+scores at scan speed exactly like the fixed-weight q_quality_model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: fixed-point scale — every feature, weight, margin, sigmoid value and
+#: residual is an integer multiple of 1/S
+S = 1_000_000
+#: hashed token buckets 0..D-1; bucket D is the bias, D+1 the length
+D = 32
+BIAS_B = D
+LEN_B = D + 1
+N_W = D + 2
+#: fixed iteration count and integer learning-rate numerator
+#: (update: w += (LR_NUM · g) div n_train). 16×16 calibrates the keep
+#: threshold to 0.96 held-out accuracy on the fixtures (AUC is already
+#: 1.0 by iteration 6 — the extra iterations move the DECISION BOUNDARY,
+#: not the ranking); weight bound after 16 iterations is ~2.6e8, so
+#: every product stays orders of magnitude inside int64
+ITERS = 16
+LR_NUM = 16
+#: the hashing-trick salt (cross-engine md5-prefix identity)
+SALT = "qlr:"
+
+
+def _tdiv(a: int, n: int) -> int:
+    """Integer division truncating toward zero (SQL div / DuckDB //
+    semantics) — Python's // floors instead, which diverges on negative
+    gradients."""
+    q, r = divmod(a, n)
+    if r != 0 and (a < 0) != (n < 0):
+        q += 1
+    return q
+
+
+def doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, x): hashed-token tf buckets in fixed point, plus the
+    bias and scaled-length dimensions. x sums to ~2S+len per doc."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    h = F.md5(F.concat(F.lit(SALT), F.col("tok")))
+    raw = (
+        tok.select(
+            "doc_id",
+            (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % D)
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hashed = raw.join(nt, "doc_id").select(
+        "doc_id", "b", F.expr(f"(c * {S}) div n_tok").alias("x")
+    )
+    extra = nt.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(BIAS_B).alias("b"), F.lit(S).cast("bigint").alias("x")
+                ),
+                F.struct(
+                    F.lit(LEN_B).alias("b"),
+                    F.expr(f"(n_tok * {S}) div 100").alias("x"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.b", "e.x")
+    return hashed.unionByName(extra)
+
+
+def doc_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, y): curated-positive = passes the deterministic C4-ish
+    gate (enough tokens, sane mean word length) — integer-exact on both
+    engines: y = 1 iff n_tok >= 40 and 30 <= (Σ len(tok)·10) div n_tok
+    <= 60."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("tok")).alias("sum_len"),
+    )
+    mwl10 = F.expr("(sum_len * 10) div n_tok")
+    return st.select(
+        "doc_id",
+        F.when(
+            (F.col("n_tok") >= 40) & (mwl10 >= 30) & (mwl10 <= 60), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+
+
+def _sigmoid_int(mcol: str) -> F.Column:
+    """σ_int(m) = S/2 + (m·S) div (2·(S+|m|)) ∈ [0, S]."""
+    return F.expr(
+        f"{S} div 2 + ({mcol} * {S}) div (2 * ({S} + abs({mcol})))"
+    )
+
+
+def train_logreg(feats: DataFrame, labels: DataFrame) -> list[int]:
+    """Fixed-point batch gradient descent, ITERS iterations; returns the
+    N_W scaled-integer weights. ``feats``/``labels`` should already be
+    restricted to the training split. Model state stays driver-side
+    Python ints (exact, unbounded) and re-enters each iteration's plan as
+    literals; the corpus-sized relation is scanned once per iteration."""
+    tr = feats.join(labels, "doc_id").persist()
+    try:
+        n_train = tr.select(F.countDistinct("doc_id")).first()[0]
+        if n_train == 0:
+            raise ValueError("empty training split for quality_lr")
+        w = [0] * N_W
+        for _ in range(ITERS):
+            warr = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
+            m = (
+                # bind the literal-array pick as a real column so the
+                # div expr can reference it by name
+                tr.withColumn("w", F.element_at(warr, F.col("b") + 1))
+                .select(
+                    "doc_id",
+                    "y",
+                    F.expr(f"(x * w) div {S}").alias("t"),
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.max("y").alias("y"),
+                    F.sum("t").cast("bigint").alias("m"),
+                )
+            )
+            r = m.select(
+                "doc_id",
+                (F.col("y") * S - _sigmoid_int("m")).cast("bigint").alias("r"),
+            )
+            g = (
+                tr.join(r, "doc_id")
+                .select("b", F.expr(f"(x * r) div {S}").alias("t"))
+                .groupBy("b")
+                .agg(F.sum("t").cast("bigint").alias("g"))
+                .collect()
+            )
+            gd = {row["b"]: int(row["g"]) for row in g}
+            # Python // floors on negatives; SQL div truncates toward
+            # zero — _tdiv keeps the driver-side update bit-identical to
+            # the oracle's integer arithmetic
+            w = [
+                int(wi) + _tdiv(LR_NUM * gd.get(b, 0), n_train)
+                for b, wi in enumerate(w)
+            ]
+        return w
+    finally:
+        tr.unpersist()
+
+
+def score(feats: DataFrame, weights: list[int]) -> DataFrame:
+    """(doc_id, score_scaled, keep): σ_int of the margin under the given
+    weights, keep = score ≥ S/2. Map-side: weights are literals."""
+    warr = F.array(*[F.lit(int(wi)).cast("bigint") for wi in weights])
+    m = (
+        feats.withColumn("w", F.element_at(warr, F.col("b") + 1))
+        .select("doc_id", F.expr(f"(x * w) div {S}").alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("bigint").alias("m"))
+    )
+    return m.select(
+        "doc_id",
+        _sigmoid_int("m").cast("bigint").alias("score_scaled"),
+        (_sigmoid_int("m") >= S // 2).alias("keep"),
+    )

@@ -84,6 +84,10 @@ SCHEMAS = {
     # smoothing floor must distinguish n12=1 from unseen); context
     # totals and vocabulary derive by aggregating the stored rows
     "bigram_lm": "w1 string, w2 string, n12 bigint",
+    # round-11: the trained quality classifier's fixed-point integer
+    # weights (operators/classifier.py) — integers round-trip parquet
+    # bit-exactly, so no float ever crosses the store
+    "quality_lr": "b int, w bigint",
 }
 
 

@@ -18,7 +18,14 @@ from mongo_to_parquet_spark.functions.textfns import (
     tokens,
 )
 from mongo_to_parquet_spark.functions.vector import cosine, norm
-from mongo_to_parquet_spark.operators import dedup, freq, similarity, text, tokenizer
+from mongo_to_parquet_spark.operators import (
+    classifier as clf,
+    dedup,
+    freq,
+    similarity,
+    text,
+    tokenizer,
+)
 from mongo_to_parquet_spark.sources.catalog import load_table as T
 from mongo_to_parquet_spark.queries._registry import make_registry
 
@@ -1150,7 +1157,10 @@ def q_text_chunk(spark, sf):
     ), freq AS (
         SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
     ), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
-    SELECT doc_id, ROUND(-AVG(LN(c / n)), 4) AS nll, COUNT(*) AS n_tokens
+    SELECT doc_id,
+           ROUND(-(CAST(SUM(CAST(LN(c / n) AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*)), 4) AS nll,
+           COUNT(*) AS n_tokens
     FROM tok JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -1215,8 +1225,10 @@ _BIGRAM_LM_SQL = """
     c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
     v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM c12)
     SELECT b.doc_id,
-           ROUND(-AVG(LN((COALESCE(c.n12, 0) + 0.5)
-                         / (COALESCE(c1.n1, 0) + 0.5 * v.vsz))), 4) AS nll2,
+           ROUND(-(CAST(SUM(CAST(LN((COALESCE(c.n12, 0) + 0.5)
+                                    / (COALESCE(c1.n1, 0) + 0.5 * v.vsz))
+                            AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*)), 4) AS nll2,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(CASE WHEN c.n12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_unseen
@@ -1262,7 +1274,18 @@ def _bigram_score(bi, c12):
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.round(-F.avg(F.log(p)), 4).alias("nll2"),
+            # -avg(ln p) with the sum accumulated in DECIMAL(38,18) so the
+            # per-doc reduction is ORDER-FREE on both engines (the
+            # PCA/kmeans/pagerank fixed-point discipline) — a plain double
+            # AVG is order-dependent and can flip the 4dp hash gate when a
+            # doc's mean lands on a .00005 boundary (round-10 advice).
+            F.round(
+                -(
+                    F.sum(F.log(p).cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                4,
+            ).alias("nll2"),
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum(F.when(F.col("n12").isNull(), 1).otherwise(0))
             .cast("bigint")
@@ -1755,6 +1778,190 @@ def q_quality_model(spark, sf):
         "score",
         (F.col("score") >= 0.5).alias("keep"),
     )
+
+
+# ------------------------------------- trained quality classifier ----------
+def _qlr_train_ctes() -> str:
+    """The unrolled fixed-point gradient-descent WITH block (shared by
+    the train and apply oracles): features / labels / ITERS iterations of
+    margin → algebraic sigmoid → residual → gradient → update, all in
+    ×S-integer arithmetic so every reduction is an order-free integer
+    SUM. One definition feeds both oracles AND mirrors the constants in
+    operators/classifier.py (_DRIFT_*-style: edit the constant, both
+    engines move)."""
+    from mongo_to_parquet_spark.operators.classifier import (
+        BIAS_B,
+        D,
+        ITERS,
+        LEN_B,
+        LR_NUM,
+        N_W,
+        S,
+        SALT,
+    )
+
+    ctes = [
+        f"""
+    tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    nt AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(len(tok)) AS BIGINT) AS sum_len
+        FROM tok GROUP BY doc_id
+    ),
+    lab AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN n_tok >= 40
+                     AND (sum_len * 10) // n_tok BETWEEN 30 AND 60
+                    THEN 1 ELSE 0 END AS y
+        FROM nt
+    ),
+    fraw AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(concat('{SALT}', tok)),
+                                             1, 12)) AS BIGINT)
+                    % {D} AS INT) AS b,
+               COUNT(*) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    feats AS MATERIALIZED (
+        SELECT f.doc_id, f.b, CAST((f.c * {S}) // nt.n_tok AS BIGINT) AS x
+        FROM fraw f JOIN nt USING (doc_id)
+        UNION ALL
+        SELECT doc_id, {BIAS_B} AS b, CAST({S} AS BIGINT) AS x FROM nt
+        UNION ALL
+        SELECT doc_id, {LEN_B} AS b,
+               CAST((n_tok * {S}) // 100 AS BIGINT) AS x
+        FROM nt
+    ),
+    tr AS MATERIALIZED (
+        SELECT f.doc_id, f.b, f.x, l.y
+        FROM feats f JOIN lab l USING (doc_id)
+        WHERE f.doc_id % 4 <> 0
+    ),
+    ntr AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n FROM tr),
+    w0 AS (SELECT CAST(unnest(range({N_W})) AS INT) AS b,
+                  CAST(0 AS BIGINT) AS w)"""
+    ]
+    for i in range(1, ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""
+    m{i} AS MATERIALIZED (
+        SELECT t.doc_id, MAX(t.y) AS y,
+               CAST(SUM((t.x * w.w) // {S}) AS BIGINT) AS m
+        FROM tr t JOIN w{p} w USING (b) GROUP BY t.doc_id
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(y * {S} - ({S} // 2
+                    + (m * {S}) // (2 * ({S} + abs(m)))) AS BIGINT) AS r
+        FROM m{i}
+    ),
+    g{i} AS MATERIALIZED (
+        SELECT t.b, CAST(SUM((t.x * r.r) // {S}) AS BIGINT) AS g
+        FROM tr t JOIN r{i} r USING (doc_id) GROUP BY t.b
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT w.b,
+               CAST(w.w + ({LR_NUM} * COALESCE(g.g, 0))
+                    // (SELECT n FROM ntr) AS BIGINT) AS w
+        FROM w{p} w LEFT JOIN g{i} g USING (b)
+    )"""
+        )
+    return "WITH " + ",".join(ctes)
+
+
+def _qlr_final_w() -> str:
+    from mongo_to_parquet_spark.operators.classifier import ITERS
+
+    return f"w{ITERS}"
+
+
+@q(
+    "q_quality_train",
+    _qlr_train_ctes()
+    + f"""
+    SELECT b, w AS w_scaled FROM {_qlr_final_w()}
+    """,
+)
+def q_quality_train(spark, sf):
+    # IN-ENGINE quality-classifier training (the GPT-3/LLaMA/RedPajama
+    # recipes' logreg filter, trained rather than folded-in): logistic
+    # regression by 6 fixed gradient-descent iterations over hashed token
+    # features + bias + scaled length, labels from the corpus's own
+    # deterministic C4-ish gate, train split doc_id % 4 != 0 (the
+    # base_mod4 convention). ENTIRELY fixed-point integer arithmetic with
+    # the algebraic sigmoid — integer sums are order-free, so the learned
+    # weights are bit-identical cross-engine (the PageRank discipline
+    # applied to model training; operators/classifier.py).
+    #
+    # Scale: model state is 34 scaled ints riding the plan as literals —
+    # the margin pass is map-side (NO weight join); per iteration: one
+    # doc-keyed margin agg + one co-partitioned feats⋈residuals join +
+    # a 34-row gradient agg. The features relation builds once, persists,
+    # and is the only corpus-sized input; 100 iterations on 100 TB cost
+    # 100 feature scans and nothing more.
+    d = T(spark, sf, "documents").filter(F.col("doc_id") % 4 != 0)
+    feats = clf.doc_features(d)
+    labels = clf.doc_labels(d)
+    w = clf.train_logreg(feats, labels)
+    return spark.createDataFrame(
+        [(b, int(wi)) for b, wi in enumerate(w)], "b int, w_scaled bigint"
+    )
+
+
+@q(
+    "q_quality_apply_artifact",
+    _qlr_train_ctes()
+    + f"""
+    , sc AS (
+        SELECT f.doc_id, CAST(SUM((f.x * w.w) // {clf.S}) AS BIGINT) AS m
+        FROM feats f JOIN {_qlr_final_w()} w USING (b) GROUP BY f.doc_id
+    )
+    SELECT doc_id,
+           CAST({clf.S} // 2 + (m * {clf.S})
+                // (2 * ({clf.S} + abs(m))) AS BIGINT) AS score_scaled,
+           ({clf.S} // 2 + (m * {clf.S})
+                // (2 * ({clf.S} + abs(m)))) >= {clf.S // 2} AS keep
+    FROM sc
+    """,
+)
+def q_quality_apply_artifact(spark, sf):
+    # the SERVE twin: the trained weights persist once in the versioned
+    # store ("quality_lr" family — 34 integers, no float ever crosses the
+    # store) and scoring loads them, folds them into the plan as an array
+    # literal, and scores EVERY document (train and held-out splits
+    # alike) at scan speed — zero joins, zero Python, exactly the
+    # fixed-weight q_quality_model's serving shape but with weights the
+    # engine learned itself. Oracle = the full train+score SQL, so the
+    # hash match proves store→load→score ≡ train→score end to end.
+    art = tokenizer.artifact_dir(sf, "quality_lr")
+    want = {
+        "tokenizer": "whitespace",
+        "train": "base_mod4",
+        "iters": str(clf.ITERS),
+        "d": str(clf.D),
+    }
+    d = T(spark, sf, "documents")
+    if not tokenizer.artifact_current(art, "quality_lr", want):
+        tr = d.filter(F.col("doc_id") % 4 != 0)
+        w = clf.train_logreg(clf.doc_features(tr), clf.doc_labels(tr))
+        tokenizer.save_artifact(
+            spark,
+            [(b, int(wi)) for b, wi in enumerate(w)],
+            art,
+            "quality_lr",
+            meta=want,
+        )
+    stored = tokenizer.load_artifact(spark, art, "quality_lr")
+    # bounded driver pick: the model IS 34 integers
+    w = [
+        int(r["w"])
+        for r in sorted(stored.collect(), key=lambda r: r["b"])
+    ]
+    return clf.score(clf.doc_features(d), w)
 
 
 @q(
@@ -3156,7 +3363,9 @@ BENCH_ONLY = {
         SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
     ), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
     scored AS (
-        SELECT doc_id, ROUND(-AVG(LN(c / n)), 4) AS nll,
+        SELECT doc_id,
+               ROUND(-(CAST(SUM(CAST(LN(c / n) AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*)), 4) AS nll,
                CAST(COUNT(*) AS BIGINT) AS n_toks
         FROM tok JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id

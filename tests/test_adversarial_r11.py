@@ -119,3 +119,71 @@ def test_rebuild_invalidates_marker_first(spark, tmp_path):
     # a completed rebuild recommits the marker and serves again
     sim.build_ivf_layout(emb, d, n_cells=16, overlap=2)
     assert sim.layout_current(d, {"n_cells": 16, "overlap": 2})
+
+
+def test_quality_classifier_learns_and_separates(spark, sf_dir):
+    """The trained classifier must beat the majority-class baseline on
+    the HELD-OUT split (doc_id % 4 == 0) and predict both classes — a
+    model that scores all-keep is a calibration failure even when its
+    ranking is perfect (exactly what 6 iterations produced before the
+    16x16 schedule was chosen)."""
+    from mongo_to_parquet_spark.operators import classifier as clf
+    from mongo_to_parquet_spark.queries import queries
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    scored = {
+        r["doc_id"]: r["keep"]
+        for r in queries()["q_quality_apply_artifact"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    labels = {
+        r["doc_id"]: r["y"] for r in clf.doc_labels(d).collect()
+    }
+    held = [i for i in labels if i % 4 == 0]
+    base = max(
+        sum(labels[i] for i in held), sum(1 - labels[i] for i in held)
+    ) / len(held)
+    acc = sum(int(scored[i]) == labels[i] for i in held) / len(held)
+    assert acc >= 0.9 and acc > base
+    kept = {scored[i] for i in held}
+    assert kept == {True, False}  # both classes predicted
+
+
+def test_quality_classifier_fixed_point_determinism(spark, tmp_path):
+    """Bit-exact training on a throwaway corpus: two independent trains
+    over the same data produce IDENTICAL integer weights (order-free
+    integer sums — no float path anywhere), and the driver-side update
+    uses truncating division (SQL div), not Python floor."""
+    from mongo_to_parquet_spark.operators import classifier as clf
+
+    assert clf._tdiv(-7, 2) == -3 and clf._tdiv(7, -2) == -3
+    assert clf._tdiv(-8, 2) == -4 and clf._tdiv(8, 3) == 2
+
+    texts = [
+        " ".join(["alpha beta gamma delta"] * (3 + i % 7))
+        for i in range(40)
+    ] + ["tiny doc"] * 10
+    d = str(tmp_path / "qlr_det")
+    os.makedirs(d)
+    _docs(d, texts)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    feats, labels = clf.doc_features(docs), clf.doc_labels(docs)
+    w1 = clf.train_logreg(feats, labels)
+    w2 = clf.train_logreg(
+        clf.doc_features(docs.repartition(7)), clf.doc_labels(docs)
+    )
+    assert w1 == w2 and len(w1) == clf.N_W
+    assert all(isinstance(w, int) for w in w1)
+
+
+def _docs(tmpdir, texts, ids=None):
+    ids = ids or list(range(1, len(texts) + 1))
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{tmpdir}/documents.parquet")
