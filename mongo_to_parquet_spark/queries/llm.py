@@ -1211,7 +1211,10 @@ def q_logprob_apply_artifact(spark, sf):
 
 
 # --------------------------------------------------- bigram LM scoring -----
-_BIGRAM_LM_SQL = """
+#: the shared WITH block (train-on-base + score-all featurization) and
+#: per-doc score SELECT — composed verbatim into _BIGRAM_LM_SQL and the
+#: CCNet bucketing oracle so the scorer definition cannot fork
+_BIGRAM_CTES = """
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     bi AS (
         SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
@@ -1223,7 +1226,9 @@ _BIGRAM_LM_SQL = """
         FROM bi WHERE doc_id % 4 <> 0 GROUP BY w1, w2
     ),
     c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
-    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM c12)
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM c12)"""
+
+_BIGRAM_SCORE_SELECT = """
     SELECT b.doc_id,
            ROUND(-(CAST(SUM(CAST(LN((COALESCE(c.n12, 0) + 0.5)
                                     / (COALESCE(c1.n1, 0) + 0.5 * v.vsz))
@@ -1238,6 +1243,8 @@ _BIGRAM_LM_SQL = """
     CROSS JOIN v
     GROUP BY b.doc_id
 """
+
+_BIGRAM_LM_SQL = _BIGRAM_CTES + _BIGRAM_SCORE_SELECT
 
 
 def _bigrams_of(d):
@@ -1352,6 +1359,185 @@ def q_logprob_bigram_artifact(spark, sf):
         "w1", "w2", "n12"
     )
     return _bigram_score(bi, stored)
+
+
+# ------------------------------------- CCNet-style perplexity buckets ------
+_PPL_BUCKETS_SQL = (
+    _BIGRAM_CTES
+    + ", sc AS MATERIALIZED ("
+    + _BIGRAM_SCORE_SELECT
+    + """
+    ),
+    rk AS (
+        SELECT d.lang, s.nll2, s.n_bigrams,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY s.nll2 ASC, s.doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM sc s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           MIN(nll2) AS min_nll2,
+           MAX(nll2) AS max_nll2
+    FROM rk GROUP BY 1, 2
+    """
+)
+
+
+def _ppl_scored_with_lang(spark, sf):
+    """(doc_id, lang, nll2, n_bigrams): the bigram-LM score stream joined
+    to language — shared by q_ppl_buckets and the funnel composition."""
+    d = T(spark, sf, "documents")
+    bi = _bigrams_of(d)
+    c12 = (
+        bi.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+    )
+    return _bigram_score(bi, c12).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+
+
+@q("q_ppl_buckets", _PPL_BUCKETS_SQL)
+def q_ppl_buckets(spark, sf):
+    # CCNet-style perplexity bucketing (Wenzek et al. — the canonical
+    # LM-based quality pass): score every doc under the base-slice-trained
+    # bigram LM, then cut each LANGUAGE into exact head/middle/tail
+    # terciles. The cuts are DISCRETE rank arithmetic over the total order
+    # (nll2 asc, doc_id asc) — rk·3 ≤ n / rk·3 ≤ 2n — pure integer
+    # selection like q_winsorize's percentiles, so no interpolated float
+    # boundary can drift cross-engine (nll2 itself is the 4dp
+    # decimal-summed score, already hash-stable). Output is the
+    # per-(lang, bucket) yield table the mixture planner consumes: doc
+    # and token mass plus the observed nll2 range per bucket.
+    #
+    # Scale: scoring is the q_logprob_bigram join; bucketing adds ONE
+    # window shuffle keyed by lang carrying (lang, nll2, doc_id,
+    # n_bigrams) — never text — then a partial-aggregated rollup on a
+    # langs×3 keyspace. Per-language skew (one giant language) is the
+    # known window hotspot; the 100 TB form presorts within lang
+    # range-partitions (rank = range offset + local rank), same math.
+    from pyspark.sql import Window
+
+    sl = _ppl_scored_with_lang(spark, sf)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll2").asc(), F.col("doc_id").asc()
+    )
+    ranked = sl.select(
+        "lang",
+        "nll2",
+        "n_bigrams",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.min("nll2").alias("min_nll2"),
+        F.max("nll2").alias("max_nll2"),
+    )
+
+
+@q(
+    "q_curation_report_ppl",
+    _BIGRAM_CTES
+    + ", sc AS MATERIALIZED ("
+    + _BIGRAM_SCORE_SELECT
+    + """
+    ),
+    flags AS (
+        SELECT doc_id, source, lang, text,
+               (n_chars BETWEEN 60 AND 2000
+                AND lang IN ('en', 'es', 'fr', 'de')
+                AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                    BETWEEN 2.0 AND 8.0) AS q
+        FROM documents
+    ), dd AS (
+        SELECT doc_id, source, lang, q,
+               MIN(CASE WHEN q THEN doc_id END) OVER (PARTITION BY text) AS min_id
+        FROM flags
+    ), disp AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN NOT q THEN 'rejected_quality'
+                    WHEN doc_id <> min_id THEN 'duplicate'
+                    WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                         THEN 'train'
+                    ELSE 'test' END AS disposition
+        FROM dd
+    ), trb AS (
+        SELECT p.doc_id,
+               row_number() OVER (PARTITION BY p.lang
+                                  ORDER BY s.nll2 ASC, p.doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY p.lang) AS n
+        FROM disp p JOIN sc s USING (doc_id)
+        WHERE p.disposition = 'train'
+    )
+    SELECT p.source,
+           CASE WHEN p.disposition <> 'train' THEN p.disposition
+                WHEN t.doc_id IS NULL THEN 'train_tail'
+                WHEN t.rk * 3 <= t.n THEN 'train_head'
+                WHEN t.rk * 3 <= 2 * t.n THEN 'train_middle'
+                ELSE 'train_tail' END AS disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM disp p LEFT JOIN trb t USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_curation_report_ppl(spark, sf):
+    # the funnel's loss accounting EXTENDED with the CCNet pass (round-10
+    # verdict item 2's composition half): quality gate → dedup →
+    # train/test split exactly as q_curation_report, then the TRAIN
+    # survivors sub-bucket into per-language perplexity terciles — the
+    # published yield matrix now shows, per source, not just what was
+    # lost but how the retained mass distributes over head/middle/tail
+    # (what a mixture planner reweights). Terciles are computed over the
+    # train survivors (CCNet buckets the corpus it keeps); a surviving
+    # doc too short to score under the bigram LM (no bigrams) lands in
+    # train_tail — unscoreable ≡ worst bucket, deterministic on both
+    # engines.
+    #
+    # Scale: the funnel's single text-keyed dedup shuffle + the
+    # lang-keyed tercile window over TRAIN SURVIVORS ONLY (already
+    # gate+dedup-reduced), then a (source × 6)-row rollup. No new
+    # corpus-sized state.
+    from pyspark.sql import Window
+
+    disp = _curation_dispositions(
+        T(spark, sf, "documents"), carry=("source", "lang")
+    )
+    sl = _ppl_scored_with_lang(spark, sf).select("doc_id", "nll2")
+    tr = disp.filter(F.col("disposition") == "train").join(sl, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll2").asc(), F.col("doc_id").asc()
+    )
+    trb = tr.select(
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    out = disp.join(trb, "doc_id", "left").select(
+        "source",
+        F.when(F.col("disposition") != "train", F.col("disposition"))
+        .when(F.col("rk").isNull(), "train_tail")
+        .when(F.col("rk") * 3 <= F.col("n"), "train_head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "train_middle")
+        .otherwise("train_tail")
+        .alias("disposition"),
+    )
+    return out.groupBy("source", "disposition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
 
 
 @q(
