@@ -3014,88 +3014,23 @@ def q_ann_drift(spark, sf):
     # layout_current (operators/similarity.py) is the config half of the
     # same gate: marker mismatch refuses BEFORE serving; this key is the
     # statistical half that catches same-config-but-drifted-data.
-    from mongo_to_parquet_spark.functions.vector import cosine
     from mongo_to_parquet_spark.operators.similarity import (
-        _assign_cells,
         _centroids,
-        brute_force_topk_batch,
-        dot,
+        recall_leg,
     )
 
     emb = T(spark, sf, "embeddings")
     bse = emb.filter(F.col("vec_id") % _DRIFT_BASE_MOD != 0)
     cents = F.broadcast(_centroids(bse, _DRIFT_CELLS, "vec_id", "embedding"))
 
-    def leg_recall(corp, alias):
-        probe_ids = [
-            r["vec_id"]
-            for r in corp.select(
-                "vec_id",
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit("annd:"), F.col("vec_id").cast("string"))
-                    ),
-                    1,
-                    12,
-                ).alias("hp"),
-            )
-            .orderBy(F.col("hp").asc(), F.col("vec_id").asc())
-            .limit(_DRIFT_PROBES)
-            .collect()
-        ]
-        assigned = _assign_cells(corp, cents, "vec_id", "embedding")
-        probes = F.broadcast(
-            corp.filter(F.col("vec_id").isin(probe_ids)).select(
-                F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
-            )
-        )
-        cw = Window.partitionBy("probe_id").orderBy(
-            F.col("pscore").desc(), F.col("cell").asc()
-        )
-        cells = (
-            cents.crossJoin(probes)
-            .withColumn("pscore", dot(F.col("cvec"), F.col("pv")))
-            .withColumn("crk", F.row_number().over(cw))
-            .filter(F.col("crk") <= _DRIFT_NP)
-            .select("probe_id", "cell")
-        )
-        w = Window.partitionBy("probe_id").orderBy(
-            F.col("sim").desc(), F.col("vec_id").asc()
-        )
-        approx = (
-            assigned.join(F.broadcast(cells), "cell")
-            .join(probes, "probe_id")
-            .filter(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id",
-                "vec_id",
-                F.round(cosine(F.col("embedding"), F.col("pv")), 4).alias("sim"),
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 10)
-            .select(
-                F.col("probe_id").alias("a_pid"), F.col("vec_id").alias("a_vid")
-            )
-        )
-        exact = brute_force_topk_batch(corp, probe_ids, k=10).select(
-            "probe_id", "vec_id"
-        )
-        return (
-            exact.join(
-                F.broadcast(approx),
-                (F.col("probe_id") == F.col("a_pid"))
-                & (F.col("vec_id") == F.col("a_vid")),
-                "left",
-            )
-            .agg(
-                F.expr(
-                    "CAST(count(a_vid) * 10000 DIV count(*) AS BIGINT)"
-                ).alias(alias)
-            )
-        )
-
-    b = leg_recall(bse, "recall_build_bp")
-    n = leg_recall(emb, "recall_now_bp")
+    # both legs through the SHARED monitor machinery (recall_leg — also
+    # what maintain_ivf_layout's rebuild loop measures with)
+    b = recall_leg(
+        bse, cents, "recall_build_bp", n_probe=_DRIFT_NP, n_probes=_DRIFT_PROBES
+    )
+    n = recall_leg(
+        emb, cents, "recall_now_bp", n_probe=_DRIFT_NP, n_probes=_DRIFT_PROBES
+    )
     # two 1-row aggs composed broadcast-side — the q_profile split-plan
     # shape, never a CartesianProduct
     return (

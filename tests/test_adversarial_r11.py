@@ -10,6 +10,7 @@ import os
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mongo_to_parquet_spark.queries import oracle_sql, queries
 
@@ -187,3 +188,76 @@ def _docs(tmpdir, texts, ids=None):
             "n_chars": [len(t) for t in texts],
         }
     ).to_parquet(f"{tmpdir}/documents.parquet")
+
+
+def _drifted_corpus(tmp_path):
+    """The round-10 drift fixture (test_adversarial_r10.py:268): base
+    slice clustered on coordinate axes, delta a dense off-axis cluster
+    that scatters across the frozen cells."""
+    import numpy as np
+
+    dim = 8
+    rows = []
+    base_ids = [i for i in range(1, 120) if i % 4 != 0]
+    for j, vid in enumerate(base_ids[:16]):
+        v = np.zeros(dim, dtype=np.float32)
+        v[j % dim] = 10.0 + (j // dim) * 0.1
+        rows.append((vid, v))
+    for j, vid in enumerate(base_ids[16:88]):
+        v = np.zeros(dim, dtype=np.float32)
+        v[j % dim] = 8.0 + 0.01 * j
+        rows.append((vid, v))
+    for j, vid in enumerate(range(4, 4 * 49, 4)):
+        v = np.full(dim, 5.0, dtype=np.float32)
+        v[j % dim] += 3.0 + 0.001 * j
+        rows.append((vid, v))
+    pd.DataFrame(
+        {
+            "vec_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "embedding": [r[1] for r in rows],
+            "label": pd.array([0] * len(rows), dtype="int32"),
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+
+def test_ann_drift_rebuild_loop_restores_recall(spark, tmp_path):
+    """Round-10 verdict item 3: q_ann_drift REPORTS rebuild=true but
+    nothing acted on it. maintain_ivf_layout is the build→monitor→
+    rebuild→verify loop: on the drifted corpus the frozen v1 layout's
+    recall collapses past the 5pp threshold, the loop rebuilds on the
+    current corpus with a version-bumped marker, recall recovers to
+    within epsilon of build-time, and serves pinned to v1 refuse."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        layout_current,
+        maintain_ivf_layout,
+        read_layout_meta,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    _drifted_corpus(tmp_path)
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    d = str(tmp_path / "layout")
+
+    # day 0: build on the base corpus — recall is high and recorded
+    r1 = maintain_ivf_layout(base, d, n_cells=16, n_probe=4, n_probes=16)
+    assert r1["rebuilt"] and r1["version"] == 1
+    assert r1["build_recall_bp"] >= 9000
+    assert read_layout_meta(d)["build_recall_bp"] == r1["build_recall_bp"]
+
+    # day 0 again (no drift): the loop is idempotent — no rebuild
+    r1b = maintain_ivf_layout(base, d, n_cells=16, n_probe=4, n_probes=16)
+    assert not r1b["rebuilt"] and r1b["version"] == 1
+    assert r1b["drift_bp"] == 0
+
+    # day N: the full (drifted) corpus under the FROZEN v1 centroids —
+    # drift trips, the loop rebuilds, recall recovers
+    r2 = maintain_ivf_layout(emb, d, n_cells=16, n_probe=4, n_probes=16)
+    assert r2["rebuilt"] and r2["version"] == 2
+    assert r2["drift_bp"] > 500
+    assert r2["new_recall_bp"] >= r2["build_recall_bp"] - 500
+    assert r2["new_recall_bp"] - r2["now_recall_bp"] > 500  # real recovery
+
+    # the version bump refuses serves pinned to the old version
+    assert layout_current(d, {"version": 2, "n_cells": 16})
+    assert not layout_current(d, {"version": 1})
