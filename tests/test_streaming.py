@@ -1661,3 +1661,80 @@ def test_stream_fed_langid_and_dsir_state_equals_batch_artifact(
         doc_feat.unpersist()
     assert got_f == want_f
     assert len(got_f) <= _DSIR_B
+
+
+def test_stream_fed_exact_substr_index_equals_batch(spark, sf_dir, tmp_path):
+    """Round-10 verdict item 5: the ExactSubstr first-occurrence index is
+    a min-monoid keyed by sha256(window), so it folds from a STREAM
+    through the same replay-guarded apply_stream_batch machinery as the
+    census/langid/DSIR states — and the drained state reproduces the
+    batch-built index BIT-FOR-BIT, serves the incremental cleaner
+    identically, and skips replays."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mongo_to_parquet_spark.operators import dedup, incremental
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    L = 8
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    src = str(tmp_path / "src")
+    base.select("doc_id", "text").repartition(4).write.parquet(src)
+    sd = str(tmp_path / "xsub_state")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: dedup.exact_substr_stream_fold(sd, b, bid, L)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # replay guard: re-applying the last batch id is a no-op
+    assert (
+        dedup.exact_substr_stream_fold(
+            sd, base.limit(5), incremental.last_batch_id(sd), L
+        )
+        is False
+    )
+
+    streamed = dedup.exact_substr_index_from_state(
+        incremental.read_agg_state(spark, sd)
+    )
+    batch = dedup.exact_substr_index(base, min_tokens=L)
+    sp = sorted((r["h"], str(r["kpk"])) for r in streamed.collect())
+    bp = sorted((r["h"], str(r["kpk"])) for r in batch.collect())
+    assert sp == bp and len(sp) > 0
+
+    # the stream-fed index CLEANS a delta identically to the batch index
+    delta = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in dedup.exact_substr_incremental(
+            delta, streamed, min_tokens=L
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in dedup.exact_substr_incremental(
+            delta, batch, min_tokens=L
+        ).collect()
+    }
+    assert got == want
+
+    # version pruning keeps the latest state readable
+    incremental.prune_versions(sd, keep_last=1)
+    assert incremental.read_agg_state(spark, sd) is not None
+    assert _os.path.isdir(sd)
