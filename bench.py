@@ -132,6 +132,11 @@ HEADLINE = [
     "q_tokenizer_eval",     # triad fertility/coverage report, one census pass
     "q_ann_tuning",         # IVF (overlap x n_probe) recall/cost surface
     "q_ann_drift",          # layout staleness monitor: build-vs-now recall
+    "q_dedup_exact_substr_hashed",  # ExactSubstr, 32-byte shuffle keys (scale form)
+    "q_quality_train",      # fixed-point logreg training, 16 iterations
+    "q_quality_apply_artifact",  # trained-classifier serve: literal weights, scan-speed
+    "q_ppl_buckets",        # CCNet tercile bucketing: LM score + one lang window
+    "q_curation_report_ppl",  # funnel + per-lang ppl sub-buckets composed
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

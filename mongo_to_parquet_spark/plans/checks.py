@@ -74,3 +74,22 @@ def assert_scan_columns_at_most(df: DataFrame, table_fragment: str, n: int) -> N
             assert cols <= n, f"scan of {table_fragment} reads {cols} cols (> {n}): {s}"
             return
     raise AssertionError(f"no scan of {table_fragment} found")
+
+
+def shuffle_join_subtrees(df: DataFrame) -> list[str]:
+    """The full subtree string of every SortMergeJoin / ShuffledHashJoin
+    node in the executed plan — lets a gate ask WHAT a non-broadcast join
+    is joining (e.g. whether a loaded artifact or a driver-created
+    relation sits under it), not just whether one exists."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name in ("SortMergeJoin", "ShuffledHashJoin"):
+            out.append(node.toString())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -261,3 +261,44 @@ def test_ann_drift_rebuild_loop_restores_recall(spark, tmp_path):
     # the version bump refuses serves pinned to the old version
     assert layout_current(d, {"version": 2, "n_cells": 16})
     assert not layout_current(d, {"version": 1})
+
+
+def test_layout_serve_cache_invalidation(spark, tmp_path):
+    """Round-10 verdict item 6: the serve path memoizes the marker meta
+    and the model tables per (layout_dir, marker stamp). The cache must
+    (a) serve identical results to the cold path, (b) self-invalidate
+    when the layout is rewritten (new marker stamp -> new centroids
+    actually used), and (c) never cache a MISSING marker — the
+    invalidate-first rebuild window still reads config-unknown."""
+    from mongo_to_parquet_spark.operators import similarity as sim
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    d = str(tmp_path / "cache_inv")
+
+    sim.build_ivf_layout(emb, d, n_cells=8)
+    cold = [
+        tuple(r)
+        for r in sim.ivf_topk_from_layout(spark, d, list(probe), k=5).collect()
+    ]
+    assert d in sim._SERVE_CACHE and "centroids" in sim._SERVE_CACHE[d]
+    warm = [
+        tuple(r)
+        for r in sim.ivf_topk_from_layout(spark, d, list(probe), k=5).collect()
+    ]
+    assert warm == cold
+
+    # rewrite under a different config: the stamp changes, the cached
+    # 8-cell centroids must NOT leak into the 4-cell serve
+    sim.build_ivf_layout(emb.filter(F.col("vec_id") % 2 == 0), d, n_cells=4)
+    st = sim.layout_serve_state(spark, d, parts=("centroids",))
+    assert len(st["centroids"]) == 4 and st["meta"]["n_cells"] == 4
+    rebuilt = sim.ivf_topk_from_layout(spark, d, list(probe), k=5).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in rebuilt)  # new corpus only
+
+    # mid-rebuild window: marker gone -> config-unknown, nothing cached
+    sim.invalidate_layout_meta(d)
+    assert sim.layout_serve_state(spark, d)["meta"] == {}
+    assert d not in sim._SERVE_CACHE
+    assert not sim.layout_current(d, {"n_cells": 4})

@@ -922,3 +922,47 @@ def test_mine_bitext_group_limits_knn_windows(spark, sf_dir):
     df = QS["q_mine_bitext"](spark, sf_dir)
     assert checks.count_nodes(df, "WindowGroupLimit") >= 2
     spark.catalog.clearCache()
+
+
+def test_artifact_serve_joins_broadcast_explicitly(spark, sf_dir):
+    """Lesson-47 hardening (round-10 verdict item 8 — the PCA-cliff
+    class): a join whose build side is a LOADED ARTIFACT or a
+    driver-created bounded relation must plan BroadcastHashJoin via
+    EXPLICIT F.broadcast — an auto-broadcast that merely happens to win
+    at fixture scale flips to SMJ when the corpus outgrows the threshold,
+    turning a model-sized join into a corpus shuffle. Detector: disable
+    auto-broadcast entirely, then require that no SortMergeJoin /
+    ShuffledHashJoin subtree touches the artifact store or a local
+    relation. Corpus⋈corpus joins (feature builds) may legitimately
+    plan SMJ; data-sized-by-design artifacts are exempted by name."""
+    from mongo_to_parquet_spark.queries import queries
+
+    # the bigram LM's stored table is the corpus's sufficient statistics
+    # — data-sized BY DESIGN (its docstring prices the SMJ fallback as
+    # join-shaped work, no cliff); everything else serves a bounded model
+    data_sized = {"q_logprob_bigram_artifact"}
+    keys = [
+        k
+        for k in queries()
+        if "apply_artifact" in k or k == "q_logprob_bigram_artifact"
+    ]
+    assert len(keys) >= 11  # the serve surface exists
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        for key in sorted(keys):
+            if key in data_sized:
+                continue
+            for sub in checks.shuffle_join_subtrees(
+                QS[key](spark, sf_dir)
+            ):
+                assert "tok_artifacts" not in sub, (
+                    f"{key}: a loaded artifact is joined without explicit "
+                    f"broadcast (flips to a corpus shuffle at scale)"
+                )
+                assert "LocalTableScan" not in sub, (
+                    f"{key}: a driver-created bounded relation is joined "
+                    f"without explicit broadcast"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
