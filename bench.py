@@ -137,6 +137,7 @@ HEADLINE = [
     "q_quality_apply_artifact",  # trained-classifier serve: literal weights, scan-speed
     "q_ppl_buckets",        # CCNet tercile bucketing: LM score + one lang window
     "q_curation_report_ppl",  # funnel + per-lang ppl sub-buckets composed
+    "q_curation_report_model",  # funnel gated by the TRAINED classifier
     # linkage: SNM is the headline/scale route (candidates exactly n*w,
     # measured linear at x10); q_link_fs (nation-blocked all-pairs) stays a
     # declared key as the small-N exact baseline but is NOT benched — its

@@ -1571,24 +1571,32 @@ def q_curation_pipeline(spark, sf):
     )
 
 
-def _curation_dispositions(d, carry=()):
+def _curation_dispositions(d, carry=(), q_df=None, reject_label="rejected_quality"):
     # shared core of q_curation_pipeline / q_curation_report: quality gate
     # → exact dedup among survivors (keep min id) → content-addressed
     # train/test split; one disposition per corpus doc. Single shuffle:
     # the dedup window partitions by sha2(text) so the exchange carries
     # (id, flag, 64-hex + carried dims) — never the document text (same
     # grouping as the oracle's PARTITION BY text: equal hash ⇔ equal text).
+    # ``q_df`` swaps the fixed rule for an externally computed (doc_id, q)
+    # gate — the trained-classifier funnel (q_curation_report_model)
+    # rides the identical dedup/split machinery.
     from pyspark.sql import Window
 
-    mwl = mean_word_len(F.col("text"))
-    q_ok = (
-        F.col("n_chars").between(60, 2000)
-        & F.col("lang").isin("en", "es", "fr", "de")
-        & mwl.between(2.0, 8.0)
-    )
-    flagged = d.select(
-        "doc_id", *carry, F.sha2(F.col("text"), 256).alias("key"), q_ok.alias("q")
-    )
+    if q_df is None:
+        mwl = mean_word_len(F.col("text"))
+        q_ok = (
+            F.col("n_chars").between(60, 2000)
+            & F.col("lang").isin("en", "es", "fr", "de")
+            & mwl.between(2.0, 8.0)
+        )
+        flagged = d.select(
+            "doc_id", *carry, F.sha2(F.col("text"), 256).alias("key"), q_ok.alias("q")
+        )
+    else:
+        flagged = d.join(q_df, "doc_id").select(
+            "doc_id", *carry, F.sha2(F.col("text"), 256).alias("key"), "q"
+        )
     min_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
         Window.partitionBy("key")
     )
@@ -1598,7 +1606,7 @@ def _curation_dispositions(d, carry=()):
     return flagged.select(
         "doc_id",
         *carry,
-        F.when(~F.col("q"), F.lit("rejected_quality"))
+        F.when(~F.col("q"), F.lit(reject_label))
         .when(F.col("doc_id") != min_id, F.lit("duplicate"))
         .when(bucket < F.lit("cccd"), F.lit("train"))
         .otherwise(F.lit("test"))
@@ -2140,6 +2148,13 @@ def q_quality_apply_artifact(spark, sf):
     # fixed-weight q_quality_model's serving shape but with weights the
     # engine learned itself. Oracle = the full train+score SQL, so the
     # hash match proves store→load→score ≡ train→score end to end.
+    return _qlr_scored(spark, sf)
+
+
+def _qlr_scored(spark, sf):
+    """Score every document under the STORED classifier weights
+    (train-if-absent into the versioned store) — shared by the serve key
+    and the model-gated funnel so the two cannot drift."""
     art = tokenizer.artifact_dir(sf, "quality_lr")
     want = {
         "tokenizer": "whitespace",
@@ -2165,6 +2180,65 @@ def q_quality_apply_artifact(spark, sf):
         for r in sorted(stored.collect(), key=lambda r: r["b"])
     ]
     return clf.score(clf.doc_features(d), w)
+
+
+@q(
+    "q_curation_report_model",
+    _qlr_train_ctes()
+    + f"""
+    , sc AS (
+        SELECT f.doc_id, CAST(SUM((f.x * w.w) // {clf.S}) AS BIGINT) AS m
+        FROM feats f JOIN {_qlr_final_w()} w USING (b) GROUP BY f.doc_id
+    ),
+    qf AS (
+        SELECT doc_id,
+               ({clf.S} // 2 + (m * {clf.S})
+                    // (2 * ({clf.S} + abs(m)))) >= {clf.S // 2} AS q
+        FROM sc
+    ),
+    dd AS (
+        SELECT d.doc_id, d.source, qf.q,
+               MIN(CASE WHEN qf.q THEN d.doc_id END)
+                   OVER (PARTITION BY d.text) AS min_id
+        FROM documents d JOIN qf USING (doc_id)
+    )
+    SELECT source,
+           CASE WHEN NOT q THEN 'rejected_model'
+                WHEN doc_id <> min_id THEN 'duplicate'
+                WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                     THEN 'train'
+                ELSE 'test' END AS disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dd GROUP BY 1, 2
+    """,
+)
+def q_curation_report_model(spark, sf):
+    # the funnel with the TRAINED classifier as its quality gate (the
+    # round-10 verdict's "selection composed into the curation funnel"):
+    # instead of the fixed rule, documents pass q_quality_apply_artifact's
+    # learned keep decision — train once on curated signal, serve the
+    # model as the gate; rejected docs land in 'rejected_model'. Rides
+    # the IDENTICAL dedup/split machinery via _curation_dispositions
+    # (q_df injection), so the rule-gated and model-gated funnels differ
+    # ONLY in the gate. Oracle = the full train+score+funnel SQL: the
+    # hash match proves store→load→score→gate ≡ train→score→gate.
+    #
+    # Scale: one scan scores the gate (literal weights, map-side), then
+    # the funnel's single text-keyed dedup shuffle and the (source ×
+    # disposition) rollup — the classifier adds no join and no shuffle.
+    scored = _qlr_scored(spark, sf).select(
+        "doc_id", F.col("keep").alias("q")
+    )
+    return (
+        _curation_dispositions(
+            T(spark, sf, "documents"),
+            carry=("source",),
+            q_df=scored,
+            reject_label="rejected_model",
+        )
+        .groupBy("source", "disposition")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
 
 
 @q(

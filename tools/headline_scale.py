@@ -161,6 +161,30 @@ def main() -> None:
             results.setdefault(key, {})[f"sec_{scale}"] = sec
             results[key][f"shuf_{scale}"] = sb
             spark.catalog.clearCache()
+    # round-11 (verdict item 3): the drift loop's REBUILD is its one
+    # corpus-sized pass (assign + partitioned rewrite + the recall
+    # re-measure) — price it at both scales so SCALE.md records what a
+    # rebuild-on-trip costs when the monitor fires at 100 TB
+    from mongo_to_parquet_spark.operators.similarity import (  # noqa: E402
+        maintain_ivf_layout,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table  # noqa: E402
+
+    for scale, d in (("sf01", BASE), ("m10", m10)):
+        emb = load_table(spark, d, "embeddings")
+        ldir = os.path.join(OUT, f"drift_layout_{scale}")
+        shutil.rmtree(ldir, ignore_errors=True)
+        s0 = shuffle_bytes(spark)
+        t0 = time.perf_counter()
+        rep = maintain_ivf_layout(emb, ldir, n_cells=16, n_probe=4, n_probes=16)
+        sec = round(time.perf_counter() - t0, 3)
+        s1 = shuffle_bytes(spark)
+        sb = (s1 - s0) if (s0 is not None and s1 is not None) else None
+        r = results.setdefault("maintain_ivf_rebuild", {})
+        r[f"sec_{scale}"] = sec
+        r[f"shuf_{scale}"] = sb
+        r[f"recall_bp_{scale}"] = rep["build_recall_bp"]
+        spark.catalog.clearCache()
     for key, r in results.items():
         r["ratio"] = round(r["sec_m10"] / max(r["sec_sf01"], 1e-9), 2)
         r["shuf_ratio"] = (
