@@ -882,6 +882,147 @@ def build_ivfpq_layout(
     )
 
 
+def ivfpq_sample_recall_bp(
+    spark,
+    emb: DataFrame,
+    layout_dir: str,
+    *,
+    n_probe: int = 4,
+    n_probes: int = 16,
+    k: int = 10,
+    refine: int = 0,
+    salt: str = "annd:",
+) -> int:
+    """recall@k (integer basis points) of a built IVFPQ layout against
+    brute-force truth over ``n_probes`` content-addressed probes from the
+    CURRENT corpus — the IVFPQ monitor leg. Both quantizers are frozen in
+    the layout, so this measures the COMPOSED staleness (coarse cells AND
+    codebook drift). ``refine > 0`` measures the two-stage operating
+    point instead (ADC shortlist of that size + exact re-rank)."""
+    probe_rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string"))),
+                1,
+                12,
+            ).alias("hp"),
+        )
+        .orderBy(F.col("hp").asc(), F.col("vec_id").asc())
+        .limit(n_probes)
+        .collect()
+    )
+    probe_ids = [r["vec_id"] for r in probe_rows]
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in brute_force_topk_batch(emb, probe_ids, k=k).collect()
+    }
+    hits = 0
+    for r in probe_rows:
+        pv = [float(x) for x in r["embedding"]]
+        if refine > 0:
+            got = ivfpq_topk_refined_from_layout(
+                spark,
+                layout_dir,
+                emb,
+                pv,
+                k=k,
+                shortlist=refine,
+                n_probe=n_probe,
+                exclude_id=r["vec_id"],
+            )
+        else:
+            got = ivfpq_topk_from_layout(
+                spark,
+                layout_dir,
+                pv,
+                k=k,
+                n_probe=n_probe,
+                exclude_id=r["vec_id"],
+            )
+        hits += sum(
+            (r["vec_id"], g["vec_id"]) in exact for g in got.collect()
+        )
+    return hits * 10000 // (len(probe_ids) * k)
+
+
+def maintain_ivfpq_layout(
+    emb: DataFrame,
+    layout_dir: str,
+    *,
+    n_cells: int = 16,
+    n_codes: int = 16,
+    n_probe: int = 4,
+    n_probes: int = 16,
+    refine: int = 0,
+    thresh_bp: int = 500,
+) -> dict:
+    """:func:`maintain_ivf_layout`'s loop for the IVFPQ family — the
+    layout that actually serves at 100 TB, where staleness has TWO frozen
+    halves (coarse cells scattering appends, and SQ8 ranges / codebook
+    centroids mis-quantizing a shifted distribution; ivfpq_append freezes
+    both by design). Same contract: build v1 and record build-time
+    recall; re-measure the frozen layout on the current corpus; rebuild
+    version-bumped when drift > thresh_bp; invalidate-first crash safety
+    throughout. Monitor cost is n_probes bounded serves + one truth scan;
+    the rebuild is the corpus-sized encode+rewrite."""
+    want = {"family": "ivfpq", "n_cells": n_cells, "n_codes": n_codes}
+    spark = emb.sparkSession
+    meta = read_layout_meta(layout_dir)
+
+    def _measure() -> int:
+        return ivfpq_sample_recall_bp(
+            spark,
+            emb,
+            layout_dir,
+            n_probe=n_probe,
+            n_probes=n_probes,
+            refine=refine,
+        )
+
+    def _build(version: int) -> int:
+        build_ivfpq_layout(emb, layout_dir, n_cells=n_cells, n_codes=n_codes)
+        bp = _measure()
+        write_layout_meta(
+            layout_dir, {**want, "version": version, "build_recall_bp": bp}
+        )
+        return bp
+
+    if not (meta and all(meta.get(k) == v for k, v in want.items())):
+        bp = _build(1)
+        return {
+            "version": 1,
+            "build_recall_bp": bp,
+            "now_recall_bp": bp,
+            "drift_bp": 0,
+            "rebuilt": True,
+            "new_recall_bp": bp,
+        }
+
+    build_bp = int(meta["build_recall_bp"])
+    now_bp = _measure()
+    drift = build_bp - now_bp
+    if drift <= thresh_bp:
+        return {
+            "version": int(meta["version"]),
+            "build_recall_bp": build_bp,
+            "now_recall_bp": now_bp,
+            "drift_bp": drift,
+            "rebuilt": False,
+            "new_recall_bp": now_bp,
+        }
+    new_bp = _build(int(meta["version"]) + 1)
+    return {
+        "version": int(meta["version"]) + 1,
+        "build_recall_bp": build_bp,
+        "now_recall_bp": now_bp,
+        "drift_bp": drift,
+        "rebuilt": True,
+        "new_recall_bp": new_bp,
+    }
+
+
 def pq_encode_frozen(
     emb: DataFrame,
     codebook: DataFrame,

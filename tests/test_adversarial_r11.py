@@ -302,3 +302,42 @@ def test_layout_serve_cache_invalidation(spark, tmp_path):
     assert sim.layout_serve_state(spark, d)["meta"] == {}
     assert d not in sim._SERVE_CACHE
     assert not sim.layout_current(d, {"n_cells": 4})
+
+
+def test_ivfpq_drift_rebuild_loop(spark, tmp_path):
+    """The drift loop extended to the IVFPQ family (both quantizer
+    halves frozen): v1 built on the base corpus records its recall; the
+    drifted corpus trips the threshold; the rebuild re-trains BOTH the
+    coarse cells and the SQ8/codebook on the current corpus and recall
+    recovers. The serve-state cache must follow the version bump (the
+    rebuilt marker re-lands -> new stamp -> new centroids served)."""
+    from mongo_to_parquet_spark.operators.similarity import (
+        layout_current,
+        maintain_ivfpq_layout,
+    )
+    from mongo_to_parquet_spark.sources.catalog import load_table
+
+    _drifted_corpus(tmp_path)
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    d = str(tmp_path / "pq_layout")
+
+    r1 = maintain_ivfpq_layout(
+        base, d, n_cells=16, n_probe=4, n_probes=16, refine=50
+    )
+    assert r1["rebuilt"] and r1["version"] == 1
+    assert r1["build_recall_bp"] >= 8000  # two-stage on-axis recall
+
+    r1b = maintain_ivfpq_layout(
+        base, d, n_cells=16, n_probe=4, n_probes=16, refine=50
+    )
+    assert not r1b["rebuilt"] and r1b["drift_bp"] == 0
+
+    r2 = maintain_ivfpq_layout(
+        emb, d, n_cells=16, n_probe=4, n_probes=16, refine=50
+    )
+    assert r2["rebuilt"] and r2["version"] == 2
+    assert r2["drift_bp"] > 500
+    assert r2["new_recall_bp"] - r2["now_recall_bp"] > 500
+    assert layout_current(d, {"version": 2, "family": "ivfpq"})
+    assert not layout_current(d, {"version": 1})
