@@ -376,9 +376,11 @@ def test_ivfpq_layout_prunes_cells_and_recalls_top1(spark, sf_dir, tmp_path):
     """The composed IVF×PQ layout: the probe's cell filter reaches the
     CODE table scan as a PARTITION filter (the fp32 vectors are never
     read at serve time — the scan's schema has no embedding column), the
-    ADC lookup table joins as a broadcast, and the quantized ranking
-    still finds the exact top-1 neighbor inside its pruned cells (the
-    fixtures' near-dup pairs are far closer than quantization error)."""
+    ADC lookup is a LITERAL map folded into the projection (round 11: no
+    join at all — the per-call createDataFrame+broadcast dominated serve
+    latency), and the quantized ranking still finds the exact top-1
+    neighbor inside its pruned cells (the fixtures' near-dup pairs are
+    far closer than quantization error)."""
     from mongo_to_parquet_spark.operators.similarity import (
         brute_force_topk,
         build_ivfpq_layout,
@@ -396,7 +398,9 @@ def test_ivfpq_layout_prunes_cells_and_recalls_top1(spark, sf_dir, tmp_path):
     )
     plan = formatted_plan(got)
     assert "PartitionFilters" in plan and "cell" in plan
-    assert "BroadcastHashJoin" in plan
+    # the ADC table rides as a literal map — NO join of any kind remains
+    assert "Join" not in plan
+    assert "element_at" in plan or "map(" in plan
     # serve path must read codes only — no fp32 embedding column anywhere
     assert "embedding" not in plan.split("== Physical Plan ==")[-1]
     rows = got.collect()
