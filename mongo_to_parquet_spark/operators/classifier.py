@@ -141,7 +141,14 @@ def train_logreg(feats: DataFrame, labels: DataFrame) -> list[int]:
     restricted to the training split. Model state stays driver-side
     Python ints (exact, unbounded) and re-enters each iteration's plan as
     literals; the corpus-sized relation is scanned once per iteration."""
-    tr = feats.join(labels, "doc_id").persist()
+    # co-partition the training relation by doc_id ONCE: the per-
+    # iteration margin groupBy and the gradient join both key on doc_id,
+    # so every iteration reuses this exchange instead of re-shuffling
+    # (the round-11 probe caught the residual join flipping
+    # auto-broadcast→SMJ between fixture and ×10 — shuffle ×18 for
+    # linear work, the lesson-47 cliff; the merge hint below removes the
+    # strategy decision so the plan is identical at every scale)
+    tr = feats.join(labels, "doc_id").repartition("doc_id").persist()
     try:
         n_train = tr.select(F.countDistinct("doc_id")).first()[0]
         if n_train == 0:
@@ -169,7 +176,7 @@ def train_logreg(feats: DataFrame, labels: DataFrame) -> list[int]:
                 (F.col("y") * S - _sigmoid_int("m")).cast("bigint").alias("r"),
             )
             g = (
-                tr.join(r, "doc_id")
+                tr.join(r.hint("merge"), "doc_id")
                 .select("b", F.expr(f"(x * r) div {S}").alias("t"))
                 .groupBy("b")
                 .agg(F.sum("t").cast("bigint").alias("g"))

@@ -1052,9 +1052,14 @@ def exact_substr_dedup(
     """
     base, win = _substr_windows(docs, int(min_tokens), text_col, id_col, hash_key)
     key = "h" if hash_key else "span"
-    first = win.groupBy(key).agg(F.min("pk").alias("kpk"))
+    # prune EXPLICITLY before the two corpus-sized shuffles: only the
+    # key, the packed first-occurrence key, and the cut coordinates may
+    # ride them (don't leave it to the optimizer — the probe watches
+    # shuffle bytes per round)
+    lean = win.select("doc_id", "p", "pk", key)
+    first = lean.groupBy(key).agg(F.min("pk").alias("kpk"))
     dup = (
-        win.join(first, key)
+        lean.join(first, key)
         .filter(F.col("pk") != F.col("kpk"))
         .select("doc_id", "p")
     )
@@ -1093,7 +1098,11 @@ def _substr_windows(docs, L, text_col="text", id_col="doc_id", hash_key=False):
     ).cast("decimal(38,0)")
     win = win.withColumn("pk", pk)
     if hash_key:
-        win = win.withColumn("h", F.sha2(F.col("span"), 256))
+        # RAW 32-byte digest (unhex), not the 64-char hex string: at
+        # L=20 the hex form is only ~2x smaller than the span itself and
+        # the round-11 probe measured the "hashed" shuffle barely below
+        # the plain one — binary keys are the real 4x window-key cut
+        win = win.withColumn("h", F.unhex(F.sha2(F.col("span"), 256)))
     return base, win
 
 
