@@ -67,28 +67,75 @@ def _tdiv(a: int, n: int) -> int:
     return q
 
 
-def doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, b, x): hashed-token tf buckets in fixed point, plus the
-    bias and scaled-length dimensions. x sums to ~2S+len per doc."""
-    tok = docs.select(
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, cm, n_tok, sum_len): the ONE-token-pass sufficient
+    statistics every classifier consumer derives from — cm is the
+    map<bucket, count> of hashed-token tf counts, n_tok = Σ counts,
+    sum_len = Σ token lengths. Features, labels, training and serving
+    all read this relation, so nothing in the classifier family pays a
+    second corpus scan or a doc_id join (the old shape joined a
+    (doc,b)-count aggregate against a separate n_tok aggregate — two
+    token passes plus an SMJ, per consumer)."""
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    # fan_out before the explode: md5-per-token featurization is pure
+    # compute, and the fixture's one-file documents scan plans ONE task
+    # (guide §2 — no-op on an already-wide cluster scan)
+    tok = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     h = F.md5(F.concat(F.lit(SALT), F.col("tok")))
-    raw = (
+    byb = (
         tok.select(
             "doc_id",
             (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % D)
             .cast("int")
             .alias("b"),
+            F.length("tok").alias("lt"),
         )
         .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("lt").cast("bigint").alias("sl"),
+        )
     )
-    hashed = raw.join(nt, "doc_id").select(
-        "doc_id", "b", F.expr(f"(c * {S}) div n_tok").alias("x")
+    return byb.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("cm"),
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.sum("sl").cast("bigint").alias("sum_len"),
     )
-    extra = nt.select(
+
+
+#: the dense fixed-point feature vector (array slot j = bucket j's x,
+#: slot D = bias, slot D+1 = scaled length) as a SQL expression over
+#: doc_stats columns. An absent bucket contributes x=0 — identical to
+#: the sparse form where the (doc, b) row simply does not exist, since
+#: every downstream term is (x * w) div S and (0 * w) div S = 0.
+_XA_EXPR = (
+    f"concat(transform(sequence(0, {D - 1}),"
+    f" j -> (coalesce(element_at(cm, j), CAST(0 AS BIGINT)) * {S})"
+    f" div n_tok),"
+    f" array(CAST({S} AS BIGINT), (n_tok * {S}) div 100))"
+)
+
+#: label gate over doc_stats columns (n_tok >= 1 always: split('') is [''])
+_Y_EXPR = (
+    "CASE WHEN n_tok >= 40 AND (sum_len * 10) div n_tok BETWEEN 30 AND 60"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, x): hashed-token tf buckets in fixed point, plus the
+    bias and scaled-length dimensions. x sums to ~2S+len per doc.
+    Derived from doc_stats (one token pass, no join); the sparse rows
+    are the map entries exploded back out — bit-identical to the old
+    two-pass union shape."""
+    st = doc_stats(docs)
+    hashed = st.select(
+        "doc_id", F.explode("cm").alias("b", "c"), "n_tok"
+    ).select("doc_id", "b", F.expr(f"(c * {S}) div n_tok").alias("x"))
+    extra = st.select(
         "doc_id",
         F.explode(
             F.array(
@@ -110,21 +157,21 @@ def doc_labels(docs: DataFrame) -> DataFrame:
     gate (enough tokens, sane mean word length) — integer-exact on both
     engines: y = 1 iff n_tok >= 40 and 30 <= (Σ len(tok)·10) div n_tok
     <= 60."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    return doc_stats(docs).select(
+        "doc_id", F.expr(_Y_EXPR).cast("int").alias("y")
     )
-    st = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.length("tok")).alias("sum_len"),
-    )
-    mwl10 = F.expr("(sum_len * 10) div n_tok")
-    return st.select(
+
+
+def doc_dense(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, xa): ONE row per document — label + dense N_W-long
+    fixed-point feature array, from the single doc_stats pass. This is
+    the training relation: with features dense per row, every
+    gradient-descent iteration is map-side arithmetic + one 34-column
+    global aggregate — no per-iteration join, no doc-keyed shuffle."""
+    return doc_stats(docs).select(
         "doc_id",
-        F.when(
-            (F.col("n_tok") >= 40) & (mwl10 >= 30) & (mwl10 <= 60), 1
-        )
-        .otherwise(0)
-        .alias("y"),
+        F.expr(_Y_EXPR).cast("int").alias("y"),
+        F.expr(_XA_EXPR).alias("xa"),
     )
 
 
@@ -135,64 +182,122 @@ def _sigmoid_int(mcol: str) -> F.Column:
     )
 
 
+def _margin_expr(weights: list[int]) -> str:
+    """Σ_j (xa[j] · w_j) div S over a dense xa column, with the weights
+    folded in as literals and zero-weight terms constant-folded away
+    ((x · 0) div S = 0 exactly). Pure codegen arithmetic — no join, no
+    HOF, no per-row lookup table."""
+    terms = [
+        f"((xa[{j}] * CAST({int(wj)} AS BIGINT)) div {S})"
+        for j, wj in enumerate(weights)
+        if int(wj) != 0
+    ]
+    return " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
+
+
 def train_logreg(feats: DataFrame, labels: DataFrame) -> list[int]:
     """Fixed-point batch gradient descent, ITERS iterations; returns the
     N_W scaled-integer weights. ``feats``/``labels`` should already be
     restricted to the training split. Model state stays driver-side
     Python ints (exact, unbounded) and re-enters each iteration's plan as
-    literals; the corpus-sized relation is scanned once per iteration."""
-    # co-partition the training relation by doc_id ONCE: the per-
-    # iteration margin groupBy and the gradient join both key on doc_id,
-    # so every iteration reuses this exchange instead of re-shuffling
-    # (the round-11 probe caught the residual join flipping
-    # auto-broadcast→SMJ between fixture and ×10 — shuffle ×18 for
-    # linear work, the lesson-47 cliff; the merge hint below removes the
-    # strategy decision so the plan is identical at every scale)
-    tr = feats.join(labels, "doc_id").repartition("doc_id").persist()
+    literals; the corpus-sized relation is scanned once per iteration.
+
+    Sparse-input compatibility wrapper: densifies (doc_id, b, x) rows
+    into the one-row-per-doc array relation and trains on that — the
+    weights are bit-identical because absent buckets contribute
+    (0 · w) div S = 0 to every sum the sparse form simply omitted."""
+    dense = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "x"))).alias("fm")
+        )
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                f"transform(sequence(0, {N_W - 1}),"
+                f" j -> coalesce(element_at(fm, j), CAST(0 AS BIGINT)))"
+            ).alias("xa"),
+        )
+    )
+    return train_logreg_dense(dense)
+
+
+def train_logreg_dense(dense: DataFrame) -> list[int]:
+    """The training loop proper, over the dense (doc_id, y, xa)
+    relation (doc_dense). Each iteration is ONE job: margin, residual
+    and per-feature gradient terms are map-side expressions with the
+    current weights as literals, reduced by a single 34-column
+    partial-combined global aggregate. No join, no doc-keyed shuffle,
+    no sort anywhere in the loop — the round-11 build had to pin the
+    per-iteration features⋈residuals join's strategy against the
+    lesson-47 broadcast→SMJ cliff; the dense form removes the join (and
+    with it the strategy decision) outright, and shuffles D+2 longs per
+    map partition per iteration instead of a doc-keyed relation."""
+    from uuid import uuid4
+
+    spark = dense.sparkSession
+    dense = dense.persist()
+    n_rows = dense.count()
+    if n_rows == 0:
+        dense.unpersist()
+        raise ValueError("empty training split for quality_lr")
+    # iteration-relation layout is DATA-derived, not a local[32]
+    # constant: ~100k one-row-per-doc rows (≈30 MB of dense arrays) per
+    # partition. At fixture scale that collapses the 32 near-empty
+    # cached partitions (AQE's parallelismFirst floors post-shuffle
+    # coalescing at the default parallelism) into 1, so each of the 16
+    # iteration jobs schedules 2 tasks instead of 33; at corpus scale
+    # the same rule leaves thousands of partitions.
+    parts = max(1, min(dense.rdd.getNumPartitions(), 1 + n_rows // 100_000))
+    it_rel = dense.coalesce(parts) if parts < dense.rdd.getNumPartitions() else dense
+    view = f"qlr_dense_{uuid4().hex[:12]}"
+    it_rel.createOrReplaceTempView(view)
+    # AQE off for the loop only (restored in finally): every iteration's
+    # shuffle is D+2 longs per map partition into a single final reduce —
+    # there is nothing for AQE to re-optimize at ANY scale, and its
+    # per-query stage re-planning is pure overhead on a 16-statement loop.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        n_train = tr.select(F.countDistinct("doc_id")).first()[0]
-        if n_train == 0:
-            raise ValueError("empty training split for quality_lr")
+        # each iteration is ONE spark.sql() round-trip (the fixture-scale
+        # cost of this loop was never the 3.7k-row job — it was ~0.25s of
+        # py4j DataFrame construction plus ~0.2s of re-analysis per
+        # iteration when the margin/gradient expressions were rebuilt
+        # column object by column object). The weight vector enters as
+        # ONE array literal (constant-folded to a codegen REFERENCE, so
+        # the generated source — and the compiled stage — is identical
+        # across iterations).
+        m_sql = " + ".join(
+            f"((xa[{j}] * warr[{j}]) div {S})" for j in range(N_W)
+        )
+        sig = f"{S} div 2 + (m * {S}) div (2 * ({S} + abs(m)))"
+        g_cols = ", ".join(
+            f"CAST(SUM((xa[{j}] * r) div {S}) AS BIGINT) AS g{j}"
+            for j in range(N_W)
+        )
         w = [0] * N_W
         for _ in range(ITERS):
-            warr = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
-            m = (
-                # bind the literal-array pick as a real column so the
-                # div expr can reference it by name
-                tr.withColumn("w", F.element_at(warr, F.col("b") + 1))
-                .select(
-                    "doc_id",
-                    "y",
-                    F.expr(f"(x * w) div {S}").alias("t"),
-                )
-                .groupBy("doc_id")
-                .agg(
-                    F.max("y").alias("y"),
-                    F.sum("t").cast("bigint").alias("m"),
-                )
-            )
-            r = m.select(
-                "doc_id",
-                (F.col("y") * S - _sigmoid_int("m")).cast("bigint").alias("r"),
-            )
-            g = (
-                tr.join(r.hint("merge"), "doc_id")
-                .select("b", F.expr(f"(x * r) div {S}").alias("t"))
-                .groupBy("b")
-                .agg(F.sum("t").cast("bigint").alias("g"))
-                .collect()
-            )
-            gd = {row["b"]: int(row["g"]) for row in g}
+            arr = ", ".join(f"CAST({int(wi)} AS BIGINT)" for wi in w)
+            row = spark.sql(
+                f"SELECT {g_cols} FROM ("
+                f"  SELECT xa, CAST(y AS BIGINT) * {S} - ({sig}) AS r"
+                f"  FROM (SELECT xa, y, {m_sql} AS m FROM ("
+                f"    SELECT xa, y, array({arr}) AS warr FROM {view})))"
+            ).collect()[0]
             # Python // floors on negatives; SQL div truncates toward
             # zero — _tdiv keeps the driver-side update bit-identical to
             # the oracle's integer arithmetic
             w = [
-                int(wi) + _tdiv(LR_NUM * gd.get(b, 0), n_train)
-                for b, wi in enumerate(w)
+                int(wi) + _tdiv(LR_NUM * int(row[f"g{j}"] or 0), n_rows)
+                for j, wi in enumerate(w)
             ]
         return w
     finally:
-        tr.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.catalog.dropTempView(view)
+        dense.unpersist()
 
 
 def score(feats: DataFrame, weights: list[int]) -> DataFrame:
@@ -205,6 +310,22 @@ def score(feats: DataFrame, weights: list[int]) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("t").cast("bigint").alias("m"))
     )
+    return m.select(
+        "doc_id",
+        _sigmoid_int("m").cast("bigint").alias("score_scaled"),
+        (_sigmoid_int("m") >= S // 2).alias("keep"),
+    )
+
+
+def score_docs(docs: DataFrame, weights: list[int]) -> DataFrame:
+    """score() straight off the documents relation: one token pass into
+    doc_stats, margin and sigmoid as map-side literal-weight arithmetic
+    on the per-doc row — the serving path pays one explode + two chained
+    aggregates and ZERO joins (the sparse route re-scanned the tokens
+    for n_tok and shuffled ~N_W rows per doc into a second aggregate)."""
+    m = doc_stats(docs).select(
+        "doc_id", F.expr(_XA_EXPR).alias("xa")
+    ).select("doc_id", F.expr(_margin_expr(weights)).alias("m"))
     return m.select(
         "doc_id",
         _sigmoid_int("m").cast("bigint").alias("score_scaled"),

@@ -378,18 +378,31 @@ def q_text_langid_ngram(spark, sf):
     #
     # Scale: ONE trigram pass feeds both the model (lang×1024 keys — the
     # weight table broadcasts at any corpus size) and the per-doc
-    # features; scoring is a broadcast join + two corpus-linear
-    # aggregations keyed by doc. Products are bounded: wgt ≤ 1e6 and
+    # features; scoring is a broadcast join + ONE corpus-linear
+    # aggregation keyed by doc. Products are bounded: wgt ≤ 1e6 and
     # per-doc counts ≤ n_chars, far inside int64 (lesson 17).
-    wt = _lid_weights(spark, sf)
-    return _lid_confusion(spark, sf, wt)
+    #
+    # The (doc, bucket) count relation materializes once
+    # (localCheckpoint — the kcore edge-build discipline): training
+    # aggregates it into the weight table and scoring probes it, so the
+    # expensive explode+md5 featurize pass runs ONCE instead of once per
+    # consumer (it was ~70% of this key's wall).
+    df = _lid_doc_buckets(spark, sf).localCheckpoint()
+    return _lid_confusion(spark, sf, _lid_weights_from(df), df=df)
 
 
 def _lid_trigrams(spark, sf):
     """Hashed padded char-trigram features per (doc, lang) — the ONE
     feature definition shared by training and scoring (so artifact and
-    inline paths cannot drift in featurization)."""
-    return lid_trigrams_of(T(spark, sf, "documents"))
+    inline paths cannot drift in featurization). fan_out before the
+    explode: the md5-per-trigram featurize is pure compute, and a
+    byte-sized scan plan (one task for the one fixture file) serialized
+    the whole pass on a single core (guide §2 / operators/parallel.py)."""
+    from mongo_to_parquet_spark.operators.parallel import fan_out
+
+    return lid_trigrams_of(
+        fan_out(T(spark, sf, "documents").select("doc_id", "lang", "text"))
+    )
 
 
 def lid_trigrams_of(d):
@@ -426,12 +439,20 @@ def lid_trigrams_of(d):
     )
 
 
-def _lid_weights(spark, sf):
-    """Train the per-language bucket weight table (mlang, b, wgt) —
-    langs × _LID_BUCKETS rows, integer parts-per-million."""
-    tri = _lid_trigrams(spark, sf)
-    w = tri.groupBy(F.col("lang").alias("mlang"), "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+def _lid_doc_buckets(spark, sf):
+    """(doc_id, lang, b, dc): per-doc hashed-trigram counts — the ONE
+    featurized relation both training and scoring consume."""
+    return _lid_trigrams(spark, sf).groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("dc")
+    )
+
+
+def _lid_weights_from(df):
+    """Weight table from the per-doc bucket counts: summing dc over docs
+    IS the raw trigram count per (lang, b), so training needs no second
+    trigram pass."""
+    w = df.groupBy(F.col("lang").alias("mlang"), "b").agg(
+        F.sum("dc").cast("long").alias("cnt")
     )
     tot = w.groupBy("mlang").agg(F.sum("cnt").cast("long").alias("t"))
     return w.join(F.broadcast(tot), "mlang").select(
@@ -439,21 +460,78 @@ def _lid_weights(spark, sf):
     )
 
 
-def _lid_confusion(spark, sf, wt):
+def _lid_weights(spark, sf):
+    """Train the per-language bucket weight table (mlang, b, wgt) —
+    langs × _LID_BUCKETS rows, integer parts-per-million."""
+    return _lid_weights_from(_lid_doc_buckets(spark, sf))
+
+
+def _lid_confusion(spark, sf, wt, df=None):
     """Score the corpus against a weight table; emit the confusion
-    matrix. ``wt`` may be freshly trained or loaded from the store."""
-    tri = _lid_trigrams(spark, sf)
-    df = tri.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("dc")
+    matrix. ``wt`` may be freshly trained or loaded from the store;
+    ``df`` an already-built (checkpointed) bucket-count relation.
+
+    Shape (the round-11 scoring rewrite): the weight table pivots into a
+    1024-row (b → map<mlang, wgt>) broadcast, so the probe join is 1:1 —
+    the old (df ⋈ wt ON b) multiplied every per-doc row by |langs| and
+    paid a (doc, lang, mlang)-keyed aggregate before the argmax; now ONE
+    (doc, lang) aggregate computes every language's score column (plus a
+    matched flag replicating the inner join's "only langs that share ≥1
+    bucket with the doc compete" semantics), and the argmax is a
+    map-side array_min over the matched candidates. The class list is a
+    bounded driver pick — it is the model's own output dimension (the
+    confusion matrix is langs² rows by construction)."""
+    if df is None:
+        df = _lid_doc_buckets(spark, sf)
+    langs = sorted(
+        r["mlang"] for r in wt.select("mlang").distinct().collect()
     )
-    sc = (
-        df.join(F.broadcast(wt), "b")
-        .groupBy("doc_id", "lang", "mlang")
-        .agg(F.sum(F.col("dc") * F.col("wgt")).cast("long").alias("score"))
+    if not langs:
+        # empty weight table (degenerate corpus): no doc can match any
+        # class — the inner-join form returned an empty confusion matrix
+        return df.select(
+            "lang", F.col("lang").alias("lang_pred")
+        ).filter(F.lit(False)).groupBy("lang", "lang_pred").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+    wtm = wt.groupBy("b").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("mlang", "wgt"))
+        ).alias("wm")
     )
-    pick = sc.groupBy("doc_id", "lang").agg(
-        F.min(F.struct((-F.col("score")).alias("ns"), F.col("mlang"))).alias("m")
+    j = df.join(F.broadcast(wtm), "b")
+    aggs = []
+    for i, lang in enumerate(langs):
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"dc * coalesce(element_at(wm, '{lang}'),"
+                    f" CAST(0 AS BIGINT))"
+                )
+            )
+            .cast("long")
+            .alias(f"s{i}")
+        )
+        aggs.append(
+            F.max(
+                F.expr(f"CAST(element_at(wm, '{lang}') IS NOT NULL AS INT)")
+            ).alias(f"k{i}")
+        )
+    per = j.groupBy("doc_id", "lang").agg(*aggs)
+    cand = F.array(
+        *[
+            F.struct(
+                (-F.col(f"s{i}")).cast("long").alias("ns"),
+                F.col(f"k{i}").alias("ok"),
+                F.lit(lang).alias("mlang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
+    pick = per.select(
+        "lang",
+        F.array_min(F.filter(cand, lambda x: x["ok"] == 1)).alias("m"),
+    ).filter(F.col("m").isNotNull())
     return pick.groupBy(
         "lang", F.col("m.mlang").alias("lang_pred")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -2115,9 +2193,9 @@ def q_quality_train(spark, sf):
     # and is the only corpus-sized input; 100 iterations on 100 TB cost
     # 100 feature scans and nothing more.
     d = T(spark, sf, "documents").filter(F.col("doc_id") % 4 != 0)
-    feats = clf.doc_features(d)
-    labels = clf.doc_labels(d)
-    w = clf.train_logreg(feats, labels)
+    # dense one-row-per-doc training relation: one token pass, no joins;
+    # every iteration is map-side + one 34-column global aggregate
+    w = clf.train_logreg_dense(clf.doc_dense(d))
     return spark.createDataFrame(
         [(b, int(wi)) for b, wi in enumerate(w)], "b int, w_scaled bigint"
     )
@@ -2165,7 +2243,7 @@ def _qlr_scored(spark, sf):
     d = T(spark, sf, "documents")
     if not tokenizer.artifact_current(art, "quality_lr", want):
         tr = d.filter(F.col("doc_id") % 4 != 0)
-        w = clf.train_logreg(clf.doc_features(tr), clf.doc_labels(tr))
+        w = clf.train_logreg_dense(clf.doc_dense(tr))
         tokenizer.save_artifact(
             spark,
             [(b, int(wi)) for b, wi in enumerate(w)],
@@ -2179,7 +2257,7 @@ def _qlr_scored(spark, sf):
         int(r["w"])
         for r in sorted(stored.collect(), key=lambda r: r["b"])
     ]
-    return clf.score(clf.doc_features(d), w)
+    return clf.score_docs(d, w)
 
 
 @q(
