@@ -895,14 +895,54 @@ def _bpe_train_merges(spark, sf, k: int = _BPE_TRAIN_K):
     return _bpe_train_from_census(_bpe_census(spark, sf), k)
 
 
+#: per-iteration pair-count argmax over a census temp view — ONE SQL
+#: statement per iteration (one py4j round trip, one action; round-11:
+#: the DataFrame-built form spent ~0.15s/iteration constructing and
+#: re-analyzing the same plan column object by column object)
+_PAIR_ARGMAX_SQL = """
+SELECT p.x AS x, p.y AS y, SUM(wc) AS cnt FROM (
+  SELECT explode(transform(sequence(1, size(split(sym, '·')) - 1),
+      i -> struct(split(sym, '·')[i-1] AS x, split(sym, '·')[i] AS y))) AS p, wc
+  FROM {view} WHERE size(split(sym, '·')) >= 2)
+GROUP BY p.x, p.y
+ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+"""
+
+
+def _merge_loop_env(census):
+    """Shared setup for the census merge-loop trainers: persist the
+    census, register it under a fresh temp-view name, and derive the
+    loop's shuffle width from the census's own cached width. Iteration
+    shuffles carry (symbol-pair, partial-count) rows — bounded by the
+    census, never the corpus — so spark.sql.shuffle.partitions for the
+    loop follows the census's partition count (guide §2: scale-adaptive,
+    at fixture scale 1 instead of 32 near-empty reducers per stage, at
+    corpus scale the census's own AQE-coalesced width). Restored by
+    _merge_loop_cleanup."""
+    from uuid import uuid4
+
+    spark = census.sparkSession
+    census = census.persist()
+    view = f"merge_census_{uuid4().hex[:12]}"
+    census.createOrReplaceTempView(view)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    census.count()  # materialize: the loop and the width read the cache
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, census.rdd.getNumPartitions())),
+    )
+    return spark, census, view, old_sp
+
+
 def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
     """Training FROM an explicit (sym, wc) census — the entry point that
     makes the census a swappable input: q_bpe_train scans the corpus,
     q_bpe_retrain_incremental reads a maintained census STATE, and both
     run this identical loop (so the two keys can only differ if their
     censuses differ)."""
-    census = census.persist()
+    spark, census, view, old_sp = _merge_loop_env(census)
     merges: list[tuple[int, str, str, str, int]] = []
+    pending = None  # parent census awaiting unpersist (see below)
     # try/finally around the whole loop: the TAIL census of the
     # persist-chain must not outlive the call. Relying on the caller's
     # clearCache() (bench.py does, parity.py and library consumers don't)
@@ -911,24 +951,15 @@ def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
     # current when the loop exits — normally, early, or by exception.
     try:
         for rank in range(1, k + 1):
-            top = (
-                census.select(F.split("sym", "·").alias("s"), "wc")
-                .filter(F.size("s") >= 2)
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s) - 1),"
-                            " i -> struct(s[i-1] AS x, s[i] AS y))"
-                        )
-                    ).alias("p"),
-                    "wc",
-                )
-                .groupBy("p.x", "p.y")
-                .agg(F.sum("wc").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
-                .limit(1)
-                .collect()
-            )
+            # this statement reads the CURRENT census view; running it
+            # also materializes a just-rewritten census's cache, after
+            # which the parent from the previous iteration can go — the
+            # deferred unpersist replaces the old per-iteration count()
+            # materializer job
+            top = spark.sql(_PAIR_ARGMAX_SQL.format(view=view)).collect()
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if not top:  # census fully merged to single symbols — stop early
                 break
             x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
@@ -951,12 +982,15 @@ def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
             # is quadratic in k in fold work — measured 10.4 -> 4.3s at
             # sf0.1 (best-of-3, idle box). The perf-lessons persist rule:
             # iterations keep their own materialization.
-            prev = census
-            census = prev.select(fold.alias("sym"), "wc").persist()
-            census.count()  # materialize before releasing the parent
-            prev.unpersist()
+            pending = census
+            census = pending.select(fold.alias("sym"), "wc").persist()
+            census.createOrReplaceTempView(view)
     finally:
+        if pending is not None:
+            pending.unpersist()
         census.unpersist()
+        spark.catalog.dropTempView(view)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return merges
 
 
@@ -3837,8 +3871,15 @@ def _unigram_train_from_census(census) -> tuple[dict[str, int], list[str]]:
         vocab.update({r["piece"]: r["cnt"] for r in seed_rows})
         for _ in range(_UNI_ITERS):
             vm = _uni_vm_lit(vocab)
-            d = census.select(
-                "w", "wc", vm.alias("vm"), _uni_dp_col(F.col("w"), vm).alias("dp")
+            # vm bound ONCE as a column, dp built over the column ref —
+            # the inline form put one copy of the vocab-map literal at
+            # every DP cost site (4 per step), quadrupling the plan tree
+            # per round (round-11; same staging rule as _eval_family_stats)
+            d = census.select("w", "wc", vm.alias("vm")).select(
+                "w",
+                "wc",
+                "vm",
+                _uni_dp_col(F.col("w"), F.col("vm")).alias("dp"),
             )
             usage_rows = (
                 d.select(
@@ -4060,54 +4101,45 @@ def _wp_train_merges(spark, sf, k: int = _WP_TRAIN_K):
     return _wp_train_from_census(_bpe_census(spark, sf), k)
 
 
+#: the WordPiece per-iteration statement: pair counts scored by
+#: likelihood gain cnt/(cx·cy) against the per-symbol counts, all from
+#: ONE census pass composed in one statement (the symbol-count side
+#: broadcasts — it is alphabet+merges-sized at any corpus scale)
+_WP_ARGMAX_SQL = """
+WITH syms AS (
+  SELECT s1, SUM(wc) AS c FROM (
+    SELECT explode(split(sym, '·')) AS s1, wc FROM {view}) GROUP BY s1
+), pairs AS (
+  SELECT p.x AS x, p.y AS y, SUM(wc) AS cnt FROM (
+    SELECT explode(transform(sequence(1, size(split(sym, '·')) - 1),
+        i -> struct(split(sym, '·')[i-1] AS x, split(sym, '·')[i] AS y))) AS p, wc
+    FROM {view} WHERE size(split(sym, '·')) >= 2) GROUP BY p.x, p.y
+)
+SELECT /*+ BROADCAST(sx), BROADCAST(sy) */ pairs.x, pairs.y, cnt,
+       (cnt * {scale}) div (sx.c * sy.c) AS score_x1e9
+FROM pairs JOIN syms sx ON pairs.x = sx.s1 JOIN syms sy ON pairs.y = sy.s1
+ORDER BY score_x1e9 DESC, pairs.x ASC, pairs.y ASC LIMIT 1
+"""
+
+
 def _wp_train_from_census(census, k: int = _WP_TRAIN_K):
     """WordPiece training FROM an explicit (sym, wc) census — the same
     swappable-census entry point as _bpe_train_from_census (both merge
     families share ONE census definition, _bpe_census), so an
-    incrementally-maintained census state retrains this family too."""
-    census = census.persist()
+    incrementally-maintained census state retrains this family too.
+    Same one-statement-per-iteration / deferred-unpersist loop shape as
+    _bpe_train_from_census (round-11)."""
+    spark, census, view, old_sp = _merge_loop_env(census)
     merges: list[tuple[int, str, str, str, int, int]] = []
+    pending = None
     try:
         for rank in range(1, k + 1):
-            syms = (
-                census.select(
-                    F.explode(F.split("sym", "·")).alias("s1"), "wc"
-                )
-                .groupBy("s1")
-                .agg(F.sum("wc").alias("c"))
-            )
-            pairs = (
-                census.select(F.split("sym", "·").alias("s"), "wc")
-                .filter(F.size("s") >= 2)
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s) - 1),"
-                            " i -> struct(s[i-1] AS x, s[i] AS y))"
-                        )
-                    ).alias("p"),
-                    "wc",
-                )
-                .groupBy("p.x", "p.y")
-                .agg(F.sum("wc").alias("cnt"))
-            )
-            sx = syms.select(F.col("s1").alias("x"), F.col("c").alias("cx"))
-            sy = syms.select(F.col("s1").alias("y"), F.col("c").alias("cy"))
-            top = (
-                pairs.join(F.broadcast(sx), "x")
-                .join(F.broadcast(sy), "y")
-                .select(
-                    "x",
-                    "y",
-                    "cnt",
-                    F.expr(f"(cnt * {_WP_SCALE}) div (cx * cy)").alias(
-                        "score_x1e9"
-                    ),
-                )
-                .orderBy(F.desc("score_x1e9"), F.asc("x"), F.asc("y"))
-                .limit(1)
-                .collect()
-            )
+            top = spark.sql(
+                _WP_ARGMAX_SQL.format(view=view, scale=_WP_SCALE)
+            ).collect()
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if not top:
                 break
             x, y = top[0]["x"], top[0]["y"]
@@ -4126,12 +4158,15 @@ def _wp_train_from_census(census, k: int = _WP_TRAIN_K):
                     F.concat(acc, F.lit(y)),
                 ).otherwise(F.concat(acc, F.lit("·"), el)),
             )
-            prev = census
-            census = prev.select(fold.alias("sym"), "wc").persist()
-            census.count()
-            prev.unpersist()
+            pending = census
+            census = pending.select(fold.alias("sym"), "wc").persist()
+            census.createOrReplaceTempView(view)
     finally:
+        if pending is not None:
+            pending.unpersist()
         census.unpersist()
+        spark.catalog.dropTempView(view)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return merges
 
 
@@ -4559,13 +4594,24 @@ def _merge_segment_col(merges, w):
     return spelled
 
 
-def _eval_family_stats(spark, cen, family, k_col, cov_col, wmax=None):
+def _eval_family_stats(spark, cen, family, k_col, cov_col, wmax=None, stages=None):
     """Per-language rollup of one family's distinct-word (k, cov) table
-    against the shared census: n_words, n_subwords, covered/total chars."""
+    against the shared census: n_words, n_subwords, covered/total chars.
+
+    ``stages`` — optional [(name, col)] bindings materialized as real
+    columns on the distinct-word frame before k/cov evaluate (each may
+    reference earlier bindings by name). The unigram family binds vm/dp
+    /pieces this way so the DP aggregate appears ONCE in the plan as an
+    attribute instead of being inlined at every reference — the inline
+    form put ~9 copies of the DP tree (each with its own vocab-map
+    literal) into the plan and spent ~2.5s in analysis/codegen for 155
+    rows of data (round-11; same staging discipline as
+    q_unigram_pipeline's vm/dp columns)."""
     base = cen if wmax is None else cen.filter(F.length("w") <= wmax)
-    dw = base.select("w").distinct().select(
-        "w", k_col.alias("k"), cov_col.alias("cov")
-    )
+    dw = base.select("w").distinct()
+    for name, col in stages or []:
+        dw = dw.withColumn(name, col)
+    dw = dw.select("w", k_col.alias("k"), cov_col.alias("cov"))
     return (
         base.join(dw, "w")
         .groupBy("lang")
@@ -4637,25 +4683,37 @@ def q_tokenizer_eval(spark, sf):
 
         kb, cb = merge_cols(merges_bp)
         kw, cw = merge_cols(merges_wp)
-        dp = _uni_dp_col(F.col("w"), vm)
+        # vm / dp / pieces bound as STAGED COLUMNS (not inlined exprs):
+        # see _eval_family_stats's ``stages`` note — attribute references
+        # keep the plan tree linear in the DP size
+        uni_stages = [
+            ("vm", vm),
+            ("dp", _uni_dp_col(F.col("w"), F.col("vm"))),
+            (
+                "up",
+                F.filter(
+                    _uni_pieces_col(F.col("w"), F.col("vm"), F.col("dp")),
+                    lambda x: F.length(x) >= 2,
+                ),
+            ),
+        ]
         ku = F.floor(
             (
-                F.element_at(dp, (F.length("w") + 1).cast("int"))
+                F.element_at(F.col("dp"), (F.length("w") + 1).cast("int"))
                 + F.lit(_UNI_BIG - 1)
             )
             / F.lit(_UNI_BIG)
         ).cast("long")
-        up = F.filter(
-            _uni_pieces_col(F.col("w"), vm, dp), lambda x: F.length(x) >= 2
-        )
         cu = F.aggregate(
-            up, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            F.col("up"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         )
         out = (
             _eval_family_stats(spark, cen, "bpe", kb, cb)
             .unionByName(_eval_family_stats(spark, cen, "wordpiece", kw, cw))
             .unionByName(
-                _eval_family_stats(spark, cen, "unigram", ku, cu, _UNI_WMAX)
+                _eval_family_stats(
+                    spark, cen, "unigram", ku, cu, _UNI_WMAX, stages=uni_stages
+                )
             )
             .withColumn(
                 "fertility_bp",
