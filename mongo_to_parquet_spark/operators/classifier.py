@@ -261,36 +261,34 @@ def train_logreg_dense(dense: DataFrame) -> list[int]:
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # each iteration is ONE spark.sql() round-trip (the fixture-scale
-        # cost of this loop was never the 3.7k-row job — it was ~0.25s of
-        # py4j DataFrame construction plus ~0.2s of re-analysis per
-        # iteration when the margin/gradient expressions were rebuilt
-        # column object by column object). The weight vector enters as
-        # ONE array literal (constant-folded to a codegen REFERENCE, so
-        # the generated source — and the compiled stage — is identical
-        # across iterations).
-        m_sql = " + ".join(
-            f"((xa[{j}] * warr[{j}]) div {S})" for j in range(N_W)
-        )
+        # each iteration is ONE spark.sql() round-trip, and the statement
+        # is kept SMALL: the margin is one zip_with/aggregate fold over
+        # (xa, weight-array literal) and the gradient vector comes back as
+        # 34 (j, g) rows from a posexplode + GROUP BY j — ~15 expression
+        # nodes instead of the 34-column wide-aggregate form (~300 nodes),
+        # whose per-iteration parse/analyze cost dominated the loop
+        # (measured 5.3s vs 2.2s warm for the 16 iterations at sf0.1;
+        # weights bit-identical — same div arithmetic, relocated). The
+        # shuffle is unchanged: ≤ N_W partial sums per map partition.
         sig = f"{S} div 2 + (m * {S}) div (2 * ({S} + abs(m)))"
-        g_cols = ", ".join(
-            f"CAST(SUM((xa[{j}] * r) div {S}) AS BIGINT) AS g{j}"
-            for j in range(N_W)
-        )
         w = [0] * N_W
         for _ in range(ITERS):
             arr = ", ".join(f"CAST({int(wi)} AS BIGINT)" for wi in w)
-            row = spark.sql(
-                f"SELECT {g_cols} FROM ("
-                f"  SELECT xa, CAST(y AS BIGINT) * {S} - ({sig}) AS r"
-                f"  FROM (SELECT xa, y, {m_sql} AS m FROM ("
-                f"    SELECT xa, y, array({arr}) AS warr FROM {view})))"
-            ).collect()[0]
+            rows = spark.sql(
+                f"SELECT j, CAST(SUM((xj * r) div {S}) AS BIGINT) AS g FROM ("
+                f"  SELECT posexplode(xa) AS (j, xj),"
+                f"         CAST(y AS BIGINT) * {S} - ({sig}) AS r FROM ("
+                f"    SELECT xa, y, aggregate(zip_with(xa, array({arr}),"
+                f"      (a, b) -> (a * b) div {S}), CAST(0 AS BIGINT),"
+                f"      (acc, t) -> acc + t) AS m FROM {view}))"
+                f" GROUP BY j"
+            ).collect()
+            g = {r["j"]: int(r["g"] or 0) for r in rows}
             # Python // floors on negatives; SQL div truncates toward
             # zero — _tdiv keeps the driver-side update bit-identical to
             # the oracle's integer arithmetic
             w = [
-                int(wi) + _tdiv(LR_NUM * int(row[f"g{j}"] or 0), n_rows)
+                int(wi) + _tdiv(LR_NUM * g.get(j, 0), n_rows)
                 for j, wi in enumerate(w)
             ]
         return w
