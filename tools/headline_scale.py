@@ -143,7 +143,14 @@ def main() -> None:
     # (pca ×41, wordpiece ×13 — store-warmth asymmetry, not scale), so
     # the stores are now warmed explicitly AT EACH SCALE before timing —
     # deterministic protocol regardless of _scratch history.
-    serve_keys = [k for k in HEADLINE if "apply_artifact" in k]
+    # ivfpq *serve* keys are ensure-then-serve like the artifact keys
+    # (layout store under _scratch): without warming, their one timed
+    # rep at a cold scale pays the whole layout BUILD — the round-11opt
+    # probe recorded shuf ×2856 on q_sim_topk_ivfpq_serve for exactly
+    # this reason (store-warmth asymmetry, not a plan property)
+    serve_keys = [
+        k for k in HEADLINE if "apply_artifact" in k or "_serve" in k
+    ]
     for scale, d in (("sf01", BASE), ("m10", m10)):
         for key in serve_keys:
             qs[key](spark, d).write.format("noop").mode("overwrite").save()
