@@ -334,23 +334,25 @@ def main() -> None:
     }
     # full per-query map goes to a FILE, not stdout: the driver captures
     # only the tail of stdout, and a queries-map line already overflowed
-    # it once (BENCH_r06.json parsed:null)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                **summary,
-                "queries": timings,
-                "queries_calib": queries_calib,
-                "queries_normalized": queries_normalized,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-        f.write("\n")
+    # it once (BENCH_r06.json parsed:null). Written under BOTH the
+    # canonical name and a per-core-count name: the driver's low-core
+    # scaling rerun overwrote the 32-core run's detail in round 11, which
+    # emptied PERF_r11's per_query/scaling blocks (n_common: 0) — the
+    # c{cpus} copies keep every run's map addressable (round-11 verdict
+    # item 2; additions-only, the canonical file and stdout contract are
+    # unchanged).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        **summary,
+        "queries": timings,
+        "queries_calib": queries_calib,
+        "queries_normalized": queries_normalized,
+    }
+    for name in ("bench_detail.json", f"bench_detail_c{cpus}.json"):
+        with open(os.path.join(here, name), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
     # the compact summary is the LAST stdout line (driver-parsed)
     print(json.dumps(summary))
     spark.stop()

@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for declared keys to plans/r11/<key>_<tag>.txt.
+"""Dump .explain('formatted') for declared keys to plans/$PLANS_ROUND/<key>_<tag>.txt
+(PLANS_ROUND defaults to r12).
 
     python tools/explain_key.py <before|after> key [key ...]
 
@@ -23,7 +24,10 @@ def main() -> None:
     tag = sys.argv[1]
     keys = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(__file__), "..", "plans",
+        os.environ.get("PLANS_ROUND", "r12"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain")
     spark.sparkContext.setLogLevel("ERROR")
