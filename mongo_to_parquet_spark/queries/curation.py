@@ -15,6 +15,8 @@ surface (BASELINE.json north_star).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -909,16 +911,37 @@ ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 """
 
 
+class _MergeLoopState:
+    """Mutable holder for the merge loops' persist-chain: the loop body
+    rebinds ``census``/``pending`` as it rewrites, and the enclosing
+    context manager's cleanup sees whichever frames are live when the
+    loop exits — normally, early, or by exception."""
+
+    __slots__ = ("census", "pending")
+
+    def __init__(self, census):
+        self.census = census
+        self.pending = None
+
+
+@contextmanager
 def _merge_loop_env(census):
-    """Shared setup for the census merge-loop trainers: persist the
+    """Shared environment for the census merge-loop trainers: persist the
     census, register it under a fresh temp-view name, and derive the
     loop's shuffle width from the census's own cached width. Iteration
     shuffles carry (symbol-pair, partial-count) rows — bounded by the
     census, never the corpus — so spark.sql.shuffle.partitions for the
     loop follows the census's partition count (guide §2: scale-adaptive,
     at fixture scale 1 instead of 32 near-empty reducers per stage, at
-    corpus scale the census's own AQE-coalesced width). Restored by
-    _merge_loop_cleanup."""
+    corpus scale the census's own AQE-coalesced width). AQE itself is
+    OFF inside the loop (the classifier-loop discipline): the width is
+    already pinned to the census's, so there is nothing for AQE to
+    re-plan at any scale, and its per-statement query-stage
+    re-optimization measured ~15-30 ms/iteration of pure overhead
+    (round-12, interleaved A/B). Set and restore live in ONE context
+    manager so the restore cannot be separated from the set (round-11
+    advice); the session is single-threaded per the engine contract, so
+    no concurrent statement observes the loop's conf."""
     from uuid import uuid4
 
     spark = census.sparkSession
@@ -926,12 +949,23 @@ def _merge_loop_env(census):
     view = f"merge_census_{uuid4().hex[:12]}"
     census.createOrReplaceTempView(view)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     census.count()  # materialize: the loop and the width read the cache
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(1, census.rdd.getNumPartitions())),
-    )
-    return spark, census, view, old_sp
+    st = _MergeLoopState(census)
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, census.rdd.getNumPartitions())),
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield spark, st, view
+    finally:
+        if st.pending is not None:
+            st.pending.unpersist()
+        st.census.unpersist()
+        spark.catalog.dropTempView(view)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
@@ -940,16 +974,14 @@ def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
     q_bpe_retrain_incremental reads a maintained census STATE, and both
     run this identical loop (so the two keys can only differ if their
     censuses differ)."""
-    spark, census, view, old_sp = _merge_loop_env(census)
     merges: list[tuple[int, str, str, str, int]] = []
-    pending = None  # parent census awaiting unpersist (see below)
-    # try/finally around the whole loop: the TAIL census of the
+    # the context manager wraps the whole loop: the TAIL census of the
     # persist-chain must not outlive the call. Relying on the caller's
     # clearCache() (bench.py does, parity.py and library consumers don't)
     # leaks one cached census per invocation in a long-lived session
-    # (round-7 verdict finding #1). The finally sees whichever census is
+    # (round-7 verdict finding #1). The cleanup sees whichever census is
     # current when the loop exits — normally, early, or by exception.
-    try:
+    with _merge_loop_env(census) as (spark, st, view):
         for rank in range(1, k + 1):
             # this statement reads the CURRENT census view; running it
             # also materializes a just-rewritten census's cache, after
@@ -957,9 +989,9 @@ def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
             # deferred unpersist replaces the old per-iteration count()
             # materializer job
             top = spark.sql(_PAIR_ARGMAX_SQL.format(view=view)).collect()
-            if pending is not None:
-                pending.unpersist()
-                pending = None
+            if st.pending is not None:
+                st.pending.unpersist()
+                st.pending = None
             if not top:  # census fully merged to single symbols — stop early
                 break
             x, y, cnt = top[0]["x"], top[0]["y"], top[0]["cnt"]
@@ -982,15 +1014,9 @@ def _bpe_train_from_census(census, k: int = _BPE_TRAIN_K):
             # is quadratic in k in fold work — measured 10.4 -> 4.3s at
             # sf0.1 (best-of-3, idle box). The perf-lessons persist rule:
             # iterations keep their own materialization.
-            pending = census
-            census = pending.select(fold.alias("sym"), "wc").persist()
-            census.createOrReplaceTempView(view)
-    finally:
-        if pending is not None:
-            pending.unpersist()
-        census.unpersist()
-        spark.catalog.dropTempView(view)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            st.pending = st.census
+            st.census = st.pending.select(fold.alias("sym"), "wc").persist()
+            st.census.createOrReplaceTempView(view)
     return merges
 
 
@@ -4129,17 +4155,15 @@ def _wp_train_from_census(census, k: int = _WP_TRAIN_K):
     incrementally-maintained census state retrains this family too.
     Same one-statement-per-iteration / deferred-unpersist loop shape as
     _bpe_train_from_census (round-11)."""
-    spark, census, view, old_sp = _merge_loop_env(census)
     merges: list[tuple[int, str, str, str, int, int]] = []
-    pending = None
-    try:
+    with _merge_loop_env(census) as (spark, st, view):
         for rank in range(1, k + 1):
             top = spark.sql(
                 _WP_ARGMAX_SQL.format(view=view, scale=_WP_SCALE)
             ).collect()
-            if pending is not None:
-                pending.unpersist()
-                pending = None
+            if st.pending is not None:
+                st.pending.unpersist()
+                st.pending = None
             if not top:
                 break
             x, y = top[0]["x"], top[0]["y"]
@@ -4158,15 +4182,9 @@ def _wp_train_from_census(census, k: int = _WP_TRAIN_K):
                     F.concat(acc, F.lit(y)),
                 ).otherwise(F.concat(acc, F.lit("·"), el)),
             )
-            pending = census
-            census = pending.select(fold.alias("sym"), "wc").persist()
-            census.createOrReplaceTempView(view)
-    finally:
-        if pending is not None:
-            pending.unpersist()
-        census.unpersist()
-        spark.catalog.dropTempView(view)
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            st.pending = st.census
+            st.census = st.pending.select(fold.alias("sym"), "wc").persist()
+            st.census.createOrReplaceTempView(view)
     return merges
 
 

@@ -60,13 +60,8 @@ def main():
             _merge_loop_env,
         )
 
-        spark2, census, view, old_sp = _merge_loop_env(_bpe_census(spark, SF))
-        try:
+        with _merge_loop_env(_bpe_census(spark, SF)) as (spark2, st, view):
             show("bpe_argmax", phases(spark, _PAIR_ARGMAX_SQL.format(view=view)))
-        finally:
-            census.unpersist()
-            spark.catalog.dropTempView(view)
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     if which in ("wp", "all"):
         from mongo_to_parquet_spark.queries.curation import (
@@ -76,16 +71,11 @@ def main():
             _merge_loop_env,
         )
 
-        spark2, census, view, old_sp = _merge_loop_env(_bpe_census(spark, SF))
-        try:
+        with _merge_loop_env(_bpe_census(spark, SF)) as (spark2, st, view):
             show(
                 "wp_argmax",
                 phases(spark, _WP_ARGMAX_SQL.format(view=view, scale=_WP_SCALE)),
             )
-        finally:
-            census.unpersist()
-            spark.catalog.dropTempView(view)
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     if which in ("qlr", "all"):
         from mongo_to_parquet_spark.operators.classifier import (
