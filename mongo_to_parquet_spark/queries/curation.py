@@ -911,6 +911,24 @@ ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 """
 
 
+@contextmanager
+def _loop_conf(spark, width: int):
+    """Pin the iteration-loop shuffle width and switch AQE off for the
+    scope, restoring both on exit — the shared conf discipline of the
+    census/vocabulary-bounded trainer loops (see _merge_loop_env for the
+    rationale and measurements). Set+restore in one context manager so
+    they cannot be separated (round-11 advice)."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, width)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 class _MergeLoopState:
     """Mutable holder for the merge loops' persist-chain: the loop body
     rebinds ``census``/``pending`` as it rewrites, and the enclosing
@@ -3895,39 +3913,45 @@ def _unigram_train_from_census(census) -> tuple[dict[str, int], list[str]]:
         sing = [r["piece"] for r in sing_rows]
         vocab = {r["piece"]: r["cnt"] for r in sing_rows}
         vocab.update({r["piece"]: r["cnt"] for r in seed_rows})
-        for _ in range(_UNI_ITERS):
-            vm = _uni_vm_lit(vocab)
-            # vm bound ONCE as a column, dp built over the column ref —
-            # the inline form put one copy of the vocab-map literal at
-            # every DP cost site (4 per step), quadrupling the plan tree
-            # per round (round-11; same staging rule as _eval_family_stats)
-            d = census.select("w", "wc", vm.alias("vm")).select(
-                "w",
-                "wc",
-                "vm",
-                _uni_dp_col(F.col("w"), F.col("vm")).alias("dp"),
-            )
-            usage_rows = (
-                d.select(
-                    F.explode(
-                        _uni_pieces_col(F.col("w"), F.col("vm"), F.col("dp"))
-                    ).alias("piece"),
+        # EM rounds under the pinned loop conf (the _merge_loop_env
+        # discipline): every round is one vocabulary-bounded aggregate
+        # over the CACHED census — width follows the cache (the seed
+        # collects above materialized it), and AQE has nothing to
+        # re-plan per round. Round-12 A/B in _merge_loop_env's note.
+        with _loop_conf(census.sparkSession, census.rdd.getNumPartitions()):
+            for _ in range(_UNI_ITERS):
+                vm = _uni_vm_lit(vocab)
+                # vm bound ONCE as a column, dp built over the column ref —
+                # the inline form put one copy of the vocab-map literal at
+                # every DP cost site (4 per step), quadrupling the plan tree
+                # per round (round-11; same staging rule as _eval_family_stats)
+                d = census.select("w", "wc", vm.alias("vm")).select(
+                    "w",
                     "wc",
+                    "vm",
+                    _uni_dp_col(F.col("w"), F.col("vm")).alias("dp"),
                 )
-                .groupBy("piece")
-                .agg(F.sum("wc").cast("long").alias("cnt"))
-                .collect()
-            )
-            usage = {r["piece"]: r["cnt"] for r in usage_rows}
-            vocab = {ch: usage.get(ch, 0) for ch in sing}
-            vocab.update(
-                dict(
-                    sorted(
-                        ((p, c) for p, c in usage.items() if len(p) >= 2),
-                        key=lambda kv: (-kv[1], kv[0]),
-                    )[:_UNI_KEEP]
+                usage_rows = (
+                    d.select(
+                        F.explode(
+                            _uni_pieces_col(F.col("w"), F.col("vm"), F.col("dp"))
+                        ).alias("piece"),
+                        "wc",
+                    )
+                    .groupBy("piece")
+                    .agg(F.sum("wc").cast("long").alias("cnt"))
+                    .collect()
                 )
-            )
+                usage = {r["piece"]: r["cnt"] for r in usage_rows}
+                vocab = {ch: usage.get(ch, 0) for ch in sing}
+                vocab.update(
+                    dict(
+                        sorted(
+                            ((p, c) for p, c in usage.items() if len(p) >= 2),
+                            key=lambda kv: (-kv[1], kv[0]),
+                        )[:_UNI_KEEP]
+                    )
+                )
     finally:
         census.unpersist()
     return vocab, sing
