@@ -477,6 +477,27 @@ def _py_adc(codebook_rows, rng_rows, probe_vec) -> list[tuple]:
     return [(s, c, pd) for (s, c), pd in sorted(acc.items())]
 
 
+def _overlap_write_jobs(*thunks) -> None:
+    """Run independent layout-piece write jobs CONCURRENTLY (guide §2.6:
+    actions are only sequential because driver code calls them
+    sequentially). A layout build writes one corpus-sized piece plus 1-3
+    broadcast-sized pieces into disjoint directories; submitting them
+    from a small thread pool lets the small jobs' tasks back-fill
+    executors the big job's tail leaves idle, instead of paying one full
+    job latency per piece. FIFO scheduling keeps the first (largest)
+    job's resources intact. Exceptions propagate (the pool re-raises on
+    result collection), so a failed piece still fails the build before
+    the layout marker is written."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def build_ivf_layout(
     emb: DataFrame,
     out_dir: str,
@@ -507,10 +528,12 @@ def build_ivf_layout(
     assigned = _assign_cells(
         emb, F.broadcast(cents), id_col, vec_col, overlap=overlap
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{out_dir}/vectors"
+    _overlap_write_jobs(
+        lambda: assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/vectors"),
+        lambda: cents.write.mode("overwrite").parquet(f"{out_dir}/centroids"),
     )
-    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     write_layout_meta(
         out_dir, {"family": "ivf", "n_cells": n_cells, "overlap": overlap}
     )
@@ -871,12 +894,15 @@ def build_ivfpq_layout(
     cents = _centroids(emb, n_cells, id_col, vec_col)
     assigned = _assign_cells(emb, F.broadcast(cents), id_col, vec_col)
     codes, codebook, rng = pq_codes(emb, n_codes, id_col, vec_col)
-    codes.join(assigned.select(id_col, "cell"), id_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{out_dir}/codes")
-    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
-    codebook.write.mode("overwrite").parquet(f"{out_dir}/codebook")
-    rng.write.mode("overwrite").parquet(f"{out_dir}/rng")
+    _overlap_write_jobs(
+        lambda: codes.join(assigned.select(id_col, "cell"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/codes"),
+        lambda: cents.write.mode("overwrite").parquet(f"{out_dir}/centroids"),
+        lambda: codebook.write.mode("overwrite").parquet(f"{out_dir}/codebook"),
+        lambda: rng.write.mode("overwrite").parquet(f"{out_dir}/rng"),
+    )
     write_layout_meta(
         out_dir, {"family": "ivfpq", "n_cells": n_cells, "n_codes": n_codes}
     )
