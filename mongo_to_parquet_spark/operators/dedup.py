@@ -241,10 +241,23 @@ def _jaccard_pairs_prefix(base: DataFrame, threshold: float) -> DataFrame:
     Shuffles at scale: token-frequency agg, per-doc rank window, the
     prefix self-join, and the candidate-bounded verify joins — all keyed,
     none quadratic in corpus size.
+
+    The exploded (doc, shingle) relation feeds FIVE consumers (sizes,
+    freq, ranked, and both verify sides); left lazy, each consumer
+    replays the scan + shingling + md5 subtree — 16 scan copies in the
+    composed plan, and the work above the fan_out exchange is not
+    exchange-reusable. ``localCheckpoint`` materializes it once
+    (round-12 A/B at sf0.1: median 5.08 → 3.34s; persist variants
+    measured worse — the kcore edge discipline). Same tradeoff as the
+    langid featurize pass: non-reliable checkpoint means an executor
+    loss fails the job instead of recomputing lineage, and the blocks
+    (corpus-token-sized, MEMORY_AND_DISK) live until the DataFrame is
+    GC'd — acceptable for a relation that five corpus-sized consumers
+    would otherwise each recompute (SCALE.md).
     """
     from pyspark.sql import Window
 
-    doc_sh = base.select("doc", F.explode("sh").alias("s"))
+    doc_sh = base.select("doc", F.explode("sh").alias("s")).localCheckpoint()
     sizes = doc_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     freq = doc_sh.groupBy("s").agg(F.count(F.lit(1)).alias("tf"))
     ranked = (
