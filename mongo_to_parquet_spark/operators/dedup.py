@@ -133,14 +133,16 @@ def jaccard_pairs(
         approximate/recall-tunable alternative.
 
     Strategy probes are deliberately cheap: the corpus size comes from the
-    Parquet footer (``docs.count()`` is metadata-only on a scan) and the
-    vocabulary probe is a ``limit(cap+1).collect()`` that short-circuits as
-    soon as the cap is exceeded — the collected vocabulary doubles as the
-    bit dictionary, so the bitset path never shuffles to assign bits. The
-    one non-metadata probe — the Σ n_t² join-volume census gating the
-    explode path — runs only when bitset is already ruled out and the doc
-    count alone would have picked explode (one linear aggregation vs a
-    potentially quadratic join: cheap insurance).
+    Parquet footer (``docs.count()`` is metadata-only on a scan); a corpus
+    beyond every small-route cap routes to prefix with NO probe job at
+    all (the 100 TB behavior); otherwise ONE shingle-frequency aggregation
+    yields the vocabulary size, the Σ n_t² join volume that gates the
+    explode path (one linear aggregation vs a potentially quadratic join:
+    cheap insurance), and — from its vocabulary-sized cache, when it fits
+    — the bitset bit dictionary, so the bitset path never re-shuffles the
+    corpus to assign bits. (Round-12: this replaced a capped-distinct
+    vocabulary collect + a separate census job, each of which re-shingled
+    the corpus — ~1.9s of the ~4.8s q_dedup_clusters invocation.)
     """
     sh = shingles(F.col(text_col), ngram) if ngram > 1 else tokens(F.col(text_col))
     # fan_out BEFORE the shingle expression: a one-file corpus otherwise
@@ -148,35 +150,49 @@ def jaccard_pairs(
     base = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.array_distinct(sh).alias("sh")
     )
+    vocab_rows = None
     if strategy is None:
         # hard cap: 8 mask words (beyond that the quadratic pair loop's
         # per-pair popcount cost stops paying for the shuffle it saves)
         cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
-        vocab_rows = (
-            base.select(F.explode("sh").alias("s")).distinct().limit(cap + 1).collect()
-        )
-        # empty vocab (empty/all-null corpus) is not bitset-able: create_map()
-        # with zero entries has type map<void,void>, cannot be keyed by string
-        n_docs = docs.count()
-        fits = 0 < len(vocab_rows) <= cap
+        n_docs = docs.count()  # parquet-footer metadata, no scan
+        fits = False
         cand = None
-        if not (fits and n_docs <= bitmask_max_docs) and n_docs <= explode_max_docs:
-            # the explode path's exact join volume, Σ_t n_t²: one linear
-            # aggregation, only probed when explode is actually on the
-            # table — doc count alone let a hot-boilerplate corpus
-            # through to a ~4e9-row join (round-8 ×10 probe finding)
-            cand = (
+        if n_docs <= max(bitmask_max_docs, explode_max_docs):
+            # ONE probe job replaces the old pair (capped-distinct vocab
+            # collect + Σ n_t² census — measured ~1.0s + ~0.9s each at
+            # sf0.1, both re-shingling the corpus): the shingle-frequency
+            # relation yields the vocabulary size, the explode path's
+            # exact join volume Σ n_t² (doc count alone let a
+            # hot-boilerplate corpus through to a ~4e9-row join — the
+            # round-8 ×10 probe finding), and, cached, the bitset
+            # dictionary when it fits (a second action over the
+            # vocabulary-sized cache, not the corpus). Corpora beyond
+            # every small-route cap take zero probe jobs and route
+            # straight to prefix — the 100 TB behavior.
+            freq = (
                 base.select(F.explode("sh").alias("s"))
                 .groupBy("s")
                 .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.sum(F.col("n") * F.col("n")).alias("c"))
-                .collect()[0]["c"]
+                .persist()
             )
+            try:
+                st = freq.agg(
+                    F.sum(F.col("n") * F.col("n")).alias("c"),
+                    F.count(F.lit(1)).alias("v"),
+                ).collect()[0]
+                cand = st["c"]
+                # empty vocab (empty/all-null corpus) is not bitset-able:
+                # create_map() with zero entries has type map<void,void>,
+                # cannot be keyed by string
+                fits = 0 < st["v"] <= cap
+                if fits and n_docs <= bitmask_max_docs:
+                    vocab_rows = freq.select("s").collect()
+            finally:
+                freq.unpersist()
         strategy = jaccard_strategy(
             n_docs, fits, bitmask_max_docs, explode_max_docs, cand
         )
-    else:
-        vocab_rows = None
     if strategy == "bitset":
         cap = min(bitmask_max_vocab, _BITSET_MAX_VOCAB)
         if vocab_rows is None:
