@@ -1407,6 +1407,7 @@ def kcore_peel(
     max_iter: int = 50,
     src: str = "doc1",
     dst: str = "doc2",
+    canonical: bool = False,
 ) -> DataFrame:
     """(node, degree) after k-core peeling: repeatedly delete nodes whose
     degree in the SURVIVING subgraph is < k (degrees cascade — removing a
@@ -1430,15 +1431,25 @@ def kcore_peel(
     node-keyed semi joins — shuffle volume is the CURRENT edge set,
     monotonically shrinking; fixpoint depth is the peel depth of the
     graph, far below max_iter in practice.
+
+    ``canonical=True`` declares the input already (u<v)-oriented,
+    self-loop-free, duplicate-free AND materialized (checkpointed or
+    cached) under columns ``src``/``dst`` — the normalize + distinct
+    shuffle and the round-0 re-materialization are then skipped entirely
+    (q_graph_kcore builds exactly such an edge set and paid a full
+    edge-sized exchange + checkpoint write for nothing, round-12).
     """
-    e = (
-        pairs.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if canonical:
+        e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = (
+            pairs.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -1457,11 +1468,13 @@ def kcore_peel(
         )
 
     if rounds is not None:
-        e = e.localCheckpoint()
+        if not canonical:
+            e = e.localCheckpoint()
         for _ in range(rounds):
             e = peel(e).localCheckpoint()
     else:
-        e = e.localCheckpoint()
+        if not canonical:
+            e = e.localCheckpoint()
         prev = None
         prev_e = None
         for _ in range(max_iter):

@@ -2634,7 +2634,12 @@ def q_graph_kcore(spark, sf):
     )
     med = deg.agg(F.floor(F.percentile("c", 0.5) * 0.8)).collect()[0][0]
     k = int(med) if med is not None else 1  # empty graph → empty result
-    return kcore_peel(e, k=k, rounds=3, src="u", dst="v").withColumn(
+    # canonical=True: e is already (u<v)-oriented (sorted per-order part
+    # arrays), self-loop-free, distinct and checkpointed — kcore_peel's
+    # normalize+distinct re-shuffle and round-0 re-materialization of the
+    # SAME edge set are skipped (round-12: one edge-sized exchange +
+    # checkpoint write saved per invocation)
+    return kcore_peel(e, k=k, rounds=3, src="u", dst="v", canonical=True).withColumn(
         "k", F.lit(k).cast("bigint")
     )
 
