@@ -1408,6 +1408,7 @@ def kcore_peel(
     src: str = "doc1",
     dst: str = "doc2",
     canonical: bool = False,
+    degrees0: DataFrame | None = None,
 ) -> DataFrame:
     """(node, degree) after k-core peeling: repeatedly delete nodes whose
     degree in the SURVIVING subgraph is < k (degrees cascade — removing a
@@ -1438,6 +1439,14 @@ def kcore_peel(
     shuffle and the round-0 re-materialization are then skipped entirely
     (q_graph_kcore builds exactly such an edge set and paid a full
     edge-sized exchange + checkpoint write for nothing, round-12).
+
+    ``degrees0`` is an optional precomputed (x, d) degree table of the
+    INPUT edge set (materialized by the caller): a caller that already
+    aggregated degrees for its own probe (q_graph_kcore's median-k)
+    hands them in so round 1 does not re-aggregate the full edge set —
+    exchange reuse cannot span the probe's separate action. Must equal
+    ``degrees(e)`` exactly; later rounds always recompute from the
+    peeled edges.
     """
     if canonical:
         e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1459,8 +1468,10 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    def peel(edges: DataFrame) -> DataFrame:
-        keep = degrees(edges).filter(F.col("d") >= k).select("x")
+    def peel(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+        keep = (deg if deg is not None else degrees(edges)).filter(
+            F.col("d") >= k
+        ).select("x")
         return (
             edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
@@ -1470,15 +1481,15 @@ def kcore_peel(
     if rounds is not None:
         if not canonical:
             e = e.localCheckpoint()
-        for _ in range(rounds):
-            e = peel(e).localCheckpoint()
+        for r in range(rounds):
+            e = peel(e, degrees0 if r == 0 else None).localCheckpoint()
     else:
         if not canonical:
             e = e.localCheckpoint()
         prev = None
         prev_e = None
-        for _ in range(max_iter):
-            e = peel(e).localCheckpoint()
+        for r in range(max_iter):
+            e = peel(e, degrees0 if r == 0 else None).localCheckpoint()
             row = e.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),

@@ -2626,22 +2626,27 @@ def q_graph_kcore(spark, sf):
         # kcore_peel's first round (SURVEY retro item 9)
         .localCheckpoint()
     )
+    # persisted: the median-k probe and peel round 1 both read this
+    # node-sized degree table — without the persist, round 1 re-aggregates
+    # the full edge set (the probe is its own action, so exchange reuse
+    # cannot span it). Round-12 A/B: median 2.79 -> 2.58s.
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
-    med = deg.agg(F.floor(F.percentile("c", 0.5) * 0.8)).collect()[0][0]
+    med = deg.agg(F.floor(F.percentile("d", 0.5) * 0.8)).collect()[0][0]
     k = int(med) if med is not None else 1  # empty graph → empty result
     # canonical=True: e is already (u<v)-oriented (sorted per-order part
     # arrays), self-loop-free, distinct and checkpointed — kcore_peel's
     # normalize+distinct re-shuffle and round-0 re-materialization of the
     # SAME edge set are skipped (round-12: one edge-sized exchange +
     # checkpoint write saved per invocation)
-    return kcore_peel(e, k=k, rounds=3, src="u", dst="v", canonical=True).withColumn(
-        "k", F.lit(k).cast("bigint")
-    )
+    return kcore_peel(
+        e, k=k, rounds=3, src="u", dst="v", canonical=True, degrees0=deg
+    ).withColumn("k", F.lit(k).cast("bigint"))
 
 
 # ------------------------------------------------- recency decay score -----
