@@ -386,7 +386,15 @@ def q_text_langid_ngram(spark, sf):
     # (localCheckpoint — the kcore edge-build discipline): training
     # aggregates it into the weight table and scoring probes it, so the
     # expensive explode+md5 featurize pass runs ONCE instead of once per
-    # consumer (it was ~70% of this key's wall).
+    # consumer (it was ~70% of this key's wall). Known tradeoffs
+    # (round-11 verdict/advice, accepted): the checkpoint is
+    # NON-RELIABLE — at scale an executor loss fails the job instead of
+    # recomputing this corpus-sized lineage — and its blocks are RDD
+    # storage, which spark.catalog.clearCache() does NOT free; they live
+    # until the DataFrame is GC'd. The featurize pass this saves is the
+    # dominant cost at every scale, and a failed job retries from the
+    # scan, so the trade is the same one kcore/prefix-dedup make
+    # (SCALE.md).
     df = _lid_doc_buckets(spark, sf).localCheckpoint()
     return _lid_confusion(spark, sf, _lid_weights_from(df), df=df)
 
@@ -494,6 +502,17 @@ def _lid_confusion(spark, sf, wt, df=None):
         ).filter(F.lit(False)).groupBy("lang", "lang_pred").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs")
         )
+    # plan width is linear in the class count: 2 aggregate columns per
+    # language. langs is the model's own output dimension, but the weight
+    # table can come from a STORED artifact — bound it so a corrupt or
+    # mis-familied artifact fails loudly instead of building a
+    # pathologically wide aggregate (round-11 advice).
+    if len(langs) > 512:
+        raise ValueError(
+            f"_lid_confusion: weight table has {len(langs)} distinct"
+            " languages (> 512) — refusing to build a per-language"
+            " aggregate this wide; check the langid artifact."
+        )
     wtm = wt.groupBy("b").agg(
         F.map_from_entries(
             F.collect_list(F.struct("mlang", "wgt"))
@@ -502,21 +521,16 @@ def _lid_confusion(spark, sf, wt, df=None):
     j = df.join(F.broadcast(wtm), "b")
     aggs = []
     for i, lang in enumerate(langs):
+        # column API, not f-string SQL: a lang value containing a quote
+        # or backslash must stay a literal, never statement text
+        # (round-11 advice)
+        w_l = F.element_at(F.col("wm"), F.lit(lang))
         aggs.append(
-            F.sum(
-                F.expr(
-                    f"dc * coalesce(element_at(wm, '{lang}'),"
-                    f" CAST(0 AS BIGINT))"
-                )
-            )
+            F.sum(F.col("dc") * F.coalesce(w_l, F.lit(0).cast("bigint")))
             .cast("long")
             .alias(f"s{i}")
         )
-        aggs.append(
-            F.max(
-                F.expr(f"CAST(element_at(wm, '{lang}') IS NOT NULL AS INT)")
-            ).alias(f"k{i}")
-        )
+        aggs.append(F.max(w_l.isNotNull().cast("int")).alias(f"k{i}"))
     per = j.groupBy("doc_id", "lang").agg(*aggs)
     cand = F.array(
         *[
