@@ -126,6 +126,11 @@ def main() -> None:
         if len(sys.argv) > 1
         else os.path.join(os.path.dirname(OUT), "headline_m10_results.json")
     )
+    # sampled BEFORE any Spark work: the end-of-run loadavg is always
+    # ~14 after a 32-core m10 pass and says nothing about contention —
+    # the round-11 probe was mistaken for "run on a loaded box" because
+    # only the end sample was recorded
+    loadavg_start = os.getloadavg()
     spark = get_spark("headline-scale")
     spark.sparkContext.setLogLevel("ERROR")
     from bench import HEADLINE  # noqa: E402  (repo-root bench.py)
@@ -211,6 +216,7 @@ def main() -> None:
                 "total_sec_m10": round(
                     sum(r["sec_m10"] for r in results.values()), 1
                 ),
+                "loadavg_start": loadavg_start,
                 "loadavg": os.getloadavg(),
                 "queries": results,
             },
