@@ -3775,18 +3775,22 @@ def q_pack_curriculum(spark, sf):
     # assignment is a stateless comparison against 3 broadcast scalars.
     # Mean NLL per bucket is DECIMAL-exact (sum of 4dp fixed-point, one
     # double division) so cross-engine summation order cannot move it.
-    from mongo_to_parquet_spark.operators.validate import exact_kth_smallest
+    from mongo_to_parquet_spark.operators.validate import exact_ranks_smallest
 
     d = T(spark, sf, "documents")
     scored = (
         text.unigram_logprob(d)
         .withColumn("nll_i", F.round(F.col("nll") * 10000).cast("bigint"))
-        .persist()  # 3 rank probes + the final bucket pass; caller clears
+        .persist()  # the rank probe rounds + the final bucket pass; caller clears
     )
     n = scored.count()
-    cuts = [
-        exact_kth_smallest(scored, "nll_i", (i * n + 3) // 4) for i in (1, 2, 3)
-    ]
+    # all three quartile ranks in SHARED refinement passes (the
+    # q_partition_bounds multi-rank prober; per-rank results identical
+    # to the one-rank probe, pinned in tests) — was 3 sequential probes,
+    # each paying its own min/max pass + ~3 refinement scans (round-12)
+    targets = [(i * n + 3) // 4 for i in (1, 2, 3)]
+    ranks = exact_ranks_smallest(scored, "nll_i", targets)
+    cuts = [ranks[t] for t in targets]
     bucket = (
         F.lit(1)
         + (F.col("nll_i") > cuts[0]).cast("int")
