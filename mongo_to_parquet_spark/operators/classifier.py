@@ -258,6 +258,10 @@ def train_logreg_dense(dense: DataFrame) -> list[int]:
     # shuffle is D+2 longs per map partition into a single final reduce —
     # there is nothing for AQE to re-optimize at ANY scale, and its
     # per-query stage re-planning is pure overhead on a 16-statement loop.
+    # Session-global toggle: the engine contract is one statement at a
+    # time per session — a concurrent statement on a shared session would
+    # inherit the loop conf (round-11 advice; same guard as
+    # _merge_loop_env/_loop_conf in queries/curation.py).
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
