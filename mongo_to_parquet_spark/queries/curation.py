@@ -879,14 +879,22 @@ def _bpe_spelled():
 
 
 def _bpe_census(spark, sf):
-    """ONE corpus scan → the (sym, wc) word census training runs on."""
+    """ONE corpus scan → the (sym, wc) word census training runs on.
+
+    Aggregates on the RAW word and spells the DISTINCT words afterwards
+    (round-12, guide §2.3): spelling is injective (the '·'-join of
+    single chars reconstructs uniquely from the even positions), so the
+    census is bit-identical to spelling first — but the per-token
+    transform/array_join now runs |distinct words| times instead of
+    |corpus tokens| times, and the aggregation shuffles the raw word
+    (~half the bytes of its spelled form)."""
     d = T(spark, sf, "documents")
     return (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
-        .select(_bpe_spelled().alias("sym"))
-        .groupBy("sym")
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
+        .select(_bpe_spelled().alias("sym"), "wc")
     )
 
 
